@@ -1,13 +1,340 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every query reads from the given sf dir, aliases every computed
+  * column (the driver's compare sorts columns by name), avoids raw
+  * timestamp outputs, makes float reductions decimal-exact, and orders
+  * deterministically with full tie-breaks.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Flagship: the event pipeline end-to-end on sf0.001 — ingest,
+    * flatten, enrich, route, rollup. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val ev = T(spark, dir, "events")
+    val flat = EventFlattener.flatten(
+      ev, "props", keep = Seq("event_id", "ts", "user_id", "event_type", "value"))
+    val enriched = EventFlattener.withMetadata(
+      flat,
+      receivedAt = Fns.nanosToTimestamp(col("ts")),
+      sentAt = current_timestamp(),
+      idCols = Seq(col("event_type"), col("event_id")))
+    EventRouter.routeCounts(EventFlattener.defaultTransform(enriched))
+  }
+
+  // ---------------------------------------------------------------
+  // A. Reference surface — event pipeline
+  // ---------------------------------------------------------------
+
+  /** A1: ingestion — required-key check + typed body extraction. */
+  private def a1Ingest(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .filter(col("event_type").isNotNull && length(col("event_type")) > 0)
+      .select(
+        col("event_id"), col("event_type"), col("user_id"), col("value"),
+        date_format(Fns.nanosToTimestamp(col("ts")), "yyyy-MM-dd").as("event_date"),
+        get_json_object(col("props"), "$.k").try_cast("bigint").as("props_k"))
+      .orderBy(col("event_id"))
+
+  /** A2: routing — one bulker/table per event_type. */
+  private def a2RouteCounts(s: SparkSession, dir: String): DataFrame =
+    EventRouter.routeCounts(T(s, dir, "events")).orderBy(col("event_type"))
+
+  /** A3: nested record → snake_case flattened columns. The testdata
+    * props are flat, so the nested body is assembled in-plan from real
+    * columns, then flattened by the operator. */
+  private def a3FlattenRecords(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val nested = ev.withColumn("body",
+      to_json(struct(
+        struct(col("user_id").as("id"), col("value").as("score")).as("userInfo"),
+        col("props").as("rawProps"),
+        col("event_type").as("kind"))))
+    EventFlattener.flatten(nested, "body", keep = Seq("event_id"),
+        opts = EventFlattener.Options(detectDates = false))
+      .select(col("event_id"), col("kind"), col("raw_props"),
+        col("user_info_id"), col("user_info_score"))
+      .orderBy(col("event_id"))
+  }
+
+  /** A4: arrays → indexed columns `k_0, k_1, …`. */
+  private def a4FlattenArrays(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val nested = ev.withColumn("body",
+      to_json(struct(
+        array(col("event_type"), col("event_id").cast("string")).as("tags"),
+        array(col("value"), col("value") * 2).as("vals"))))
+    EventFlattener.flatten(nested, "body", keep = Seq("event_id"),
+        opts = EventFlattener.Options(detectDates = false))
+      .select(col("event_id"), col("tags_0"), col("tags_1"),
+        col("vals_0"), col("vals_1"))
+      .orderBy(col("event_id"))
+  }
+
+  /** A5: value-form type inference (date-string / int / float / bool /
+    * string → ClickHouse-ish types), aggregated over all values. */
+  private def a5InferTypes(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val kv = ev.select(lit("props_k").as("key"),
+        get_json_object(col("props"), "$.k").as("value"))
+      .unionAll(ev.select(lit("value").as("key"), col("value").cast("string")))
+      .unionAll(ev.select(lit("event_type").as("key"), col("event_type")))
+      .unionAll(ev.select(lit("event_date").as("key"),
+        date_format(Fns.nanosToTimestamp(col("ts")), "yyyy-MM-dd")))
+      .unionAll(ev.select(lit("is_even_user").as("key"),
+        (col("user_id") % 2 === 0).cast("string")))
+    ChTypes.inferFromStrings(kv).orderBy(col("column_name"))
+  }
+
+  /** A6: schema evolution — batch 1's inferred schema merged with a
+    * later batch that adds a column and turns a numeric into strings. */
+  private def a6SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val half = ev.agg(max(col("event_id"))).collect()(0).getLong(0) / 2
+    val b1 = ev.filter(col("event_id") <= half)
+      .select(lit("k").as("key"), get_json_object(col("props"), "$.k").as("value"))
+      .unionAll(ev.filter(col("event_id") <= half)
+        .select(lit("amount").as("key"), col("value").cast("string")))
+    val b2 = ev.filter(col("event_id") > half)
+      .select(lit("k").as("key"), get_json_object(col("props"), "$.k").as("value"))
+      .unionAll(ev.filter(col("event_id") > half)
+        .select(lit("amount").as("key"), concat(lit("usd_"), col("value"))))
+      .unionAll(ev.filter(col("event_id") > half)
+        .select(lit("new_flag").as("key"), (col("value") > 100).cast("string")))
+    SchemaEvolution.mergeChTypes(
+        ChTypes.inferFromStrings(b1), ChTypes.inferFromStrings(b2))
+      .orderBy(col("column_name"))
+  }
+
+  /** A7: metadata enrichment — received_at/sent_at/message_id. The
+    * reference's random UUID becomes a content md5 (deterministic,
+    * replay-safe). */
+  private def a7Metadata(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(
+        col("event_id"),
+        Fns.nanosToEpochSec(col("ts")).as("received_at_s"),
+        lit("2026-01-01 00:00:00").as("sent_at_s"),
+        md5(concat_ws("#", col("event_type"), col("event_id"))).as("message_id"))
+      .orderBy(col("event_id"))
+
+  /** A8: transform hook — default adds timestamp := received_at. */
+  private def a8TransformHook(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "events")
+      .withColumn("received_at", Fns.nanosToEpochSec(col("ts")))
+    EventFlattener.defaultTransform(base)
+      .select(col("event_id"), col("received_at"),
+        col("timestamp").as("transform_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** A9: micro-batch bulk sink bookkeeping — deterministic batch ids
+    * per route (TAKE_UP_TO_PER_BATCH=500) + batch manifests. */
+  private def a9BulkBatches(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    EventRouter.withBatchId(ev, 500, Seq(col("ts"), col("event_id")))
+      .groupBy(col("event_type"), col("batch_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("last_event_id"))
+      .orderBy(col("event_type"), col("batch_id"))
+  }
+
+  /** A10: DLQ split summary (testdata is all-valid, so the output is
+    * the per-route valid/dlq accounting, never empty). */
+  private def a10Dlq(s: SparkSession, dir: String): DataFrame = {
+    val (ok, dlq) = EventRouter.splitDlq(T(s, dir, "events"), "props")
+    ok.groupBy(col("event_type")).agg(count(lit(1)).as("n_valid"))
+      .join(dlq.groupBy(col("event_type")).agg(count(lit(1)).as("n_dlq")),
+        Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_valid"), lit(0L)).as("n_valid"),
+        coalesce(col("n_dlq"), lit(0L)).as("n_dlq"))
+      .orderBy(col("event_type"))
+  }
+
+  // ---------------------------------------------------------------
+  // B. Analytics over the ingested tables
+  // ---------------------------------------------------------------
+
+  /** B1: grouped aggregation with decimal-exact sums (TPC-H Q1 shape). */
+  private def b1Pricing(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Fns.sumExact(col("l_quantity")).as("sum_qty"),
+        Fns.sumExact(col("l_extendedprice")).as("sum_base_price"),
+        Fns.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** B8: per-type daily rollup — the canonical MergeTree query the
+    * reference's tables exist to serve. */
+  private def b8DailyRollup(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_format(Fns.nanosToTimestamp(col("ts")), "yyyy-MM-dd").as("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        Fns.sumExact(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"), col("event_date"))
+
+  // ---------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_ingest" -> (a1Ingest _),
+    "a2_route_counts" -> (a2RouteCounts _),
+    "a3_flatten_records" -> (a3FlattenRecords _),
+    "a4_flatten_arrays" -> (a4FlattenArrays _),
+    "a5_infer_types" -> (a5InferTypes _),
+    "a6_schema_evolution" -> (a6SchemaEvolution _),
+    "a7_metadata_cols" -> (a7Metadata _),
+    "a8_transform_hook" -> (a8TransformHook _),
+    "a9_bulk_sink" -> (a9BulkBatches _),
+    "a10_dlq_retry" -> (a10Dlq _),
+    "b1_pricing_summary" -> (b1Pricing _),
+    "b8_daily_rollup" -> (b8DailyRollup _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_ingest" ->
+      """SELECT event_id, event_type, user_id, value,
+         strftime(ts, '%Y-%m-%d') AS event_date,
+         try_cast(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+         FROM events
+         WHERE event_type IS NOT NULL AND len(event_type) > 0
+         ORDER BY event_id""",
+    "a2_route_counts" ->
+      """SELECT event_type,
+         count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users,
+         min(event_id) AS first_event_id,
+         max(event_id) AS last_event_id
+         FROM events
+         WHERE event_type IS NOT NULL AND len(event_type) > 0
+         GROUP BY event_type ORDER BY event_type""",
+    "a3_flatten_records" ->
+      """SELECT event_id, event_type AS kind, props AS raw_props,
+         user_id AS user_info_id, value AS user_info_score
+         FROM events ORDER BY event_id""",
+    "a4_flatten_arrays" ->
+      """SELECT event_id,
+         event_type AS tags_0, CAST(event_id AS VARCHAR) AS tags_1,
+         value AS vals_0, value * 2 AS vals_1
+         FROM events ORDER BY event_id""",
+    "a5_infer_types" -> inferTypesOracle,
+    "a6_schema_evolution" -> schemaEvolutionOracle,
+    "a7_metadata_cols" ->
+      """SELECT event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS received_at_s,
+         '2026-01-01 00:00:00' AS sent_at_s,
+         md5(concat(event_type, '#', CAST(event_id AS VARCHAR))) AS message_id
+         FROM events ORDER BY event_id""",
+    "a8_transform_hook" ->
+      """SELECT event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS received_at,
+         CAST(floor(epoch(ts)) AS BIGINT) AS transform_ts
+         FROM events ORDER BY event_id""",
+    "a9_bulk_sink" ->
+      """WITH numbered AS (
+           SELECT event_type, event_id,
+             (row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1) // 500
+               AS batch_id
+           FROM events)
+         SELECT event_type, batch_id, count(*) AS n_rows,
+           min(event_id) AS first_event_id, max(event_id) AS last_event_id
+         FROM numbered GROUP BY event_type, batch_id
+         ORDER BY event_type, batch_id""",
+    "a10_dlq_retry" ->
+      """SELECT event_type, count(*) AS n_valid, 0 AS n_dlq
+         FROM events
+         WHERE event_type IS NOT NULL AND len(event_type) > 0
+         GROUP BY event_type ORDER BY event_type""",
+    "b1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "b8_daily_rollup" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+         ORDER BY event_type, event_date"""
+  )
+
+  /** DuckDB mirror of ChTypes.inferFromStrings over the same 5 keys. */
+  private def inferTypesOracle: String = {
+    val kv =
+      """SELECT 'props_k' AS key, json_extract_string(props, '$.k') AS value FROM events
+         UNION ALL SELECT 'value', CAST(value AS VARCHAR) FROM events
+         UNION ALL SELECT 'event_type', event_type FROM events
+         UNION ALL SELECT 'event_date', strftime(ts, '%Y-%m-%d') FROM events
+         UNION ALL SELECT 'is_even_user', CAST(user_id % 2 = 0 AS VARCHAR) FROM events"""
+    s"""WITH kv AS ($kv)
+        SELECT key AS column_name, $chCaseSql AS ch_type
+        FROM kv WHERE value IS NOT NULL
+        GROUP BY key ORDER BY column_name"""
+  }
+
+  /** The shared inference CASE over regex votes (DuckDB side). */
+  private def chCaseSql: String = {
+    val d = "^\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}(\\.\\d{1,6})?)?)?$|^\\d{2}/\\d{2}/\\d{4}$"
+    val i = "^-?\\d{1,18}$"
+    val f = "^-?\\d+\\.\\d+([eE][-+]?\\d+)?$|^-?\\d+[eE][-+]?\\d+$"
+    s"""CASE WHEN bool_and(regexp_matches(value, '$d')) THEN 'DateTime64(6)'
+        WHEN bool_and(regexp_matches(value, '^(true|false)$$')) THEN 'UInt8'
+        WHEN bool_and(regexp_matches(value, '$i')) THEN 'Int64'
+        WHEN bool_and(regexp_matches(value, '$i') OR regexp_matches(value, '$f')) THEN 'Float64'
+        ELSE 'String' END"""
+  }
+
+  private def schemaEvolutionOracle: String =
+    s"""WITH half AS (SELECT max(event_id) // 2 AS h FROM events),
+        b1 AS (
+          SELECT 'k' AS key, json_extract_string(props, '$$.k') AS value
+          FROM events WHERE event_id <= (SELECT h FROM half)
+          UNION ALL
+          SELECT 'amount', CAST(value AS VARCHAR)
+          FROM events WHERE event_id <= (SELECT h FROM half)),
+        b2 AS (
+          SELECT 'k' AS key, json_extract_string(props, '$$.k') AS value
+          FROM events WHERE event_id > (SELECT h FROM half)
+          UNION ALL
+          SELECT 'amount', concat('usd_', CAST(value AS VARCHAR))
+          FROM events WHERE event_id > (SELECT h FROM half)
+          UNION ALL
+          SELECT 'new_flag', CAST(value > 100 AS VARCHAR)
+          FROM events WHERE event_id > (SELECT h FROM half)),
+        s1 AS (SELECT key AS column_name, $chCaseSql AS ch_type
+               FROM b1 WHERE value IS NOT NULL GROUP BY key),
+        s2 AS (SELECT key AS column_name, $chCaseSql AS ch_type
+               FROM b2 WHERE value IS NOT NULL GROUP BY key)
+        SELECT coalesce(s1.column_name, s2.column_name) AS column_name,
+          CASE WHEN s1.ch_type IS NULL THEN s2.ch_type
+               WHEN s2.ch_type = 'String'
+                 AND s1.ch_type IN ('Int64','Float64','UInt8') THEN 'String'
+               ELSE s1.ch_type END AS ch_type
+        FROM s1 FULL OUTER JOIN s2 ON s1.column_name = s2.column_name
+        ORDER BY column_name"""
 }

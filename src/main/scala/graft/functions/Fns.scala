@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks shared by graft operators.
+  *
+  * Everything composes Spark's codegen'd built-ins — no Scala UDFs — so
+  * whole-stage codegen spans stay wide and Catalyst can push/prune
+  * around them. Cross-engine determinism (the DuckDB oracle) dictates
+  * two rules: md5 is the only hash (identical hex in both engines), and
+  * float reductions either happen in decimal or get rounded at the end.
+  */
+object Fns {
+
+  /** Lower-cased whitespace tokens; empty array for blank text. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(trim(text)), lit("\\S+"), lit(0))
+
+  /** Whitespace-normalized lower-cased text (dedup canonical form). */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Word n-grams ("shingles") of a token array, space-joined.
+    * Order-preserving; empty array when fewer than n tokens. */
+  def wordNGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash component j over a shingle array: min md5 of the shingle
+    * salted with j. String-min over lowercase hex is a total order that
+    * Spark and DuckDB agree on. */
+  def minHash(shingles: Column, j: Int): Column =
+    array_min(transform(shingles, s => md5(concat(s, lit(s"#$j")))))
+
+  /** LSH band key: one md5 over the band's signature components. */
+  def bandKey(sig: Seq[Column]): Column = md5(concat_ws("|", sig: _*))
+
+  /** Dot product of two double arrays (sequential left fold). */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity of two double arrays, rounded for cross-engine
+    * float stability (last-ulp differences between engines). */
+  def cosine(a: Column, b: Column, scale: Int = 6): Column = {
+    val den = norm2(a) * norm2(b)
+    round(when(den =!= 0.0, dotD(a, b) / den).otherwise(lit(0.0)), scale)
+  }
+
+  /** Exact decimal sum surfaced as DOUBLE (order-insensitive, so the
+    * shuffle-order-dependent float sum never breaks the oracle). */
+  def sumExact(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Epoch seconds from a nanosecond-epoch long column. Decimal floor
+    * division — nanos exceed double-precision exactness, and Spark's
+    * decimal division at this precision is exact (scale 11 > 9 needed). */
+  def nanosToEpochSec(tsNanos: Column): Column =
+    floor(tsNanos.cast("decimal(25,0)") / 1000000000L).cast("bigint")
+
+  /** Micros timestamp from a nanosecond-epoch long column. */
+  def nanosToTimestamp(tsNanos: Column): Column =
+    timestamp_micros(floor(tsNanos.cast("decimal(25,0)") / 1000L).cast("bigint"))
+}

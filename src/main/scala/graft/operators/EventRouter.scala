@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-type routing: the reference keeps one `Bulker` (≙ one
+  * destination ClickHouse table) per `event_type` and drains each via
+  * bounded bulk INSERTs (reference: src/main.ts:256,366-373 +
+  * src/bulker.class.ts).
+  *
+  * Spark-first shape: routing is **one hash shuffle on the routing key
+  * + one partitioned write** (`partitionBy("event_type")`), not N
+  * sequential filtered jobs — table count doesn't multiply passes over
+  * the data, which is what survives a 100 TB day. Sort-within-
+  * partitions on the time column reproduces MergeTree's
+  * `ORDER BY sent_at` clustering for the downstream scans.
+  */
+object EventRouter {
+
+  val RouteCol = "event_type"
+
+  /** Per-destination-table counts — the router's bookkeeping view. */
+  def routeCounts(events: DataFrame): DataFrame =
+    events
+      .filter(col(RouteCol).isNotNull && length(col(RouteCol)) > 0)
+      .groupBy(col(RouteCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("last_event_id"))
+
+  /** Micro-batch ids within each route: consecutive chunks of
+    * `perBatch` rows in (ts, event_id) order — the deterministic
+    * analogue of the bulker's TAKE_UP_TO_PER_BATCH draining. */
+  def withBatchId(events: DataFrame, perBatch: Int,
+                  orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(RouteCol)).orderBy(orderCols: _*)
+    // floor(double) is exact here: row numbers stay far below 2^53
+    events.withColumn("batch_id",
+      floor((row_number().over(w) - 1) / perBatch).cast("bigint"))
+  }
+
+  /** Route + write: one shuffle on event_type (+ low-cardinality salt
+    * so one hot event type still fans across the cluster), sorted
+    * within partitions on the time column (MergeTree ORDER BY). */
+  def writeRouted(df: DataFrame, baseDir: String, sortCol: String,
+                  saltBuckets: Int = 1): Unit = {
+    val routed =
+      if (saltBuckets <= 1) df.repartition(col(RouteCol))
+      else df.repartition(col(RouteCol), pmod(crc32(col(sortCol).cast("string")), lit(saltBuckets)))
+    routed
+      .sortWithinPartitions(col(RouteCol), col(sortCol))
+      .write.mode("overwrite")
+      .partitionBy(RouteCol)
+      .parquet(baseDir)
+  }
+
+  /** Read one routed table back (partition pruning applies). */
+  def readRoute(spark: SparkSession, baseDir: String, eventType: String): DataFrame =
+    spark.read.parquet(baseDir).filter(col(RouteCol) === eventType)
+
+  /** DLQ split (reference: src/main.ts:463-514 — failed batch rows
+    * become single-retry jobs with attempt counters). Valid rows go to
+    * the route; invalid rows (no routing key / unparseable body) go to
+    * the dead-letter frame with a reason, never lost. */
+  def splitDlq(events: DataFrame, jsonCol: String): (DataFrame, DataFrame) = {
+    val invalidReason =
+      when(col(RouteCol).isNull || length(col(RouteCol)) === 0, "missing_event_type")
+        .when(col(jsonCol).isNotNull && isnull(try_parse_json(col(jsonCol))), "malformed_body")
+    val tagged = events.withColumn("dlq_reason", invalidReason)
+    (tagged.filter(col("dlq_reason").isNull).drop("dlq_reason"),
+      tagged.filter(col("dlq_reason").isNotNull)
+        .withColumn("retry_attempt", lit(1)))
+  }
+}

@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed loaders for the driver-generated test tables.
+  *
+  * One quirk: `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4
+  * refuses to read unless `spark.sql.legacy.parquet.nanosAsLong` is on
+  * (it then surfaces as a BIGINT of epoch nanos). We set that runtime
+  * conf defensively on every load so callers don't have to know.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
+}
