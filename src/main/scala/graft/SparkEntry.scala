@@ -208,7 +208,7 @@ object SparkEntry {
     "a10_dlq_retry" -> (a10Dlq _),
     "b1_pricing_summary" -> (b1Pricing _),
     "b8_daily_rollup" -> (b8DailyRollup _)
-  )
+  ) ++ AnalyticsQueries.queries ++ TrainingQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "a1_ingest" ->
@@ -281,7 +281,7 @@ object SparkEntry {
          count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
          ORDER BY event_type, event_date"""
-  )
+  ) ++ AnalyticsQueries.oracleSql ++ TrainingQueries.oracleSql
 
   /** DuckDB mirror of ChTypes.inferFromStrings over the same 5 keys. */
   private def inferTypesOracle: String = {

@@ -1,0 +1,426 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** C-series (SURVEY §2C): LLM-training-data pipeline operators —
+  * dedup family, similarity search, text analysis, multimodal
+  * plumbing — each oracle-checked against a DuckDB mirror of the SAME
+  * computation (md5 is the shared deterministic hash; float reductions
+  * are rounded; every sum the sign of a decision depends on is
+  * evaluated in the same left-to-right order both sides).
+  *
+  * The raw `documents` corpus is unique-by-construction, so the
+  * near-dup operators run on a corpus with PLANTED duplicates (exact
+  * copies for C1, one-tail-edit copies for C2-C4) built in-plan from
+  * the real table — true positives exist and the oracle plants the
+  * same rows.
+  */
+object TrainingQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ------------------------------------------------------------------
+  // Planted-duplicate corpora (Spark side + SQL mirror)
+  // ------------------------------------------------------------------
+
+  /** Near-dup corpus: every 10th doc reappears with a two-token tail
+    * edit (id + 1,000,000) — high-jaccard true positives. */
+  private def corpusWithDups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionAll(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zz tail")).as("text")))
+
+  private val corpusSql =
+    """corpus AS (
+       SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 1000000 AS doc_id, text || ' zz tail' AS text
+       FROM documents WHERE doc_id % 10 = 0)"""
+
+  /** Exact-dup corpus: every 7th doc copied verbatim (id + 2,000,000). */
+  private def corpusWithExactDups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionAll(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+
+  private val exactCorpusSql =
+    """corpus AS (
+       SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 2000000 AS doc_id, text
+       FROM documents WHERE doc_id % 7 = 0)"""
+
+  // ------------------------------------------------------------------
+  // Shared SQL fragments mirroring graft.functions.Fns
+  // ------------------------------------------------------------------
+
+  private val toksSql = """regexp_extract_all(lower(trim(text)), '\S+')"""
+  private val normTextSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+
+  /** Mirror of Fns.wordNGrams over a token-list column `tk`. */
+  private def ngramsSql(n: Int): String =
+    s"""CASE WHEN len(tk) >= $n
+        THEN list_transform(generate_series(1, len(tk) - ${n - 1}),
+               i -> array_to_string(tk[i:i+${n - 1}], ' '))
+        ELSE [] END"""
+
+  /** Mirror of the exact-jaccard verify: shingle self-join → count
+    * intersections → jaccard vs per-doc shingle counts. Expects a
+    * CTE `shd(doc_id, shs)` of distinct shingles to be in scope. */
+  private def jaccardSql(threshold: Double): String =
+    s"""sh AS (SELECT doc_id, unnest(shs) AS sh FROM shd),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT id1, id2,
+            round(n_inter / (s1.n_sh + s2.n_sh - n_inter), 6) AS jaccard
+          FROM inter
+          JOIN sizes s1 ON s1.doc_id = id1
+          JOIN sizes s2 ON s2.doc_id = id2)
+        """ + s", verified AS (SELECT * FROM jac WHERE jaccard >= $threshold)"
+
+  // ------------------------------------------------------------------
+  // C1-C5: dedup family
+  // ------------------------------------------------------------------
+
+  private def c1DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(corpusWithExactDups(T(s, dir, "documents")), "doc_id", "text")
+      .orderBy(col("fp_md5"))
+
+  private def c2DedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(corpusWithDups(T(s, dir, "documents")), "doc_id", "text",
+        n = 5, k = 8, bands = 4, threshold = 0.5)
+      .orderBy(col("id1"), col("id2"))
+
+  private def c3DedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(corpusWithDups(T(s, dir, "documents")), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy(col("id1"), col("id2"))
+
+  private def c4NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(corpusWithDups(T(s, dir, "documents")), "doc_id", "text",
+        n = 3, threshold = 0.6)
+      .orderBy(col("id1"), col("id2"))
+
+  /** Embedding sample with planted near-identical vectors (+0.05 on
+    * every dimension, id + 1,000,000). */
+  private def embSample(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "embeddings").filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dups = base.filter(col("vec_id") % 40 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), x => x + lit(0.05)).as("v"))
+    base.unionAll(dups)
+  }
+
+  private def c5EmbedNeardup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(embSample(s, dir), "vec_id", "v",
+        threshold = 0.9, roundScale = 4)
+      .orderBy(col("id1"), col("id2"))
+
+  // ------------------------------------------------------------------
+  // C6-C7: similarity search
+  // ------------------------------------------------------------------
+
+  private def c6AnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, roundScale = 4)
+      .select(col("query_id"), col("rank").as("rnk"), col("corpus_id"),
+        col("cosine_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private def c7AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, planes = 8, dim = 64, roundScale = 4)
+      .select(col("query_id"), col("rank").as("rnk"), col("corpus_id"),
+        col("bucket"), col("cosine_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ------------------------------------------------------------------
+  // C8-C11: text analysis
+  // ------------------------------------------------------------------
+
+  private def c8LangId(s: SparkSession, dir: String): DataFrame = {
+    val (pred, scores) = TextAnalysis.langId(col("text"))
+    T(s, dir, "documents")
+      .select(col("doc_id") +: pred.as("lang_pred") +:
+        scores.map { case (l, c) => c.as(s"hits_$l") }: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private def c9Quality(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id") +:
+        TextAnalysis.qualityCols(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy(col("doc_id"))
+
+  private def c10TokenCount(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  private def c11Fingerprint(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id") +:
+        TextAnalysis.fingerprintCols(col("text"), 5).map { case (n, c) => c.as(n) }: _*)
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------------
+  // C12: multimodal plumbing
+  // ------------------------------------------------------------------
+
+  private def c12Multimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withMedia(T(s, dir, "documents"), "doc_id", col("text"))
+      .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+        col("channels"), col("n_frames"), col("feature_md5"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_dedup_exact" -> (c1DedupExact _),
+    "c2_dedup_minhash" -> (c2DedupMinhash _),
+    "c3_dedup_simhash" -> (c3DedupSimhash _),
+    "c4_ngram_jaccard" -> (c4NgramJaccard _),
+    "c5_embed_neardup" -> (c5EmbedNeardup _),
+    "c6_ann_topk" -> (c6AnnTopK _),
+    "c7_ann_lsh" -> (c7AnnLsh _),
+    "c8_lang_id" -> (c8LangId _),
+    "c9_quality" -> (c9Quality _),
+    "c10_token_count" -> (c10TokenCount _),
+    "c11_fingerprint" -> (c11Fingerprint _),
+    "c12_multimodal" -> (c12Multimodal _)
+  )
+
+  // ------------------------------------------------------------------
+  // Oracles
+  // ------------------------------------------------------------------
+
+  /** Mirror of Dedup.minHashSignatures: h0..h7 over distinct 5-gram
+    * shingles. */
+  private def minhashSigSql(k: Int): String = {
+    val hs = (0 until k).map(j =>
+      s"list_min(list_transform(shs, s -> md5(s || '#$j'))) AS h$j").mkString(", ")
+    s"sig AS (SELECT doc_id, $hs FROM shd WHERE len(shs) > 0)"
+  }
+
+  /** Mirror of the LSH banding: band b = md5 of h{2b}|h{2b+1}. */
+  private def bandedSql(bands: Int, rows: Int): String = {
+    val parts = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => s"h${b * rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bk FROM sig"
+    }
+    s"banded AS (${parts.mkString(" UNION ALL ")})"
+  }
+
+  private def c2OracleSql: String =
+    s"""WITH $corpusSql,
+        toks AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+        shd AS (SELECT doc_id, list_distinct(${ngramsSql(5)}) AS shs FROM toks),
+        ${minhashSigSql(8)},
+        ${bandedSql(4, 2)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        ${jaccardSql(0.5)}
+        SELECT c.id1, c.id2, v.jaccard
+        FROM cand c JOIN verified v ON c.id1 = v.id1 AND c.id2 = v.id2
+        ORDER BY c.id1, c.id2"""
+
+  /** Mirror of Dedup.simHash32 + brute-force hamming pairs (the band
+    * join is exact for hamming ≤ 3, so brute force gives the same set). */
+  private def c3OracleSql: String = {
+    val odd = "('1','3','5','7','9','b','d','f')"
+    val sums = (0 until 32).map(i =>
+      s"sum(CASE WHEN substr(md5(tok), ${i + 1}, 1) IN $odd THEN 1 ELSE -1 END) AS s$i")
+      .mkString(", ")
+    val fp = (0 until 32).map(i =>
+      s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH $corpusSql,
+        toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM corpus),
+        sums AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
+        fp AS (SELECT doc_id, $fp AS simhash32 FROM sums)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+          bit_count(xor(a.simhash32, b.simhash32)) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3
+        ORDER BY id1, id2"""
+  }
+
+  private def c4OracleSql: String =
+    s"""WITH $corpusSql,
+        toks AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+        shd AS (SELECT doc_id, list_distinct(${ngramsSql(3)}) AS shs FROM toks),
+        ${jaccardSql(0.6)}
+        SELECT id1, id2, jaccard FROM verified ORDER BY id1, id2"""
+
+  /** Mirror of Fns.cosine over double-list columns `$a`, `$b`. */
+  private def cosineSql(a: String, b: String, scale: Int): String = {
+    val dot = s"list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]))"
+    val den = s"sqrt(list_sum(list_transform($a, x -> x * x))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> x * x)))"
+    s"round(CASE WHEN ($den) <> 0 THEN ($dot) / ($den) ELSE 0.0 END, $scale)"
+  }
+
+  private def c5OracleSql: String =
+    s"""WITH base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id % 20 = 0),
+        dups AS (
+          SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x + 0.05) AS v
+          FROM base WHERE vec_id % 40 = 0),
+        c AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+        pairs AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+            ${cosineSql("a.v", "b.v", 4)} AS cosine_sim
+          FROM c a JOIN c b ON a.vec_id < b.vec_id)
+        SELECT id1, id2, cosine_sim FROM pairs
+        WHERE cosine_sim >= 0.9 ORDER BY id1, id2"""
+
+  private def c6OracleSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 8),
+        c AS (SELECT vec_id AS corpus_id, v AS cv FROM v),
+        scored AS (
+          SELECT query_id, corpus_id, ${cosineSql("qv", "cv", 4)} AS cosine_sim
+          FROM c, q WHERE query_id <> corpus_id),
+        ranked AS (
+          SELECT query_id, corpus_id, cosine_sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, corpus_id) AS rnk
+          FROM scored)
+        SELECT query_id, rnk, corpus_id, cosine_sim FROM ranked
+        WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
+  /** Inline ±1 plane constants — same left-to-right accumulation order
+    * as Fns.dotD's fold, so the sign decision is bit-identical. */
+  private def bucketSql: String =
+    (0 until 8).map { j =>
+      val dot = (0 until 64)
+        .map(i => s"v[${i + 1}]*(${Similarity.planeSign(j, i)})").mkString(" + ")
+      s"(CASE WHEN ($dot) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def c7OracleSql: String =
+    s"""WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, $bucketSql AS bucket FROM ve),
+        q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b WHERE vec_id < 8),
+        c AS (SELECT vec_id AS corpus_id, bucket, v AS cv FROM b),
+        scored AS (
+          SELECT query_id, corpus_id, c.bucket AS bucket,
+            ${cosineSql("qv", "cv", 4)} AS cosine_sim
+          FROM c JOIN q ON c.bucket = q.bucket
+          WHERE query_id <> corpus_id),
+        ranked AS (
+          SELECT query_id, corpus_id, bucket, cosine_sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, corpus_id) AS rnk
+          FROM scored)
+        SELECT query_id, rnk, corpus_id, bucket, cosine_sim FROM ranked
+        WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
+  private def markersIn(ms: Seq[String]): String =
+    ms.map(m => s"'$m'").mkString("(", ", ", ")")
+
+  private def c8OracleSql: String = {
+    val hits = TextAnalysis.langMarkers.map { case (l, ms) =>
+      s"len(list_filter(tk, t -> t IN ${markersIn(ms)})) AS hits_$l"
+    }.mkString(", ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+    val pred = langs.map(l =>
+      s"WHEN hits_$l = best AND best > 0 THEN '$l'").mkString(" ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        h AS (SELECT doc_id, $hits FROM t),
+        hb AS (SELECT *, $best AS best FROM h)
+        SELECT doc_id, CASE $pred ELSE 'unknown' END AS lang_pred,
+          ${langs.map(l => s"hits_$l").mkString(", ")}
+        FROM hb ORDER BY doc_id"""
+  }
+
+  private def c9OracleSql: String = {
+    val stopSet = markersIn(TextAnalysis.langMarkers.flatMap(_._2).distinct)
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+        m AS (SELECT doc_id,
+          length(text) AS n_chars,
+          len(tk) AS n_tokens,
+          length(regexp_replace(text, '\\s', '', 'g')) AS non_ws,
+          length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS punct_n,
+          len(list_filter(tk, t -> t IN $stopSet)) AS stop_hits
+          FROM t),
+        r AS (SELECT doc_id, n_chars, n_tokens,
+          CASE WHEN n_tokens > 0
+            THEN round(CAST(non_ws AS DOUBLE) / n_tokens, 4) ELSE 0.0 END AS mean_token_len,
+          CASE WHEN n_chars > 0
+            THEN round(CAST(punct_n AS DOUBLE) / n_chars, 6) ELSE 0.0 END AS punct_ratio,
+          CASE WHEN n_tokens > 0
+            THEN round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) ELSE 0.0 END AS stopword_ratio,
+          least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS length_score
+          FROM m)
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(n_tokens AS BIGINT) AS n_tokens, mean_token_len,
+          punct_ratio, stopword_ratio,
+          round(0.5 * length_score + 0.25 * (1.0 - punct_ratio)
+            + 0.25 * least(stopword_ratio * 5.0, 1.0), 6) AS quality_score
+        FROM r ORDER BY doc_id"""
+  }
+
+  private def c10OracleSql: String =
+    s"""SELECT doc_id,
+        len($toksSql) AS ws_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_tokens
+        FROM documents ORDER BY doc_id"""
+
+  private def c11OracleSql: String =
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+        g AS (SELECT doc_id, text, ${ngramsSql(5)} AS sh FROM t)
+        SELECT doc_id,
+          md5($normTextSql) AS fp_md5,
+          list_min(list_transform(sh, s -> md5(s))) AS fp_minshingle,
+          CAST(len(list_distinct(sh)) AS BIGINT) AS n_shingles
+        FROM g ORDER BY doc_id"""
+
+  private def c12OracleSql: String =
+    """SELECT doc_id,
+       strlen(text) AS byte_len,
+       strlen(text) % 640 + 1 AS width,
+       strlen(text) * 7 % 480 + 1 AS height,
+       3 AS channels,
+       strlen(text) % 16 + 1 AS n_frames,
+       md5(text) AS feature_md5
+       FROM documents ORDER BY doc_id"""
+
+  def oracleSql: Map[String, String] = Map(
+    "c1_dedup_exact" ->
+      s"""WITH $exactCorpusSql
+          SELECT md5($normTextSql) AS fp_md5,
+            min(doc_id) AS keep_id, count(*) AS n_docs
+          FROM corpus GROUP BY fp_md5 ORDER BY fp_md5""",
+    "c2_dedup_minhash" -> c2OracleSql,
+    "c3_dedup_simhash" -> c3OracleSql,
+    "c4_ngram_jaccard" -> c4OracleSql,
+    "c5_embed_neardup" -> c5OracleSql,
+    "c6_ann_topk" -> c6OracleSql,
+    "c7_ann_lsh" -> c7OracleSql,
+    "c8_lang_id" -> c8OracleSql,
+    "c9_quality" -> c9OracleSql,
+    "c10_token_count" -> c10OracleSql,
+    "c11_fingerprint" -> c11OracleSql,
+    "c12_multimodal" -> c12OracleSql
+  )
+}

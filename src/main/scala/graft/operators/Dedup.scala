@@ -85,22 +85,50 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** SimHash fingerprint (16-bit variant: md5-hex-digit parity per bit,
-    * summed ±1 over all tokens, sign → bit). Near-identical texts land
+  /** SimHash fingerprint (32-bit: one ±1 vote per md5 hex-digit parity,
+    * summed over all tokens, sign → bit). Near-identical texts land
     * within small hamming distance; pairing is then a band join on
-    * nibbles, never a cross join. */
-  def simHash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * 8-bit bands, never a cross join. 32 bits (not 16) keeps band
+    * buckets fine-grained — 256 values per band — so bucket-mate
+    * candidate sets stay bounded even on vocabulary-correlated corpora. */
+  def simHash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(Fns.tokens(col(textCol))).as("tok"))
-    val bitSums = (0 until 16).map { i =>
+    val bitSums = (0 until 32).map { i =>
       sum(when(substring(md5(col("tok")), i + 1, 1)
         .isin("1", "3", "5", "7", "9", "b", "d", "f"), 1).otherwise(-1)).as(s"s$i")
     }
     val agged = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 16).map { i =>
+    val fp = (0 until 32).map { i =>
       when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    agged.select(col("doc_id"), fp.as("simhash16"))
+    agged.select(col("doc_id"), fp.as("simhash32"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming`, found by a byte-band
+    * self-join (4 bands of 8 bits). Pigeonhole: hamming ≤ 3 over 4
+    * bands forces at least one identical band, so the band join is
+    * EXACT for maxHamming ≤ 3 — same pairs as a cross join, at
+    * |bucket|-sized cost. */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band byte join is only exact for hamming <= 3")
+    val fp = simHash32(docs, idCol, textCol)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash32"), 8 * b).bitwiseAND(255L).as("bk"))
+    }
+    val banded = fp.select(col("doc_id"), col("simhash32"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash32"),
+        col("bb.band").as("band"), col("bb.bk").as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.simhash32").bitwiseXOR(col("b.simhash32"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding-cosine near-dup pairs over an explicit sample predicate.

@@ -34,8 +34,10 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic ±1 hyperplanes from md5 — plane j, dimension i. */
-  private def planeSign(j: Int, i: Int): Double = {
+  /** Deterministic ±1 hyperplanes from md5 — plane j, dimension i.
+    * private[graft] so the oracle generator can inline the same
+    * constants into its SQL mirror. */
+  private[graft] def planeSign(j: Int, i: Int): Double = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$j:$i".getBytes("UTF-8"))
     if ((d(0) & 1) == 1) 1.0 else -1.0
