@@ -122,18 +122,46 @@ object SchemaEvolution {
     df.select(cols.toIndexedSeq: _*)
   }
 
-  /** Append with evolution: merge schemas, align, write. The existing
-    * data is NOT rewritten — older files simply lack the new columns
-    * and surface nulls via mergeSchema, the parquet analogue of
-    * ClickHouse ADD COLUMN being metadata-only. */
+  /** Append with evolution: merge schemas, align, write.
+    *
+    * ADD COLUMN is metadata-only — older files simply lack the new
+    * columns and surface nulls via mergeSchema, the parquet analogue
+    * of ClickHouse's metadata-only ALTER ADD.
+    *
+    * Widen-to-String CHANGES an existing column's type, and parquet
+    * (unlike a ClickHouse ALTER MODIFY mutation) cannot re-read old
+    * DOUBLE pages as STRING — so a widen triggers the same thing the
+    * ClickHouse mutation does: a one-time rewrite of the existing
+    * table at the new type. Rare by construction (the reference only
+    * risks this single ALTER) and explicit here. */
   def evolveAppend(spark: SparkSession, df: DataFrame, path: String,
                    newColsNullable: Boolean = true): StructType = {
-    val existing: Option[StructType] =
-      try Some(spark.read.parquet(path).schema)
+    val existingDf: Option[DataFrame] =
+      try { val d = spark.read.parquet(path); d.schema; Some(d) }
       catch { case _: Exception => None }
-    val target = existing.map(merge(_, df.schema, newColsNullable)).getOrElse(df.schema)
-    align(df, target).write.mode("append").parquet(path)
-    target
+    existingDf match {
+      case None =>
+        df.write.mode("append").parquet(path)
+        df.schema
+      case Some(ex) =>
+        val target = merge(ex.schema, df.schema, newColsNullable)
+        val typeChanged = ex.schema.fields.exists(f => target(f.name).dataType != f.dataType)
+        if (typeChanged) {
+          // widen = rewrite: old + new data aligned to the widened type,
+          // staged then swapped (can't overwrite a path being read).
+          val combined = align(ex, target).unionByName(align(df, target))
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+          val p = new org.apache.hadoop.fs.Path(path)
+          val stage = new org.apache.hadoop.fs.Path(path + "__graft_stage")
+          combined.write.mode("overwrite").parquet(stage.toString)
+          fs.delete(p, true)
+          fs.rename(stage, p)
+        } else {
+          align(df, target).write.mode("append").parquet(path)
+        }
+        target
+    }
   }
 
   def readEvolved(spark: SparkSession, path: String): DataFrame =

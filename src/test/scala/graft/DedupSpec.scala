@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+    (4L, "completely different content about spark query engines and columnar formats here"),
+    (5L, "THE  Quick   Brown fox jumps over the lazy dog near the river bank today") // dup modulo case/ws
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized text, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 3) // {1,2,5}, {3}, {4}
+    val big = out.find(_.getAs[Long]("n_docs") == 3).get
+    assert(big.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds the near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.minHashLsh(docs.filter(col("doc_id").isin(1L, 3L, 4L)),
+        "doc_id", "text", n = 3, k = 8, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard computes the exact overlap ratio") {
+    val two = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    // 3-grams: {abc,bcd,cde} vs {abc,bcd,cdf}: inter=2, union=4 -> 0.5
+    val out = Dedup.ngramJaccardPairs(two, "doc_id", "text", 3, 0.4).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Double]("jaccard") == 0.5)
+  }
+
+  test("simhash: identical texts distance 0; near-dups small distance") {
+    val fp = Dedup.simHash32(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L)) // identical tokens -> identical fingerprint
+    val d13 = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    val d14 = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
+    assert(d13 < d14) // one-token edit closer than unrelated doc
+  }
+
+  test("simhash pair join returns each pair once with its distance") {
+    val pairs = Dedup.simHashPairs(docs.filter(col("doc_id").isin(1L, 2L, 4L)),
+      "doc_id", "text", maxHamming = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs(0).getAs[Int]("hamming") == 0)
+  }
+
+  test("embedding near-dups: scaled copy has cosine 1.0") {
+    val vecs = Seq(
+      (1L, Array(1.0, 2.0, 3.0)),
+      (2L, Array(2.0, 4.0, 6.0)),   // same direction
+      (3L, Array(-3.0, 1.0, 0.5))
+    ).toDF("vec_id", "v")
+    val out = Dedup.embeddingNearDups(vecs, "vec_id", "v", threshold = 0.99)
+      .collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1)) == (1L, 2L))
+    assert(out(0).getAs[Double]("cosine_sim") == 1.0)
+  }
+}

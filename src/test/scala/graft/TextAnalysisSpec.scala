@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lang id picks the language with most marker hits; en wins ties") {
+    val docs = Seq(
+      (1L, "the cat and the dog of a house is in order"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "xyzzy qwerty plugh")
+    ).toDF("doc_id", "text")
+    val (pred, _) = TextAnalysis.langId(col("text"))
+    val out = docs.select(col("doc_id"), pred.as("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "unknown"))
+  }
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    val docs = Seq((1L, "Hello, world! v2.0 costs $15")).toDF("doc_id", "text")
+    val out = docs.select(
+      TextAnalysis.wsTokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeTokenCount(col("text")).as("bpe")).collect()(0)
+    assert(out.getAs[Int]("ws") == 5)
+    // Hello , world ! v 2 . 0 costs $ 1 5 -> 12
+    assert(out.getAs[Int]("bpe") == 12)
+  }
+
+  test("quality metrics guard zero-length and zero-token inputs") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "plain text here")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id") +:
+        TextAnalysis.qualityCols(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("mean_token_len") == 0.0) // no div-by-zero
+    assert(out(1).getAs[Long]("n_tokens") == 0L)
+    assert(out(2).getAs[Double]("quality_score") > 0.0)
+  }
+
+  test("fingerprints are whitespace/case-insensitive and shingle-stable") {
+    val docs = Seq(
+      (1L, "The Quick  Brown Fox jumps over it"),
+      (2L, "the quick brown fox jumps over it")
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id") +:
+        TextAnalysis.fingerprintCols(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("fp_md5") == out(2L).getAs[String]("fp_md5"))
+    assert(out(1L).getAs[String]("fp_minshingle") == out(2L).getAs[String]("fp_minshingle"))
+  }
+}
