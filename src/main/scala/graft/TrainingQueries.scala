@@ -162,8 +162,10 @@ object TrainingQueries {
 
   private def c9Quality(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
+      .withColumn("__tk", graft.functions.Fns.tokens(col("text")))
       .select(col("doc_id") +:
-        TextAnalysis.qualityCols(col("text")).map { case (n, c) => c.as(n) }: _*)
+        TextAnalysis.qualityColsFrom(col("text"), col("__tk"))
+          .map { case (n, c) => c.as(n) }: _*)
       .orderBy(col("doc_id"))
 
   private def c10TokenCount(s: SparkSession, dir: String): DataFrame =
@@ -210,11 +212,13 @@ object TrainingQueries {
   // Oracles
   // ------------------------------------------------------------------
 
-  /** Mirror of Dedup.minHashSignatures: h0..h7 over distinct 5-gram
-    * shingles. */
+  /** Mirror of Dedup.minHashSignatures: component j is an 8-hex-char
+    * window of md5(s) (j<4) or md5(s || '#') (j≥4). */
   private def minhashSigSql(k: Int): String = {
-    val hs = (0 until k).map(j =>
-      s"list_min(list_transform(shs, s -> md5(s || '#$j'))) AS h$j").mkString(", ")
+    val hs = (0 until k).map { j =>
+      val src = if (j < 4) "md5(s)" else "md5(s || '#')"
+      s"list_min(list_transform(shs, s -> substr($src, ${(j % 4) * 8 + 1}, 8))) AS h$j"
+    }.mkString(", ")
     s"sig AS (SELECT doc_id, $hs FROM shd WHERE len(shs) > 0)"
   }
 

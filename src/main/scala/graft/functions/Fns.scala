@@ -22,18 +22,29 @@ object Fns {
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
   /** Word n-grams ("shingles") of a token array, space-joined.
-    * Order-preserving; empty array when fewer than n tokens. */
+    * Order-preserving; empty array when fewer than n tokens (or null
+    * input). Native codegen'd expression — the composed HOF form costs
+    * ~1 ms/row interpreted (see [[graft.plans.WordNGrams]]). */
   def wordNGrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    coalesce(
+      graft.plans.Cols.column(
+        graft.plans.WordNGrams(graft.plans.Cols.expression(toks), n)),
+      array().cast("array<string>"))
 
-  /** MinHash component j over a shingle array: min md5 of the shingle
-    * salted with j. String-min over lowercase hex is a total order that
-    * Spark and DuckDB agree on. */
-  def minHash(shingles: Column, j: Int): Column =
-    array_min(transform(shingles, s => md5(concat(s, lit(s"#$j")))))
+  /** MinHash component j (0..7) over a shingle array: min over shingles
+    * of an 8-hex-char window of the shingle's md5 (components 0-3 window
+    * md5(s), 4-7 window md5(s || "#")). Two md5s per shingle yield all
+    * eight components — 4× less hashing than salting md5 per component.
+    * String-min over lowercase hex is a total order both Spark and
+    * DuckDB agree on. */
+  def minHash(shingles: Column, j: Int): Column = {
+    require(j >= 0 && j < 8, "minHash component must be in 0..7")
+    val hashed =
+      if (j < 4) transform(shingles, s => md5(s))
+      else transform(shingles, s => md5(concat(s, lit("#"))))
+    val off = (j % 4) * 8
+    array_min(transform(hashed, m => substring(m, off + 1, 8)))
+  }
 
   /** LSH band key: one md5 over the band's signature components. */
   def bandKey(sig: Seq[Column]): Column = md5(concat_ws("|", sig: _*))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.Fns
 
 /** Deduplication family for training-data pipelines.
@@ -33,7 +34,8 @@ object Dedup {
     * scale use [[minHashLsh]], which this also verifies. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+    // consumed three times (join both sides + sizes): materialize once
+    val sh = shingles(docs, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
     jaccardOf(sh, sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")), threshold)
   }
 
@@ -50,39 +52,72 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature columns h0..h{k-1} per doc. */
+  /** Distinct-shingle sets per doc (docs with ≥1 shingle). */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        array_distinct(Fns.wordNGrams(Fns.tokens(col(textCol)), n)).as("shs"))
+      .filter(size(col("shs")) > 0)
+
+  /** MinHash signature columns h0..h{k-1} per doc. The per-shingle md5
+    * arrays are hoisted into their own projection (referenced by every
+    * component, so CollapseProject keeps them materialized once per row
+    * instead of re-hashing per component — HOFs are interpreted, no
+    * codegen CSE rescues the naive form). */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
-      array_distinct(Fns.wordNGrams(Fns.tokens(col(textCol)), n)).as("shs"))
-    val sigs = (0 until k).map(j => Fns.minHash(col("shs"), j).as(s"h$j"))
-    base.filter(size(col("shs")) > 0).select(col("doc_id") +: sigs: _*)
+                        n: Int, k: Int): DataFrame =
+    signaturesFromSets(shingleSets(docs, idCol, textCol, n), k)
+
+  private def signaturesFromSets(sets: DataFrame, k: Int): DataFrame = {
+    require(k <= 8, "window scheme yields 8 components")
+    val hashed = sets.select(col("doc_id"),
+      transform(col("shs"), s => md5(s)).as("m1"),
+      transform(col("shs"), s => md5(concat(s, lit("#")))).as("m2"))
+    val sigs = (0 until k).map { j =>
+      val src = if (j < 4) col("m1") else col("m2")
+      array_min(transform(src, m => substring(m, (j % 4) * 8 + 1, 8))).as(s"h$j")
+    }
+    hashed.select(col("doc_id") +: sigs: _*)
   }
 
   /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
     * k hashes in `bands` bands of k/bands rows; docs sharing any band
-    * key become candidates; candidates are verified ≥ threshold. */
+    * key become candidates; candidates are verified ≥ threshold.
+    *
+    * The verify is PER-CANDIDATE (shingle-set intersect on the pair),
+    * never a corpus-wide shingle self-join — candidate count is what
+    * LSH banding bounded, so that's the only thing exact work may
+    * scale with. This is the 100 TB property the operator exists for. */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 5, k: Int = 8, bands: Int = 4,
                  threshold: Double = 0.7): DataFrame = {
     val rows = k / bands
-    val sig = minHashSignatures(docs, idCol, textCol, n, k)
+    // Both the band self-join and the verify join consume these twice;
+    // persisting them materializes the interpreted shingle/md5 work
+    // once (the same cache MLlib's MinHashLSH does — at corpus scale
+    // this is a bounded, columnar materialization, not a luxury).
+    val sets = shingleSets(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = signaturesFromSets(sets, k)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         Fns.bandKey((0 until rows).map(r => col(s"h${b * rows + r}"))).as("bk"))
     }
     val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    val sh = shingles(docs, idCol, textCol, n)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val verified = jaccardOf(sh, sizes, threshold)
-    cand.join(verified, Seq("id1", "id2"))
-      .select(col("id1"), col("id2"), col("jaccard"))
+    val inter = size(array_intersect(col("shs1"), col("shs2")))
+    cand
+      .join(sets.select(col("doc_id").as("id1"), col("shs").as("shs1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("shs").as("shs2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(inter / (size(col("shs1")) + size(col("shs2")) - inter), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** SimHash fingerprint (32-bit: one ±1 vote per md5 hex-digit parity,
@@ -92,10 +127,13 @@ object Dedup {
     * buckets fine-grained — 256 values per band — so bucket-mate
     * candidate sets stay bounded even on vocabulary-correlated corpora. */
   def simHash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // md5 hoisted to one column — the 32 per-bit votes then read hex
+    // digits of the same value instead of re-hashing 32 times.
     val toks = docs.select(col(idCol).as("doc_id"),
-      explode(Fns.tokens(col(textCol))).as("tok"))
+        explode(Fns.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("m"))
     val bitSums = (0 until 32).map { i =>
-      sum(when(substring(md5(col("tok")), i + 1, 1)
+      sum(when(substring(col("m"), i + 1, 1)
         .isin("1", "3", "5", "7", "9", "b", "d", "f"), 1).otherwise(-1)).as(s"s$i")
     }
     val agged = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
@@ -122,6 +160,7 @@ object Dedup {
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("simhash32"),
         col("bb.band").as("band"), col("bb.bk").as("bk"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // self-joined below
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -44,10 +44,15 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit(BpeRe), lit(0)))
 
   /** Quality metrics in one projection. Ratios rounded for
-    * cross-engine float stability. */
-  def qualityCols(text: Column): Seq[(String, Column)] = {
+    * cross-engine float stability. Pass a pre-projected token column
+    * via [[qualityColsFrom]] when scanning large corpora — the token
+    * regex then runs once per row, not once per metric (HOF metrics
+    * are interpreted; codegen CSE can't dedupe across them). */
+  def qualityCols(text: Column): Seq[(String, Column)] =
+    qualityColsFrom(text, Fns.tokens(text))
+
+  def qualityColsFrom(text: Column, toks: Column): Seq[(String, Column)] = {
     val nChars = length(text)
-    val toks = Fns.tokens(text)
     val nToks = size(toks)
     val nonWs = length(regexp_replace(text, "\\s", ""))
     val punctN = nChars - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))
