@@ -161,11 +161,7 @@ object TrainingQueries {
   }
 
   private def c9Quality(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
-      .withColumn("__tk", graft.functions.Fns.tokens(col("text")))
-      .select(col("doc_id") +:
-        TextAnalysis.qualityColsFrom(col("text"), col("__tk"))
-          .map { case (n, c) => c.as(n) }: _*)
+    TextAnalysis.quality(T(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   private def c10TokenCount(s: SparkSession, dir: String): DataFrame =

@@ -49,19 +49,22 @@ object Fns {
   /** LSH band key: one md5 over the band's signature components. */
   def bandKey(sig: Seq[Column]): Column = md5(concat_ws("|", sig: _*))
 
-  /** Dot product of two double arrays (sequential left fold). */
+  /** Dot product of two double arrays — native codegen'd expression,
+    * same sequential accumulation order as the fold form (see
+    * [[graft.plans.DotProductD]]; LSH sign decisions are bit-exact). */
   def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.Cols.column(graft.plans.DotProductD(
+      graft.plans.Cols.expression(a), graft.plans.Cols.expression(b)))
 
   def norm2(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
   /** Cosine similarity of two double arrays, rounded for cross-engine
-    * float stability (last-ulp differences between engines). */
-  def cosine(a: Column, b: Column, scale: Int = 6): Column = {
-    val den = norm2(a) * norm2(b)
-    round(when(den =!= 0.0, dotD(a, b) / den).otherwise(lit(0.0)), scale)
-  }
+    * float stability (last-ulp differences between engines). One native
+    * pass for all three reductions ([[graft.plans.CosineSimD]]). */
+  def cosine(a: Column, b: Column, scale: Int = 6): Column =
+    round(graft.plans.Cols.column(graft.plans.CosineSimD(
+      graft.plans.Cols.expression(a), graft.plans.Cols.expression(b))), scale)
 
   /** Exact decimal sum surfaced as DOUBLE (order-insensitive, so the
     * shuffle-order-dependent float sum never breaks the oracle). */

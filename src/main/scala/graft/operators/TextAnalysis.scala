@@ -72,6 +72,44 @@ object TextAnalysis {
       "quality_score" -> score)
   }
 
+  /** Quality metrics as a layered plan: raw counts → ratios → score.
+    * Each layer references the previous one's columns more than once,
+    * so CollapseProject keeps them materialized per row instead of
+    * re-inlining the token regex / stopword filter into every
+    * consumer (the single-projection form evaluated the INSET filter
+    * and the punct regex twice per row). Values are identical to
+    * [[qualityColsFrom]]. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val raw = df
+      .select(col(idCol), col(textCol).as("__text"), Fns.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        length(col("__text")).as("__nchars"),
+        size(col("__tk")).as("__ntoks"),
+        length(regexp_replace(col("__text"), "\\s", "")).as("__nonws"),
+        (length(col("__text")) -
+          length(regexp_replace(col("__text"), "[^A-Za-z0-9\\s]", ""))).as("__punct"),
+        markerHits(col("__tk"), langMarkers.flatMap(_._2).distinct).as("__stop"))
+    val ratios = raw.select(col(idCol),
+      col("__nchars"), col("__ntoks"),
+      when(col("__ntoks") > 0,
+        round(col("__nonws").cast("double") / col("__ntoks"), 4)).otherwise(0.0)
+        .as("mean_token_len"),
+      when(col("__nchars") > 0,
+        round(col("__punct").cast("double") / col("__nchars"), 6)).otherwise(0.0)
+        .as("punct_ratio"),
+      when(col("__ntoks") > 0,
+        round(col("__stop").cast("double") / col("__ntoks"), 6)).otherwise(0.0)
+        .as("stopword_ratio"),
+      least(col("__ntoks").cast("double") / 100.0, lit(1.0)).as("__ls"))
+    ratios.select(col(idCol),
+      col("__nchars").cast("bigint").as("n_chars"),
+      col("__ntoks").cast("bigint").as("n_tokens"),
+      col("mean_token_len"), col("punct_ratio"), col("stopword_ratio"),
+      round(lit(0.5) * col("__ls") + lit(0.25) * (lit(1.0) - col("punct_ratio"))
+        + lit(0.25) * least(col("stopword_ratio") * 5.0, lit(1.0)), 6)
+        .as("quality_score"))
+  }
+
   /** Document fingerprints: whole-text md5 over the canonical form, and
     * a min-shingle fingerprint (the 1-hash special case of MinHash —
     * robust to local edits the way winnowing selections are). */
