@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.plans.{CosineSimD, DotProductD, WordNGrams}
+
+/** Session wiring for the graft engine.
+  *
+  * [[GraftExtensions]] registers the library's native expressions as
+  * SQL functions via the public `SparkSessionExtensions` mechanism, so
+  * `spark.sql("SELECT word_ngrams(tk, 5) ...")` works next to the
+  * Column API (which lifts the same Expression classes directly):
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // or:
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(toks, n) - space-joined sliding n-grams of a token array"),
+      (args: Seq[Expression]) => WordNGrams(args.head, intArg(args, 1, "word_ngrams"))))
+    ext.injectFunction((FunctionIdentifier("dot_product_d"),
+      info("dot_product_d", "dot_product_d(a, b) - dot product of two double arrays"),
+      (args: Seq[Expression]) => DotProductD(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("cosine_sim_d"),
+      info("cosine_sim_d", "cosine_sim_d(a, b) - cosine similarity of two double arrays"),
+      (args: Seq[Expression]) => CosineSimD(args.head, args(1))))
+  }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  private def intArg(args: Seq[Expression], i: Int, fn: String): Int = args(i) match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn argument ${i + 1} must be an integer literal, got $other")
+  }
+}
+
+/** Opinionated builder for local/cluster graft sessions: AQE on,
+  * sane shuffle parallelism, UTC, nanos-long parquet reads (the
+  * events table is TIMESTAMP(NANOS)), extensions registered. */
+object GraftSession {
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    builder(s"local[$cores]", math.max(cores, 8)).getOrCreate()
+}

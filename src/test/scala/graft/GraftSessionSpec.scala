@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-surface registration: the same native expressions the
+  * Column API lifts must resolve by name in spark.sql. */
+class GraftSessionSpec extends AnyFunSuite {
+
+  test("GraftExtensions registers word_ngrams/dot_product_d/cosine_sim_d in SQL") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        """SELECT word_ngrams(array('a','b','c'), 2) AS ng,
+                  dot_product_d(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+                  cosine_sim_d(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs""")
+        .collect()(0)
+      assert(r.getAs[scala.collection.Seq[String]]("ng").toSeq == Seq("a b", "b c"))
+      assert(r.getAs[Double]("dp") == 11.0)
+      assert(r.getAs[Double]("cs") == 1.0)
+    } finally spark.stop()
+  }
+}
