@@ -62,7 +62,7 @@ object SparkEntry {
         col("props").as("rawProps"),
         col("event_type").as("kind"))))
     EventFlattener.flatten(nested, "body", keep = Seq("event_id"),
-        opts = EventFlattener.Options(detectDates = false))
+        opts = EventFlattener.Options(detectDates = false, sampleFraction = 0.1))
       .select(col("event_id"), col("kind"), col("raw_props"),
         col("user_info_id"), col("user_info_score"))
       .orderBy(col("event_id"))
@@ -76,7 +76,7 @@ object SparkEntry {
         array(col("event_type"), col("event_id").cast("string")).as("tags"),
         array(col("value"), col("value") * 2).as("vals"))))
     EventFlattener.flatten(nested, "body", keep = Seq("event_id"),
-        opts = EventFlattener.Options(detectDates = false))
+        opts = EventFlattener.Options(detectDates = false, sampleFraction = 0.1))
       .select(col("event_id"), col("tags_0"), col("tags_1"),
         col("vals_0"), col("vals_1"))
       .orderBy(col("event_id"))

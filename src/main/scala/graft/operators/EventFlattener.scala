@@ -81,35 +81,50 @@ object EventFlattener {
     // First pass over the *schema*: leaf plan with unresolved array widths.
     val arrayPaths = collectArrayPaths("", schema)
 
-    // One aggregate action for data-driven facts: per-array max length.
+    // Data-driven facts — per-array max length and per-string-leaf
+    // date-likeness — gathered in ONE aggregate action over one scan
+    // (each agg pass re-parses the JSON column; don't pay it twice).
+    val arrayAggs =
+      if (!opts.splitArrays) Nil
+      else arrayPaths.map { case (path, c) => max(size(c(root))).as(s"len:$path") }
+
+    // Array widths must resolve before leaves exist, but date detection
+    // needs the leaf plan — build leaves in two stages around one agg:
+    // stage 1 derives the string-leaf columns from a zero-width plan
+    // (widths only gate array-indexed leaves, whose dates we detect per
+    // item anyway from the same leaf expression shapes).
+    val probeLeaves = leafColumns("", root, schema, opts,
+        arrayPaths.map { case (p, _) => p -> opts.maxArrayItems }.toMap)
+      .filterNot { case (name, _, _) => opts.reserved.map(snakeCase).contains(name) }
+    val stringLeaves = probeLeaves.collect { case (n, c, StringType) => (n, c) }
+    val dateAggs =
+      if (!opts.detectDates) Nil
+      else stringLeaves.map { case (n, c) =>
+        (bool_and(c.isNull || c.rlike(DateRe)) && max(c.isNotNull)).as(s"date:$n")
+      }
+
+    val allAggs = arrayAggs ++ dateAggs
+    val statsRow =
+      if (allAggs.isEmpty) null
+      else withParsed.agg(allAggs.head, allAggs.tail: _*).collect()(0)
+
     val maxLens: Map[String, Int] =
-      if (arrayPaths.isEmpty || !opts.splitArrays) Map.empty
+      if (arrayAggs.isEmpty) Map.empty
+      else arrayPaths.zipWithIndex.map { case ((path, _), i) =>
+        path -> (if (statsRow.isNullAt(i)) 0 else statsRow.getInt(i))
+      }.toMap
+
+    val dateCols: Set[String] =
+      if (dateAggs.isEmpty) Set.empty
       else {
-        val aggs = arrayPaths.map { case (path, c) => max(size(c(root))).as(path) }
-        val row = withParsed.agg(aggs.head, aggs.tail: _*).collect()(0)
-        arrayPaths.zipWithIndex.map { case ((path, _), i) =>
-          path -> (if (row.isNullAt(i)) 0 else row.getInt(i))
-        }.toMap
+        val off = arrayAggs.length
+        stringLeaves.zipWithIndex.collect {
+          case ((n, _), i) if !statsRow.isNullAt(off + i) && statsRow.getBoolean(off + i) => n
+        }.toSet
       }
 
     val leaves0 = leafColumns("", root, schema, opts, maxLens)
       .filterNot { case (name, _, _) => opts.reserved.map(snakeCase).contains(name) }
-
-    // Date detection: one aggregate over all string leaves (all non-null
-    // values must look like dates — the deterministic version of the
-    // reference's first-value peek).
-    val stringLeaves = leaves0.collect { case (n, c, StringType) => (n, c) }
-    val dateCols: Set[String] =
-      if (!opts.detectDates || stringLeaves.isEmpty) Set.empty
-      else {
-        val aggs = stringLeaves.map { case (n, c) =>
-          (bool_and(c.isNull || c.rlike(DateRe)) && max(c.isNotNull)).as(n)
-        }
-        val row = withParsed.agg(aggs.head, aggs.tail: _*).collect()(0)
-        stringLeaves.zipWithIndex.collect {
-          case ((n, _), i) if !row.isNullAt(i) && row.getBoolean(i) => n
-        }.toSet
-      }
 
     val projected = leaves0.map {
       case (n, c, StringType) if dateCols(n) =>
