@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EventRouter
+
+/** Routing write path: one shuffle + partitionBy, salt fan-out for hot
+  * keys, partition pruning on read-back (the scale claims of SURVEY §5,
+  * checked against actual plans and files). */
+class EventRouterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events(n: Int) = (0 until n).map { i =>
+    (i.toLong, 1700000000000000000L + i * 1000000000L,
+      i.toLong % 5, if (i % 10 == 0) "hot" else s"t${i % 3}", i * 1.0)
+  }.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("writeRouted produces one directory per event_type; rows intact") {
+    val out = tmpDir("route") + "/tables"
+    EventRouter.writeRouted(events(300), out, sortCol = "ts")
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("event_type=")).sorted
+    assert(dirs.toSeq == Seq("event_type=hot", "event_type=t0", "event_type=t1", "event_type=t2"))
+    assert(spark.read.parquet(out).count() == 300)
+  }
+
+  test("salted write fans a hot route across multiple files, same data") {
+    val out = tmpDir("route") + "/salted"
+    // AQE rightly coalesces tiny salted partitions back together at toy
+    // scale — disable it here to observe the fan-out shape itself.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try EventRouter.writeRouted(events(300), out, sortCol = "ts", saltBuckets = 4)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val hot = spark.read.parquet(out).filter(col("event_type") === "hot")
+    assert(hot.count() == 30)
+    // salt buckets → several part files under the hot partition
+    val hotFiles = new java.io.File(s"$out/event_type=hot").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(hotFiles > 1, s"expected salt fan-out, got $hotFiles file(s)")
+  }
+
+  test("readRoute prunes partitions (filter reaches PartitionFilters)") {
+    val out = tmpDir("route") + "/pruned"
+    EventRouter.writeRouted(events(300), out, sortCol = "ts")
+    val plan = EventRouter.readRoute(spark, out, "t1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_type"), s"no partition pruning in:\n$plan")
+    // t1 = i%3==1 (100 rows) minus the i%10==0 overlap (i≡10 mod 30: 10 rows)
+    assert(EventRouter.readRoute(spark, out, "t1").count() == 90)
+  }
+
+  test("withBatchId chunks each route into perBatch-sized batches") {
+    val batched = EventRouter.withBatchId(events(300), perBatch = 40,
+      Seq(col("ts"), col("event_id")))
+    val sizes = batched.groupBy("event_type", "batch_id").count()
+      .filter(col("event_type") === "t0").orderBy("batch_id")
+      .select("count").as[Long].collect()
+    assert(sizes.init.forall(_ == 40L) && sizes.last <= 40L)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.EventFlattener
+import graft.plans.WordNGramsUtil
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property tests for the pure kernels backing the custom expressions —
+  * the places where a hand-rolled loop replaced a composed form and
+  * must agree with the obvious specification on arbitrary input. */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic sampling loop (scalatestplus bridge isn't on the
+    * classpath; raw scalacheck Gen + fixed seeds is equivalent here). */
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B], trials: Int = 200)(f: (A, B) => Unit): Unit =
+    (0 until trials).foreach { i =>
+      val seed = Seed(i.toLong)
+      (ga.apply(Gen.Parameters.default, seed),
+        gb.apply(Gen.Parameters.default, seed.next)) match {
+        case (Some(a), Some(b)) => f(a, b)
+        case _ => ()
+      }
+    }
+
+  private def forAll1[A](ga: Gen[A], trials: Int = 200)(f: A => Unit): Unit =
+    (0 until trials).foreach { i =>
+      ga.apply(Gen.Parameters.default, Seed(1000L + i)).foreach(f)
+    }
+
+  private val token = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val tokens = Gen.listOf(token)
+
+  test("WordNGramsUtil.compute == naive sliding window for all inputs") {
+    forAll(tokens, Gen.choose(1, 6)) { (toks: List[String], n: Int) =>
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val got = WordNGramsUtil.compute(arr, n)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val expected =
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      assert(got == expected)
+    }
+  }
+
+  test("VectorOpsUtil.dot/cosine match the fold specification") {
+    val vec = Gen.listOfN(8, Gen.choose(-10.0, 10.0))
+    forAll(vec, vec) { (a: List[Double], b: List[Double]) =>
+      val aa = new GenericArrayData(a.toArray)
+      val bb = new GenericArrayData(b.toArray)
+      val dotSpec = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      assert(graft.plans.VectorOpsUtil.dot(aa, bb) == dotSpec)
+      val den = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      val cosSpec = if (den == 0.0) 0.0 else dotSpec / den
+      val got = graft.plans.VectorOpsUtil.cosine(aa, bb)
+      assert(math.abs(got - cosSpec) < 1e-12)
+    }
+  }
+
+  test("snakeCase is idempotent and produces lower snake shape") {
+    forAll1(Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('-', '.', ' ', '_')))
+        .map(_.mkString)) { s: String =>
+      val once = EventFlattener.snakeCase(s)
+      assert(EventFlattener.snakeCase(once) == once) // idempotent
+      assert(once.matches("[a-z0-9_]*"))
+      assert(!once.startsWith("_") || once.isEmpty)
+    }
+  }
+
+  test("minHash component equals min over per-shingle window (spark vs spec)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
+    val shingled = docs.select(
+      graft.functions.Fns.wordNGrams(graft.functions.Fns.tokens(col("text")), 3).as("shs"))
+    val shs = shingled.collect()(0).getAs[scala.collection.Seq[String]]("shs")
+    val sparkMins = shingled.select(
+      (0 until 8).map(j => graft.functions.Fns.minHash(col("shs"), j).as(s"h$j")): _*)
+      .collect()(0)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    (0 until 8).foreach { j =>
+      val spec = shs.map { s =>
+        val m = if (j < 4) md5hex(s) else md5hex(s + "#")
+        m.substring((j % 4) * 8, (j % 4) * 8 + 8)
+      }.min
+      assert(sparkMins.getString(j) == spec, s"component $j")
+    }
+  }
+}
