@@ -23,6 +23,27 @@ object Dedup {
       .groupBy(col("fp_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** Pipeline form of exact dedup: the corpus with only the kept (min
+    * id per canonical content) row of each duplicate group. One hash
+    * shuffle; no join back — the winner is decided inside the window. */
+  def dropExactDups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(Fns.normText(col(textCol)))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Pipeline form of near-dedup: remove every doc that appears as the
+    * larger id of a verified near-dup pair. Single pass over the pair
+    * set (a left-anti join); transitive chains collapse toward their
+    * smallest id but A~B~C with A̸~C keeps only A — the standard
+    * one-round approximation of connected components, which is what
+    * large-scale dedup pipelines ship (full CC needs iterative joins).
+    */
+  def dropNearDups(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    docs.join(pairs.select(col("id2").as("__drop")),
+        col(idCol) === col("__drop"), "left_anti")
+
   /** Distinct word-n-gram shingles, exploded to (id, shingle). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
@@ -70,14 +91,11 @@ object Dedup {
 
   private def signaturesFromSets(sets: DataFrame, k: Int): DataFrame = {
     require(k <= 8, "window scheme yields 8 components")
-    val hashed = sets.select(col("doc_id"),
-      transform(col("shs"), s => md5(s)).as("m1"),
-      transform(col("shs"), s => md5(concat(s, lit("#")))).as("m2"))
-    val sigs = (0 until k).map { j =>
-      val src = if (j < 4) col("m1") else col("m2")
-      array_min(transform(src, m => substring(m, (j % 4) * 8 + 1, 8))).as(s"h$j")
-    }
-    hashed.select(col("doc_id") +: sigs: _*)
+    val hs = graft.plans.Cols.column(
+      graft.plans.MinHashWindows(graft.plans.Cols.expression(col("shs"))))
+    sets.select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id") +:
+        (0 until k).map(j => element_at(col("hs"), j + 1).as(s"h$j")): _*)
   }
 
   /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard.

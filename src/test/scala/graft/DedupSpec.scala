@@ -53,6 +53,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs(0).getAs[Int]("hamming") == 0)
   }
 
+  test("dropExactDups keeps the min-id row of each duplicate group") {
+    val out = Dedup.dropExactDups(docs, "doc_id", "text")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 3L, 4L)) // 2 and 5 are dups of 1
+  }
+
+  test("dropNearDups removes the larger id of every verified pair") {
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      n = 3, k = 8, bands = 4, threshold = 0.5)
+    val kept = Dedup.dropNearDups(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(4L))
+    assert(!kept.contains(2L)) // exact dup of 1 -> jaccard 1.0 -> dropped
+  }
+
   test("embedding near-dups: scaled copy has cosine 1.0") {
     val vecs = Seq(
       (1L, Array(1.0, 2.0, 3.0)),
