@@ -61,6 +61,18 @@ object EventRouter {
   def readRoute(spark: SparkSession, baseDir: String, eventType: String): DataFrame =
     spark.read.parquet(baseDir).filter(col(RouteCol) === eventType)
 
+  /** Retry disposition (reference: src/main.ts:296): every failed row
+    * retries once; on a second failure, rows of NON_CRITICAL_EVENT_TYPES
+    * are dropped (acked away), critical types keep retrying. Returns
+    * (retry, dropped). */
+  def retryDisposition(failed: DataFrame, attemptCol: String,
+                       nonCritical: Seq[String]): (DataFrame, DataFrame) = {
+    val drop =
+      if (nonCritical.isEmpty) lit(false)
+      else col(attemptCol) > 1 && col(RouteCol).isin(nonCritical: _*)
+    (failed.filter(!drop), failed.filter(drop))
+  }
+
   /** DLQ split (reference: src/main.ts:463-514 — failed batch rows
     * become single-retry jobs with attempt counters). Valid rows go to
     * the route; invalid rows (no routing key / unparseable body) go to

@@ -49,6 +49,16 @@ class EventRouterSpec extends SparkSpec {
     assert(EventRouter.readRoute(spark, out, "t1").count() == 90)
   }
 
+  test("retryDisposition drops exhausted non-critical rows, keeps critical") {
+    val failed = Seq(
+      (1L, "click", 1), (2L, "click", 2),   // non-critical: 2nd failure drops
+      (3L, "purchase", 2), (4L, "purchase", 5) // critical: always retries
+    ).toDF("event_id", "event_type", "attempts")
+    val (retry, dropped) = EventRouter.retryDisposition(failed, "attempts", Seq("click"))
+    assert(retry.select("event_id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    assert(dropped.select("event_id").as[Long].collect().toSet == Set(2L))
+  }
+
   test("withBatchId chunks each route into perBatch-sized batches") {
     val batched = EventRouter.withBatchId(events(300), perBatch = 40,
       Seq(col("ts"), col("event_id")))
