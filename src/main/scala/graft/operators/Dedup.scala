@@ -143,22 +143,18 @@ object Dedup {
     * within small hamming distance; pairing is then a band join on
     * 8-bit bands, never a cross join. 32 bits (not 16) keeps band
     * buckets fine-grained — 256 values per band — so bucket-mate
-    * candidate sets stay bounded even on vocabulary-correlated corpora. */
+    * candidate sets stay bounded even on vocabulary-correlated corpora.
+    *
+    * One projection via [[graft.plans.SimHash32]] — no token explode,
+    * no 32-sum aggregate, no shuffle: fingerprinting is scan-speed.
+    * Docs with zero tokens are excluded (the aggregation form had no
+    * group for them). */
   def simHash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // md5 hoisted to one column — the 32 per-bit votes then read hex
-    // digits of the same value instead of re-hashing 32 times.
-    val toks = docs.select(col(idCol).as("doc_id"),
-        explode(Fns.tokens(col(textCol))).as("tok"))
-      .select(col("doc_id"), md5(col("tok")).as("m"))
-    val bitSums = (0 until 32).map { i =>
-      sum(when(substring(col("m"), i + 1, 1)
-        .isin("1", "3", "5", "7", "9", "b", "d", "f"), 1).otherwise(-1)).as(s"s$i")
-    }
-    val agged = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 32).map { i =>
-      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agged.select(col("doc_id"), fp.as("simhash32"))
+    val toks = Fns.tokens(col(textCol))
+    docs.filter(size(toks) > 0)
+      .select(col(idCol).as("doc_id"),
+        graft.plans.Cols.column(graft.plans.SimHash32(
+          graft.plans.Cols.expression(toks))).as("simhash32"))
   }
 
   /** SimHash near-dup pairs within `maxHamming`, found by a byte-band
