@@ -75,4 +75,52 @@ object EventPipeline {
   def readTable(spark: SparkSession, cfg: Config, eventType: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(cfg.outputDir)
       .filter(col("event_type") === eventType)
+
+  /** The reference's full loop: per micro-batch, flatten the free-form
+    * JSON body, route by event_type, and evolve EACH type's table
+    * schema independently (CREATE on first batch, ADD COLUMN nullable,
+    * widen-to-String — reference batch-client:492-568).
+    *
+    * Per-type tables with divergent schemas can't share one
+    * `partitionBy` write, so inside each (small, bounded) micro-batch
+    * the router fans out per present type — exactly the reference's
+    * one-bulker-per-type shape, with the 100 TB work still done by the
+    * streaming partition-parallelism within each write. Exactly-once:
+    * the checkpoint tracks source progress; replayed batches rewrite
+    * the same rows (message_id is a content hash, so downstream dedup
+    * is a filter, not a fix-up job). */
+  def startEvolving(spark: SparkSession, schema: StructType, cfg: Config,
+                    jsonCol: String = "props",
+                    availableNow: Boolean = true): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .parquet(cfg.inputDir)
+    val writer = stream.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val valid = batch
+          .filter(col("event_type").isNotNull && length(col("event_type")) > 0)
+        if (!valid.isEmpty) {
+          val keep = valid.columns.filterNot(_ == jsonCol).toSeq
+          val flat = EventFlattener.flatten(valid, jsonCol, keep = keep)
+          val enriched = enrich(flat, cfg.transform)
+            .withColumn("stream_batch_id", lit(batchId))
+          val types = enriched.select(col("event_type")).distinct()
+            .collect().map(_.getString(0))
+          types.foreach { t =>
+            SchemaEvolution.evolveAppend(spark,
+              enriched.filter(col("event_type") === t).drop("event_type"),
+              s"${cfg.outputDir}/event_type=$t")
+          }
+        }
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** Read one evolving per-type table back (schema-merged). */
+  def readEvolvingTable(spark: SparkSession, cfg: Config, eventType: String): DataFrame =
+    SchemaEvolution.readEvolved(spark, s"${cfg.outputDir}/event_type=$eventType")
 }
