@@ -148,6 +148,15 @@ object TrainingQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  private def c7bAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, stride = 100, roundScale = 4)
+      .select(col("query_id"), col("rank").as("rnk"), col("corpus_id"),
+        col("cell"), col("cosine_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ------------------------------------------------------------------
   // C8-C11: text analysis
   // ------------------------------------------------------------------
@@ -197,6 +206,7 @@ object TrainingQueries {
     "c5_embed_neardup" -> (c5EmbedNeardup _),
     "c6_ann_topk" -> (c6AnnTopK _),
     "c7_ann_lsh" -> (c7AnnLsh _),
+    "c7b_ann_ivf" -> (c7bAnnIvf _),
     "c8_lang_id" -> (c8LangId _),
     "c9_quality" -> (c9Quality _),
     "c10_token_count" -> (c10TokenCount _),
@@ -334,6 +344,33 @@ object TrainingQueries {
         SELECT query_id, rnk, corpus_id, bucket, cosine_sim FROM ranked
         WHERE rnk <= 5 ORDER BY query_id, rnk"""
 
+  /** IVF mirror: centroids, assignment, and cell-probe search are all
+    * relational — the id-stride centroid rule reproduces in SQL. */
+  private def c7bOracleSql: String =
+    s"""WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, v AS centv FROM ve WHERE vec_id % 100 = 0),
+        assigned AS (
+          SELECT vec_id, v, cent_id AS cell FROM (
+            SELECT vec_id, v, cent_id,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY ${cosineSql("v", "centv", 4)} DESC, cent_id) AS rn
+            FROM ve CROSS JOIN cents)
+          WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv, cell FROM assigned WHERE vec_id < 8),
+        c AS (SELECT vec_id AS corpus_id, v AS cv, cell FROM assigned),
+        scored AS (
+          SELECT query_id, corpus_id, c.cell AS cell,
+            ${cosineSql("qv", "cv", 4)} AS cosine_sim
+          FROM c JOIN q ON c.cell = q.cell
+          WHERE query_id <> corpus_id),
+        ranked AS (
+          SELECT query_id, corpus_id, cell, cosine_sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, corpus_id) AS rnk
+          FROM scored)
+        SELECT query_id, rnk, corpus_id, cell, cosine_sim FROM ranked
+        WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
   private def markersIn(ms: Seq[String]): String =
     ms.map(m => s"'$m'").mkString("(", ", ", ")")
 
@@ -417,6 +454,7 @@ object TrainingQueries {
     "c5_embed_neardup" -> c5OracleSql,
     "c6_ann_topk" -> c6OracleSql,
     "c7_ann_lsh" -> c7OracleSql,
+    "c7b_ann_ivf" -> c7bOracleSql,
     "c8_lang_id" -> c8OracleSql,
     "c9_quality" -> c9OracleSql,
     "c10_token_count" -> c10OracleSql,

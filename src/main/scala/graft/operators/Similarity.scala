@@ -50,6 +50,38 @@ object Similarity {
       when(Fns.dotD(vec, plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) ANN. Centroids are a deterministic id-stride
+    * sample of the corpus (training-free; swap in k-means centroids at
+    * will — the plumbing is identical). Assignment is relational: one
+    * broadcast of the K centroids against a single corpus scan, argmax
+    * cosine via a per-vector window (O(N·K) — the IVF assignment cost
+    * by definition). Search probes only the query's cell, so scoring
+    * touches ~corpus/K candidates per query. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, stride: Long = 100,
+              roundScale: Int = 4): DataFrame = {
+    val cents = corpus.filter(col(idCol) % stride === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("centv"))
+    def assign(df: DataFrame, id: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(Fns.cosine(col(out), col("centv"), roundScale).desc, col("cent_id"))
+      df.select(col(id), col(vecCol).cast("array<double>").as(out))
+        .crossJoin(broadcast(cents))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col(id), col(out), col("cent_id").as("cell"))
+    }
+    val c = assign(corpus, idCol, "cv").withColumnRenamed(idCol, "corpus_id")
+    val q = assign(queries, idCol, "qv").withColumnRenamed(idCol, "query_id")
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), col("cell"),
+        Fns.cosine(col("qv"), col("cv"), roundScale).as("cosine_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: candidates share a bucket; top-k within bucket.
     * Misses across bucket boundaries are the approximation; planes=8
     * → 256 buckets → ~corpus/256 candidates per query. */
