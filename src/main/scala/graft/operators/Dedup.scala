@@ -13,24 +13,40 @@ import graft.functions.Fns
   * |buckets| sized, not |corpus|². The exact-Jaccard verify runs only
   * on surviving candidates. That's the 100 TB path; the n-gram-Jaccard
   * operator below is the exact (audit) variant and says so.
+  *
+  * Caching contract: the LSH operators persist small fixed-width
+  * intermediates (shingle sets, band keys, fingerprints) their
+  * self-joins would otherwise recompute — the MLlib MinHashLSH trade.
+  * The cache lives until Spark evicts it; a long-lived session running
+  * these repeatedly should `spark.catalog.clearCache()` between corpus
+  * passes (the handles are operator-internal by design — the output
+  * DataFrame is lazy, so the operator cannot know when to unpersist).
   */
 object Dedup {
 
   /** Exact dedup: canonicalize → md5 → group. Returns one row per
-    * distinct content with the kept (min) id and multiplicity. */
+    * distinct content with the kept (min) id and multiplicity.
+    * Null-text rows have no content to compare and are excluded — a
+    * null md5 key would otherwise collapse ALL null rows into one
+    * "duplicate" group. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), md5(Fns.normText(col(textCol))).as("fp_md5"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), md5(Fns.normText(col(textCol))).as("fp_md5"))
       .groupBy(col("fp_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
   /** Pipeline form of exact dedup: the corpus with only the kept (min
     * id per canonical content) row of each duplicate group. One hash
-    * shuffle; no join back — the winner is decided inside the window. */
+    * shuffle; no join back — the winner is decided inside the window.
+    * Null-text rows pass through untouched (they are not duplicates of
+    * each other). */
   def dropExactDups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(Fns.normText(col(textCol)))).orderBy(col(idCol))
-    docs.withColumn("__rn", row_number().over(w))
+    val nonNull = docs.filter(col(textCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+    nonNull.unionByName(docs.filter(col(textCol).isNull))
   }
 
   /** Pipeline form of near-dedup: remove every doc that appears as the
@@ -109,6 +125,9 @@ object Dedup {
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 5, k: Int = 8, bands: Int = 4,
                  threshold: Double = 0.7): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands ($bands) must divide k ($k); bands > k would make every " +
+        "band key constant and the band join a full cross join")
     val rows = k / bands
     // Both the band self-join and the verify join consume these twice;
     // persisting them materializes the interpreted shingle/md5 work

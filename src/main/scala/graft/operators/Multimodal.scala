@@ -46,18 +46,23 @@ object Multimodal {
     * interchangeable and cross-checked in tests. */
   def decodeStubBatched(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
+    val nullableMeta = mediaMetaSchema.fields.map(_.copy(nullable = true))
     val outSchema = StructType(
-      StructField("media_id", LongType, nullable = false) +: mediaMetaSchema.fields.toIndexedSeq)
+      StructField("media_id", LongType, nullable = true) +: nullableMeta.toIndexedSeq)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.select(col(idCol).cast("long"), col(blobCol)).mapPartitions { rows =>
       // Real codecs initialize here, once per partition / batch.
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val id = r.getLong(0)
+        val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val len = bytes.length.toLong
-        val hex = md.digest(bytes).map("%02x".format(_)).mkString
-        Row(id, len, len % 640L + 1L, len * 7L % 480L + 1L, 3L, len % 16L + 1L, hex)
+        if (bytes == null) // null blob -> null metadata, same as the column path
+          Row(id, null, null, null, null, null, null)
+        else {
+          val len = bytes.length.toLong
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          Row(id, len, len % 640L + 1L, len * 7L % 480L + 1L, 3L, len % 16L + 1L, hex)
+        }
       }
     }(enc)
   }

@@ -60,8 +60,12 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, stride: Long = 100,
               roundScale: Int = 4): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
     val cents = corpus.filter(col(idCol) % stride === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("centv"))
+    require(!cents.isEmpty,
+      s"no centroids: no corpus id is divisible by stride=$stride — " +
+        "lower the stride (an empty centroid set would make every result empty)")
     def assign(df: DataFrame, id: String, out: String): DataFrame = {
       val w = Window.partitionBy(col(id))
         .orderBy(Fns.cosine(col(out), col("centv"), roundScale).desc, col("cent_id"))

@@ -38,18 +38,22 @@ object TextAnalysis {
     * punctuation marks — the shape GPT-style pre-tokenizers produce. */
   val BpeRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 
-  def wsTokenCount(text: Column): Column = size(Fns.tokens(text))
+  /** Null text counts as zero tokens (size(null) is null under ANSI —
+    * a null count would silently drop rows from sums and averages). */
+  def wsTokenCount(text: Column): Column = size(Fns.tokens(coalesce(text, lit(""))))
 
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpeRe), lit(0)))
+    size(regexp_extract_all(coalesce(text, lit("")), lit(BpeRe), lit(0)))
 
   /** Quality metrics in one projection. Ratios rounded for
     * cross-engine float stability. Pass a pre-projected token column
     * via [[qualityColsFrom]] when scanning large corpora — the token
     * regex then runs once per row, not once per metric (HOF metrics
     * are interpreted; codegen CSE can't dedupe across them). */
-  def qualityCols(text: Column): Seq[(String, Column)] =
-    qualityColsFrom(text, Fns.tokens(text))
+  def qualityCols(text: Column): Seq[(String, Column)] = {
+    val t = coalesce(text, lit("")) // null text scores as empty, not 0.75
+    qualityColsFrom(t, Fns.tokens(t))
+  }
 
   def qualityColsFrom(text: Column, toks: Column): Seq[(String, Column)] = {
     val nChars = length(text)
@@ -80,8 +84,11 @@ object TextAnalysis {
     * and the punct regex twice per row). Values are identical to
     * [[qualityColsFrom]]. */
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // null text behaves as "" — otherwise least() skips the null length
+    // term and a null doc would score 0.75, above most real documents.
+    val t = coalesce(col(textCol), lit(""))
     val raw = df
-      .select(col(idCol), col(textCol).as("__text"), Fns.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), t.as("__text"), Fns.tokens(t).as("__tk"))
       .select(col(idCol),
         length(col("__text")).as("__nchars"),
         size(col("__tk")).as("__ntoks"),

@@ -76,6 +76,16 @@ object EventPipeline {
     spark.read.option("mergeSchema", "true").parquet(cfg.outputDir)
       .filter(col("event_type") === eventType)
 
+  /** Escape an event_type for use as a directory name (the same job
+    * partitionBy's escaping does on the non-evolving path): anything
+    * outside [A-Za-z0-9_-] percent-encodes, so "page/view" or "../x"
+    * cannot escape or nest under the output root. */
+  private[graft] def escapeType(t: String): String =
+    t.map {
+      case c if c.isLetterOrDigit || c == '_' || c == '-' => c.toString
+      case c => f"%%${c.toInt}%02X"
+    }.mkString
+
   /** The reference's full loop: per micro-batch, flatten the free-form
     * JSON body, route by event_type, and evolve EACH type's table
     * schema independently (CREATE on first batch, ADD COLUMN nullable,
@@ -85,10 +95,19 @@ object EventPipeline {
     * `partitionBy` write, so inside each (small, bounded) micro-batch
     * the router fans out per present type — exactly the reference's
     * one-bulker-per-type shape, with the 100 TB work still done by the
-    * streaming partition-parallelism within each write. Exactly-once:
-    * the checkpoint tracks source progress; replayed batches rewrite
-    * the same rows (message_id is a content hash, so downstream dedup
-    * is a filter, not a fix-up job). */
+    * streaming partition-parallelism within each write.
+    *
+    * Delivery is at-least-once at the table level: a crash between a
+    * type's append and the checkpoint commit replays the batch, and
+    * replays APPEND (parquet has no upsert). `message_id` is a content
+    * hash and `stream_batch_id` is stamped on every row, so downstream
+    * exact-once reads are `dropDuplicates("message_id")` — a filter,
+    * not a fix-up job — or a MERGE when the sink is transactional.
+    *
+    * Flattened JSON keys that would collide with the envelope columns
+    * (the kept source columns and the enrichment columns) are dropped
+    * via the reserved-keys mechanism, reference-style — a props key
+    * named "event_id" must not shadow the envelope's event_id. */
   def startEvolving(spark: SparkSession, schema: StructType, cfg: Config,
                     jsonCol: String = "props",
                     availableNow: Boolean = true): StreamingQuery = {
@@ -97,24 +116,34 @@ object EventPipeline {
       .schema(schema)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(cfg.inputDir)
+    val enrichmentCols = Seq("received_at", "sent_at", "message_id",
+      "timestamp", "stream_batch_id")
     val writer = stream.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val valid = batch
           .filter(col("event_type").isNotNull && length(col("event_type")) > 0)
-        if (!valid.isEmpty) {
-          val keep = valid.columns.filterNot(_ == jsonCol).toSeq
-          val flat = EventFlattener.flatten(valid, jsonCol, keep = keep)
-          val enriched = enrich(flat, cfg.transform)
-            .withColumn("stream_batch_id", lit(batchId))
-          val types = enriched.select(col("event_type")).distinct()
-            .collect().map(_.getString(0))
-          types.foreach { t =>
-            SchemaEvolution.evolveAppend(spark,
-              enriched.filter(col("event_type") === t).drop("event_type"),
-              s"${cfg.outputDir}/event_type=$t")
+          .persist()
+        try {
+          if (!valid.isEmpty) {
+            val keep = valid.columns.filterNot(_ == jsonCol).toSeq
+            val reserved = EventFlattener.defaultReserved ++ keep ++ enrichmentCols
+            val flat = EventFlattener.flatten(valid, jsonCol, keep = keep,
+              opts = EventFlattener.Options(reserved = reserved))
+            val enriched = enrich(flat, cfg.transform)
+              .withColumn("stream_batch_id", lit(batchId))
+              .persist()
+            try {
+              val types = enriched.select(col("event_type")).distinct()
+                .collect().map(_.getString(0))
+              types.foreach { t =>
+                SchemaEvolution.evolveAppend(spark,
+                  enriched.filter(col("event_type") === t).drop("event_type"),
+                  s"${cfg.outputDir}/event_type=${escapeType(t)}")
+              }
+            } finally { enriched.unpersist(); () }
           }
-        }
+        } finally { valid.unpersist(); () }
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
@@ -122,5 +151,6 @@ object EventPipeline {
 
   /** Read one evolving per-type table back (schema-merged). */
   def readEvolvingTable(spark: SparkSession, cfg: Config, eventType: String): DataFrame =
-    SchemaEvolution.readEvolved(spark, s"${cfg.outputDir}/event_type=$eventType")
+    SchemaEvolution.readEvolved(spark,
+      s"${cfg.outputDir}/event_type=${escapeType(eventType)}")
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.streaming.EventPipeline
+
+/** Regression specs for review findings: null-content semantics and
+  * hostile routing keys. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("null text scores as empty, never 0.75") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.quality(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("quality_score") == out(1).getAs[Double]("quality_score"))
+    assert(out(0).getAs[Long]("n_tokens") == 0L)
+    val counts = docs.select(
+      TextAnalysis.wsTokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeTokenCount(col("text")).as("bpe")).collect()
+    assert(counts.forall(r => r.getInt(0) == 0 && r.getInt(1) == 0))
+  }
+
+  test("null-text rows are not duplicates of each other") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "real"), (4L, "real")).toDF("doc_id", "text")
+    val kept = Dedup.dropExactDups(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L)) // both nulls survive; 4 is a dup of 3
+    assert(Dedup.exact(docs, "doc_id", "text").count() == 1) // only "real" groups
+  }
+
+  test("minHashLsh rejects bands that don't divide k") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minHashLsh(docs, "doc_id", "text", k = 8, bands = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minHashLsh(docs, "doc_id", "text", k = 8, bands = 3)
+    }
+  }
+
+  test("decodeStubBatched matches the column path on null blobs") {
+    val media = Seq((1L, "bytes"), (2L, null.asInstanceOf[String]))
+      .toDF("media_id", "payload")
+      .withColumn("media_blob", encode(col("payload"), "UTF-8"))
+    val batched = Multimodal.decodeStubBatched(media, "media_id", "media_blob")
+      .orderBy("media_id").collect()
+    assert(batched(0).getAs[Long]("byte_len") == 5L)
+    assert(batched(1).getAs[Any]("byte_len") == null)
+    assert(batched(1).getAs[Any]("feature_md5") == null)
+  }
+
+  test("hostile event_type values cannot escape the output root") {
+    assert(EventPipeline.escapeType("click") == "click")
+    assert(!EventPipeline.escapeType("page/view").contains("/"))
+    assert(!EventPipeline.escapeType("../../etc").contains("/"))
+    assert(!EventPipeline.escapeType("a b=c").exists(c => c == ' ' || c == '='))
+    // distinct inputs stay distinct after escaping
+    assert(EventPipeline.escapeType("a/b") != EventPipeline.escapeType("a_b"))
+  }
+}
