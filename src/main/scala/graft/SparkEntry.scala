@@ -164,6 +164,30 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** A11 (batch form): the whole ingest path through a REAL routed
+    * parquet write — flatten props, enrich metadata, default transform,
+    * one-shuffle routed write, read the tables back. The oracle checks
+    * the round-trip preserved exactly the valid rows per type. */
+  private def a11PipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_e2e").toString + "/tables"
+    val ev = T(s, dir, "events")
+    val flat = EventFlattener.flatten(ev, "props",
+      keep = Seq("event_id", "ts", "user_id", "event_type", "value"),
+      opts = EventFlattener.Options(detectDates = false, sampleFraction = 0.1))
+    val enriched = EventFlattener.defaultTransform(
+      EventFlattener.withMetadata(flat,
+        receivedAt = Fns.nanosToTimestamp(col("ts")),
+        sentAt = current_timestamp(),
+        idCols = Seq(col("event_type"), col("event_id"))))
+      .filter(col("event_type").isNotNull && length(col("event_type")) > 0)
+    EventRouter.writeRouted(enriched, out, sortCol = "ts")
+    s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("message_id")).as("n_message_ids"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------
   // B. Analytics over the ingested tables
   // ---------------------------------------------------------------
@@ -206,6 +230,7 @@ object SparkEntry {
     "a8_transform_hook" -> (a8TransformHook _),
     "a9_bulk_sink" -> (a9BulkBatches _),
     "a10_dlq_retry" -> (a10Dlq _),
+    "a11_pipeline_e2e" -> (a11PipelineE2e _),
     "b1_pricing_summary" -> (b1Pricing _),
     "b8_daily_rollup" -> (b8DailyRollup _)
   ) ++ AnalyticsQueries.queries ++ TrainingQueries.queries
@@ -261,6 +286,12 @@ object SparkEntry {
          ORDER BY event_type, batch_id""",
     "a10_dlq_retry" ->
       """SELECT event_type, count(*) AS n_valid, 0 AS n_dlq
+         FROM events
+         WHERE event_type IS NOT NULL AND len(event_type) > 0
+         GROUP BY event_type ORDER BY event_type""",
+    "a11_pipeline_e2e" ->
+      """SELECT event_type, count(*) AS n_rows,
+         count(DISTINCT md5(concat(event_type, '#', CAST(event_id AS VARCHAR)))) AS n_message_ids
          FROM events
          WHERE event_type IS NOT NULL AND len(event_type) > 0
          GROUP BY event_type ORDER BY event_type""",
