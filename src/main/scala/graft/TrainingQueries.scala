@@ -402,18 +402,20 @@ object TrainingQueries {
           FROM t),
         r AS (SELECT doc_id, n_chars, n_tokens,
           CASE WHEN n_tokens > 0
-            THEN round(CAST(non_ws AS DOUBLE) / n_tokens, 4) ELSE 0.0 END AS mean_token_len,
+            THEN CAST(round(non_ws * 10000.0 / n_tokens) AS BIGINT) ELSE 0 END AS mtl4,
           CASE WHEN n_chars > 0
-            THEN round(CAST(punct_n AS DOUBLE) / n_chars, 6) ELSE 0.0 END AS punct_ratio,
+            THEN CAST(round(punct_n * 1000000.0 / n_chars) AS BIGINT) ELSE 0 END AS pr6,
           CASE WHEN n_tokens > 0
-            THEN round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) ELSE 0.0 END AS stopword_ratio,
-          least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS length_score
+            THEN CAST(round(stop_hits * 1000000.0 / n_tokens) AS BIGINT) ELSE 0 END AS sr6,
+          least(CAST(n_tokens AS BIGINT) * 10000, 1000000) AS ls6
           FROM m)
         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-          CAST(n_tokens AS BIGINT) AS n_tokens, mean_token_len,
-          punct_ratio, stopword_ratio,
-          round(0.5 * length_score + 0.25 * (1.0 - punct_ratio)
-            + 0.25 * least(stopword_ratio * 5.0, 1.0), 6) AS quality_score
+          CAST(n_tokens AS BIGINT) AS n_tokens,
+          mtl4 / 10000.0 AS mean_token_len,
+          pr6 / 1000000.0 AS punct_ratio,
+          sr6 / 1000000.0 AS stopword_ratio,
+          ((2 * ls6 + (1000000 - pr6) + least(5 * sr6, 1000000)) + 2) // 4
+            / 1000000.0 AS quality_score
         FROM r ORDER BY doc_id"""
   }
 

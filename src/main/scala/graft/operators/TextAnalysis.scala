@@ -55,25 +55,33 @@ object TextAnalysis {
     qualityColsFrom(t, Fns.tokens(t))
   }
 
+  /** All ratio rounding happens in INTEGER micro-units: `round()` to a
+    * fractional scale multiplies by 10^k first, and when the input is
+    * itself a short decimal the product can land a hair's width from
+    * x.5 — Spark (exact BigDecimal) and DuckDB (scaled double) then
+    * disagree by 1e-6 (observed: score 0.6578175 at sf0.1). Rounding
+    * to scale 0 has no scaling multiply, so identical doubles round
+    * identically; the integers then divide exactly the same way. */
   def qualityColsFrom(text: Column, toks: Column): Seq[(String, Column)] = {
     val nChars = length(text)
     val nToks = size(toks)
     val nonWs = length(regexp_replace(text, "\\s", ""))
     val punctN = nChars - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))
     val stopHits = markerHits(toks, langMarkers.flatMap(_._2).distinct)
-    val meanTokLen = when(nToks > 0, round(nonWs.cast("double") / nToks, 4)).otherwise(0.0)
-    val punctRatio = when(nChars > 0, round(punctN.cast("double") / nChars, 6)).otherwise(0.0)
-    val stopRatio = when(nToks > 0, round(stopHits.cast("double") / nToks, 6)).otherwise(0.0)
-    val lengthScore = least(nToks.cast("double") / 100.0, lit(1.0))
-    val score = round(lit(0.5) * lengthScore + lit(0.25) * (lit(1.0) - punctRatio)
-      + lit(0.25) * least(stopRatio * 5.0, lit(1.0)), 6)
+    val mtl4 = when(nToks > 0, round(nonWs * lit(10000.0) / nToks)).otherwise(0L)
+    val pr6 = when(nChars > 0, round(punctN * lit(1000000.0) / nChars)).otherwise(0L)
+    val sr6 = when(nToks > 0, round(stopHits * lit(1000000.0) / nToks)).otherwise(0L)
+    val ls6 = least(nToks.cast("bigint") * 10000L, lit(1000000L))
+    // 4e6 × score, then HALF_UP the /4 in integers
+    val scoreX4 = lit(2L) * ls6 + (lit(1000000L) - pr6) + least(lit(5L) * sr6, lit(1000000L))
+    val score6 = floor((scoreX4 + lit(2L)) / lit(4L))
     Seq(
       "n_chars" -> nChars.cast("bigint"),
       "n_tokens" -> nToks.cast("bigint"),
-      "mean_token_len" -> meanTokLen,
-      "punct_ratio" -> punctRatio,
-      "stopword_ratio" -> stopRatio,
-      "quality_score" -> score)
+      "mean_token_len" -> (mtl4 / lit(10000.0)),
+      "punct_ratio" -> (pr6 / lit(1000000.0)),
+      "stopword_ratio" -> (sr6 / lit(1000000.0)),
+      "quality_score" -> (score6 / lit(1000000.0)))
   }
 
   /** Quality metrics as a layered plan: raw counts → ratios → score.
@@ -96,25 +104,28 @@ object TextAnalysis {
         (length(col("__text")) -
           length(regexp_replace(col("__text"), "[^A-Za-z0-9\\s]", ""))).as("__punct"),
         markerHits(col("__tk"), langMarkers.flatMap(_._2).distinct).as("__stop"))
+    // integer micro-units throughout — see qualityColsFrom's scaladoc
     val ratios = raw.select(col(idCol),
       col("__nchars"), col("__ntoks"),
       when(col("__ntoks") > 0,
-        round(col("__nonws").cast("double") / col("__ntoks"), 4)).otherwise(0.0)
-        .as("mean_token_len"),
+        round(col("__nonws") * lit(10000.0) / col("__ntoks"))).otherwise(0L)
+        .as("__mtl4"),
       when(col("__nchars") > 0,
-        round(col("__punct").cast("double") / col("__nchars"), 6)).otherwise(0.0)
-        .as("punct_ratio"),
+        round(col("__punct") * lit(1000000.0) / col("__nchars"))).otherwise(0L)
+        .as("__pr6"),
       when(col("__ntoks") > 0,
-        round(col("__stop").cast("double") / col("__ntoks"), 6)).otherwise(0.0)
-        .as("stopword_ratio"),
-      least(col("__ntoks").cast("double") / 100.0, lit(1.0)).as("__ls"))
+        round(col("__stop") * lit(1000000.0) / col("__ntoks"))).otherwise(0L)
+        .as("__sr6"),
+      least(col("__ntoks").cast("bigint") * 10000L, lit(1000000L)).as("__ls6"))
+    val scoreX4 = lit(2L) * col("__ls6") + (lit(1000000L) - col("__pr6")) +
+      least(lit(5L) * col("__sr6"), lit(1000000L))
     ratios.select(col(idCol),
       col("__nchars").cast("bigint").as("n_chars"),
       col("__ntoks").cast("bigint").as("n_tokens"),
-      col("mean_token_len"), col("punct_ratio"), col("stopword_ratio"),
-      round(lit(0.5) * col("__ls") + lit(0.25) * (lit(1.0) - col("punct_ratio"))
-        + lit(0.25) * least(col("stopword_ratio") * 5.0, lit(1.0)), 6)
-        .as("quality_score"))
+      (col("__mtl4") / lit(10000.0)).as("mean_token_len"),
+      (col("__pr6") / lit(1000000.0)).as("punct_ratio"),
+      (col("__sr6") / lit(1000000.0)).as("stopword_ratio"),
+      (floor((scoreX4 + lit(2L)) / lit(4L)) / lit(1000000.0)).as("quality_score"))
   }
 
   /** Document fingerprints: whole-text md5 over the canonical form, and
