@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.Fns
+
+/** Typed event row for the streaming analytics (the envelope subset
+  * the state machine needs; `ts` is epoch nanos as everywhere else). */
+case class Event(event_id: Long, ts: Long, user_id: Long,
+                 event_type: String, value: Double)
+
+case class SessionState(start: Long, last: Long, n: Long)
+
+case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
+
+/** Streaming twins of the batch analytics: the rollup the reference's
+  * ClickHouse tables serve (B8) as a watermarked windowed aggregation,
+  * and sessionization (B6) as explicit keyed state — the two
+  * Structured Streaming shapes (built-in windowing vs
+  * flatMapGroupsWithState) a stream consumer of these tables needs.
+  */
+object StreamingAnalytics {
+
+  /** Per-type tumbling-window rollup over event time with a watermark
+    * bounding state (B8's streaming twin — works on a readStream OR a
+    * batch frame for parity tests). */
+  def windowedRollup(events: DataFrame, windowDur: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("event_time", Fns.nanosToTimestamp(col("ts")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Fns.sumExact(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming sessionization: 30-min-gap sessions per user via
+    * flatMapGroupsWithState. Closed sessions emit as soon as a
+    * later event proves the gap (Append mode); the open tail of each
+    * user's stream stays in state. State is one small case class per
+    * active user — bounded by active users, not by history, which is
+    * the property that matters on an unbounded stream. */
+  def sessionize(events: Dataset[Event],
+                 gapNs: Long = 1800L * 1000000000L): Dataset[SessionOut] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val longEnc = Encoders.scalaLong
+    def toOut(uid: Long, s: SessionState): SessionOut =
+      SessionOut(uid, s.start / 1000000000L, s.last / 1000000000L, s.n)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val closed = scala.collection.mutable.ListBuffer[SessionOut]()
+          var st = state.getOption
+          it.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            st match {
+              case Some(s) if e.ts - s.last > gapNs =>
+                closed += toOut(uid, s)
+                st = Some(SessionState(e.ts, e.ts, 1))
+              case Some(s) =>
+                st = Some(SessionState(s.start, e.ts, s.n + 1))
+              case None =>
+                st = Some(SessionState(e.ts, e.ts, 1))
+            }
+          }
+          st.foreach(state.update)
+          closed.iterator
+      }
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{Event, StreamingAnalytics}
+
+/** The two streaming shapes SURVEY §4 promises: watermarked windowed
+  * aggregation and flatMapGroupsWithState custom state — both driven
+  * through real streams via the memory sink. */
+class StreamingAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ns = 1000000000L
+  private def ev(id: Long, tsSec: Long, uid: Long, tpe: String, v: Double) =
+    Event(id, tsSec * ns, uid, tpe, v)
+
+  test("windowed rollup over a stream matches the same rollup over the batch") {
+    val base = 1700000000L // aligned enough for 5-minute windows
+    val rows = Seq(
+      ev(1, base + 10, 1, "click", 1.0), ev(2, base + 20, 2, "click", 2.0),
+      ev(3, base + 400, 1, "view", 3.0), ev(4, base + 700, 3, "click", 4.0))
+    val dir = tmpDir("wroll")
+    rows.toDF().write.parquet(s"$dir/in")
+
+    val stream = spark.readStream.schema(rows.toDF().schema).parquet(s"$dir/in")
+    val q = StreamingAnalytics.windowedRollup(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("wroll")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("wroll")
+      .orderBy("window_start", "event_type").collect()
+    val batch = StreamingAnalytics.windowedRollup(rows.toDF())
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.length == 3) // (w0 click), (w1 view), (w2 click)
+    assert(streamed(0).getAs[Long]("n_events") == 2)
+  }
+
+  test("flatMapGroupsWithState sessionizer emits closed sessions, keeps open tails") {
+    val batch1 = Seq(
+      ev(1, 1000, 1, "click", 1.0), ev(2, 1100, 1, "click", 1.0),  // session A (user 1)
+      ev(3, 10000, 1, "click", 1.0),                               // gap > 30min -> A closes
+      ev(4, 2000, 2, "view", 1.0))                                 // user 2, stays open
+    val batch2 = Seq(ev(5, 20000, 1, "click", 1.0))                // closes session B
+    val dir = tmpDir("sess")
+    // two files + maxFilesPerTrigger=1 -> two micro-batches in ONE query,
+    // so keyed state carries across batches (memory sink can't resume
+    // from a checkpoint, so a restart-based test isn't possible here)
+    batch1.toDF().coalesce(1).write.mode("append").parquet(s"$dir/in")
+    batch2.toDF().coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    val stream = spark.readStream.schema(batch1.toDF().schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in").as[Event]
+    val q = StreamingAnalytics.sessionize(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ck")
+      .format("memory").queryName("sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val out = spark.table("sessions").orderBy("user_id", "start_s").collect()
+    // closed sessions only: A (events 1-2) and B (event 3, closed by
+    // event 5); user 1's third session and user 2's only one stay open
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("user_id") == 1L)
+    assert(out(0).getAs[Long]("start_s") == 1000L)
+    assert(out(0).getAs[Long]("end_s") == 1100L)
+    assert(out(0).getAs[Long]("n_events") == 2L)
+    assert(out(1).getAs[Long]("start_s") == 10000L &&
+      out(1).getAs[Long]("end_s") == 10000L)
+  }
+}
