@@ -8,9 +8,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftSessionSpec extends AnyFunSuite {
 
   test("GraftExtensions registers word_ngrams/dot_product_d/cosine_sim_d in SQL") {
+    // A second SparkSession over the SHARED SparkContext, with the
+    // extensions applied fresh. getOrCreate() would return the shared
+    // session (no extensions) if one is active, and stopping it would
+    // kill the context for every later suite — so clear, build, and
+    // restore instead of stop.
+    val shared = TestSession.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master("local[2]")
-      .appName("graft-ext-test")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
@@ -24,6 +31,11 @@ class GraftSessionSpec extends AnyFunSuite {
       assert(r.getAs[scala.collection.Seq[String]]("ng").toSeq == Seq("a b", "b c"))
       assert(r.getAs[Double]("dp") == 11.0)
       assert(r.getAs[Double]("cs") == 1.0)
-    } finally spark.stop()
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
   }
 }
