@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
+import graft.operators.AsOf
 import graft.sources.Tables
 
 /** B-series (SURVEY §2B): the analytics the reference's ClickHouse
@@ -137,7 +138,26 @@ object AnalyticsQueries {
         countDistinct(col("user_id")).as("n_users_exact"))
       .orderBy(col("event_type"))
 
+  /** B10: as-of join — for each purchase, the user's most recent click
+    * at or before it (union + keyed sort window; see [[AsOf]]). */
+  private def b10AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    AsOf.joinAsOf(purchases, clicks,
+        keyL = "user_id", keyR = "user_id", timeL = "ts", timeR = "ts",
+        rightVals = Seq("event_id" -> "asof_click_id", "value" -> "asof_click_value"),
+        tieBreakR = Some("event_id"))
+      .select(col("event_id"), col("user_id"),
+        Fns.nanosToEpochSec(col("ts")).as("ts_s"),
+        col("asof_click_id"), col("asof_click_value"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b10_asof_join" -> (b10AsofJoin _),
     "b2_top_revenue" -> (b2TopRevenue _),
     "b3_region_revenue" -> (b3RegionRevenue _),
     "b4_top_per_group" -> (b4TopPerGroup _),
@@ -149,6 +169,30 @@ object AnalyticsQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b10_asof_join" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_ns(ts) AS tn FROM events
+           WHERE event_type = 'purchase'),
+         c AS (
+           SELECT event_id, user_id, epoch_ns(ts) AS tn, value FROM events
+           WHERE event_type = 'click'),
+         u AS (
+           SELECT user_id, tn, 1 AS side, event_id AS p_id,
+                  CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS DOUBLE) AS c_value,
+                  CAST(NULL AS BIGINT) AS tie
+           FROM p
+           UNION ALL
+           SELECT user_id, tn, 0, NULL, event_id, value, event_id FROM c),
+         w AS (
+           SELECT *,
+             last_value(c_id IGNORE NULLS) OVER win AS asof_click_id,
+             last_value(c_value IGNORE NULLS) OVER win AS asof_click_value
+           FROM u
+           WINDOW win AS (PARTITION BY user_id ORDER BY tn, side, tie
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT p_id AS event_id, user_id, tn // 1000000000 AS ts_s,
+           asof_click_id, asof_click_value
+         FROM w WHERE side = 1 ORDER BY event_id""",
     "b2_top_revenue" ->
       """SELECT o_orderkey,
          strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority,
