@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.plans.{CosineSimD, DotProductD, WordNGrams}
+import graft.plans.{BottomKByHash, CosineSimD, DotProductD, WordNGrams}
 
 /** Session wiring for the graft engine.
   *
@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cosine_sim_d"),
       info("cosine_sim_d", "cosine_sim_d(a, b) - cosine similarity of two double arrays"),
       (args: Seq[Expression]) => CosineSimD(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("bottom_k_by_hash"),
+      info("bottom_k_by_hash", "bottom_k_by_hash(id, k) - deterministic k-minimum-values sample aggregate"),
+      (args: Seq[Expression]) => BottomKByHash(args.head, intArg(args, 1, "bottom_k_by_hash"))))
   }
 }
 

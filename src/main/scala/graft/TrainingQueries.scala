@@ -186,6 +186,17 @@ object TrainingQueries {
         TextAnalysis.fingerprintCols(col("text"), 5).map { case (n, c) => c.as(n) }: _*)
       .orderBy(col("doc_id"))
 
+  /** C13: deterministic bounded sampling per group — the KMV bottom-k
+    * aggregate (custom TypedImperativeAggregate; mergeable, so the
+    * shuffle carries ≤ k values per group per partition). */
+  private def c13Sample(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Fns
+    T(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(Fns.bottomKByHash(col("event_id"), 5).as("sample_ids"))
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------------------------
   // C12: multimodal plumbing
   // ------------------------------------------------------------------
@@ -211,7 +222,8 @@ object TrainingQueries {
     "c9_quality" -> (c9Quality _),
     "c10_token_count" -> (c10TokenCount _),
     "c11_fingerprint" -> (c11Fingerprint _),
-    "c12_multimodal" -> (c12Multimodal _)
+    "c12_multimodal" -> (c12Multimodal _),
+    "c13_sample" -> (c13Sample _)
   )
 
   // ------------------------------------------------------------------
@@ -461,6 +473,14 @@ object TrainingQueries {
     "c9_quality" -> c9OracleSql,
     "c10_token_count" -> c10OracleSql,
     "c11_fingerprint" -> c11OracleSql,
-    "c12_multimodal" -> c12OracleSql
+    "c12_multimodal" -> c12OracleSql,
+    "c13_sample" ->
+      """WITH r AS (
+           SELECT event_type, event_id, md5(CAST(event_id AS VARCHAR)) AS h,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+           FROM events)
+         SELECT event_type, list(event_id ORDER BY h, event_id) AS sample_ids
+         FROM r WHERE rn <= 5 GROUP BY event_type ORDER BY event_type"""
   )
 }

@@ -66,6 +66,14 @@ object Fns {
     round(graft.plans.Cols.column(graft.plans.CosineSimD(
       graft.plans.Cols.expression(a), graft.plans.Cols.expression(b))), scale)
 
+  /** Deterministic bounded sample aggregate: the k values with the
+    * smallest md5 per group (KMV bottom-k sketch —
+    * [[graft.plans.BottomKByHash]]). */
+  def bottomKByHash(c: Column, k: Int): Column =
+    graft.plans.Cols.column(
+      graft.plans.BottomKByHash(graft.plans.Cols.expression(c), k)
+        .toAggregateExpression())
+
   /** Exact decimal sum surfaced as DOUBLE (order-insensitive, so the
     * shuffle-order-dependent float sum never breaks the oracle). */
   def sumExact(c: Column, scale: Int = 2): Column =
