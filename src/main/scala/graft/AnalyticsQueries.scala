@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
-import graft.operators.AsOf
+import graft.operators.{AsOf, RangeJoin}
 import graft.sources.Tables
 
 /** B-series (SURVEY §2B): the analytics the reference's ClickHouse
@@ -156,8 +156,25 @@ object AnalyticsQueries {
       .orderBy(col("event_id"))
   }
 
+  /** B11: range join — error events within 30 min after each purchase,
+    * same user (Δ-cell bucketed equi-join; see [[RangeJoin]]). */
+  private def b11RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id"), col("ts").as("e_ts"))
+    RangeJoin.joinWithin(purchases, errors,
+        keyL = "user_id", keyR = "user_id",
+        timeL = "p_ts", timeR = "e_ts", maxDelta = 1800L * 1000000000L)
+      .select(col("p_id"), col("e_id"),
+        floor((col("e_ts") - col("p_ts")) / lit(1000000000L)).cast("long").as("delta_s"))
+      .orderBy(col("p_id"), col("e_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b10_asof_join" -> (b10AsofJoin _),
+    "b11_range_join" -> (b11RangeJoin _),
     "b2_top_revenue" -> (b2TopRevenue _),
     "b3_region_revenue" -> (b3RegionRevenue _),
     "b4_top_per_group" -> (b4TopPerGroup _),
@@ -193,6 +210,14 @@ object AnalyticsQueries {
          SELECT p_id AS event_id, user_id, tn // 1000000000 AS ts_s,
            asof_click_id, asof_click_value
          FROM w WHERE side = 1 ORDER BY event_id""",
+    "b11_range_join" ->
+      """SELECT p.event_id AS p_id, e.event_id AS e_id,
+           (epoch_ns(e.ts) - epoch_ns(p.ts)) // 1000000000 AS delta_s
+         FROM events p JOIN events e ON p.user_id = e.user_id
+         WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+           AND epoch_ns(e.ts) >= epoch_ns(p.ts)
+           AND epoch_ns(e.ts) - epoch_ns(p.ts) <= 1800000000000
+         ORDER BY p_id, e_id""",
     "b2_top_revenue" ->
       """SELECT o_orderkey,
          strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority,
