@@ -328,9 +328,10 @@ object SparkEntry {
         GROUP BY key ORDER BY column_name"""
   }
 
-  /** The shared inference CASE over regex votes (DuckDB side). */
+  /** The shared inference CASE over regex votes (DuckDB side — must
+    * stay in lockstep with EventFlattener.DateRe). */
   private def chCaseSql: String = {
-    val d = "^\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}(\\.\\d{1,6})?)?)?$|^\\d{2}/\\d{2}/\\d{4}$"
+    val d = "^\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}(\\.\\d{1,6})?)?(Z|[+-]\\d{2}:\\d{2})?)?$|^\\d{2}/\\d{2}/\\d{4}$"
     val i = "^-?\\d{1,18}$"
     val f = "^-?\\d+\\.\\d+([eE][-+]?\\d+)?$|^-?\\d+[eE][-+]?\\d+$"
     s"""CASE WHEN bool_and(regexp_matches(value, '$d')) THEN 'DateTime64(6)'

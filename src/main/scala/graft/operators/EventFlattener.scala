@@ -48,10 +48,13 @@ object EventFlattener {
       .split("[^A-Za-z0-9]+").filter(_.nonEmpty).mkString("_").toLowerCase
 
   /** Date-string shapes the flattener promotes to timestamps:
-    * ISO date / datetime, or US slash dates (dayjs-parseable forms the
-    * reference's regex `^([0-9]{2}([0-9]{2})?(\/|-))+` accepts). */
+    * ISO date / datetime (incl. the `...T...Z` / offset forms
+    * JSON.stringify(new Date()) emits — the reference's own test
+    * injects exactly that shape and its isDateString accepts it), or
+    * US slash dates (dayjs-parseable forms the reference's regex
+    * `^([0-9]{2}([0-9]{2})?(\/|-))+` accepts). */
   val DateRe: String =
-    "^\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}(\\.\\d{1,6})?)?)?$" +
+    "^\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}(\\.\\d{1,6})?)?(Z|[+-]\\d{2}:\\d{2})?)?$" +
       "|^\\d{2}/\\d{2}/\\d{4}$"
 
   /** Distributed JSON structure inference over a string column. */
