@@ -57,26 +57,78 @@ object Similarity {
     * cosine via a per-vector window (O(N·K) — the IVF assignment cost
     * by definition). Search probes only the query's cell, so scoring
     * touches ~corpus/K candidates per query. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, stride: Long = 100,
-              roundScale: Int = 4): DataFrame = {
+  /** Nearest-centroid assignment: broadcast the K centroids, argmax
+    * cosine per vector via a window (deterministic tie-break on
+    * cent_id). `df` must already have `id` and a double-array `vec`. */
+  private def assignCells(df: DataFrame, cents: DataFrame, id: String,
+                          vec: String, roundScale: Int): DataFrame = {
+    val w = Window.partitionBy(col(id))
+      .orderBy(Fns.cosine(col(vec), col("centv"), roundScale).desc, col("cent_id"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(id), col(vec), col("cent_id").as("cell"))
+  }
+
+  /** Deterministic id-stride seed centroids. */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                    stride: Long): DataFrame = {
     require(stride >= 1, "stride must be >= 1")
     val cents = corpus.filter(col(idCol) % stride === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("centv"))
     require(!cents.isEmpty,
       s"no centroids: no corpus id is divisible by stride=$stride — " +
         "lower the stride (an empty centroid set would make every result empty)")
-    def assign(df: DataFrame, id: String, out: String): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(Fns.cosine(col(out), col("centv"), roundScale).desc, col("cent_id"))
-      df.select(col(id), col(vecCol).cast("array<double>").as(out))
-        .crossJoin(broadcast(cents))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col(id), col(out), col("cent_id").as("cell"))
+    cents
+  }
+
+  /** One Lloyd refinement: assign every vector to its nearest centroid,
+    * recompute each cell's centroid as the per-dimension mean. Sums run
+    * in decimal (order-independent), so refined centroids are
+    * deterministic across partitionings and replays — the property
+    * k-means on floats usually loses. Cells keep their seed cent_id;
+    * empty cells disappear (standard Lloyd). */
+  def refineCentroids(corpus: DataFrame, cents: DataFrame, idCol: String,
+                      vecCol: String, roundScale: Int = 4): DataFrame = {
+    val v = corpus.select(col(idCol).as("__vid"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val assigned = assignCells(v, cents, "__vid", "__v", roundScale)
+    val perDim = assigned.select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("mean"))
+    perDim.groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+      .select(col("cell").as("cent_id"),
+        transform(col("pm"), p => p.getField("mean")).as("centv"))
+  }
+
+  /** IVF with optional Lloyd-refined centroids (iters=0 ≡ ivfTopK). */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, stride: Long = 100,
+                     iters: Int = 2, roundScale: Int = 4): DataFrame = {
+    var cents = seedCentroids(corpus, idCol, vecCol, stride)
+    (0 until iters).foreach { _ =>
+      cents = refineCentroids(corpus, cents, idCol, vecCol, roundScale)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val c = assign(corpus, idCol, "cv").withColumnRenamed(idCol, "corpus_id")
-    val q = assign(queries, idCol, "qv").withColumnRenamed(idCol, "query_id")
+    ivfWithCents(corpus, queries, cents, idCol, vecCol, k, roundScale)
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, stride: Long = 100,
+              roundScale: Int = 4): DataFrame =
+    ivfWithCents(corpus, queries,
+      seedCentroids(corpus, idCol, vecCol, stride), idCol, vecCol, k, roundScale)
+
+  private def ivfWithCents(corpus: DataFrame, queries: DataFrame,
+                           cents: DataFrame, idCol: String, vecCol: String,
+                           k: Int, roundScale: Int): DataFrame = {
+    def prep(df: DataFrame, id: String, out: String): DataFrame =
+      assignCells(df.select(col(idCol).as(id),
+        col(vecCol).cast("array<double>").as(out)), cents, id, out, roundScale)
+    val c = prep(corpus, "corpus_id", "cv")
+    val q = prep(queries, "query_id", "qv")
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"), col("cell"),

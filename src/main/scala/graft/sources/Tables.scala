@@ -19,6 +19,15 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Events from JSON-lines files — the wire shape the reference's
+    * queue carries (one JSON job per line). Schema inferred unless
+    * given; pairs with EventFlattener for the free-form body. */
+  def eventsFromJsonl(spark: SparkSession, path: String,
+                      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val reader = spark.read
+    schema.fold(reader)(reader.schema).json(path)
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
