@@ -22,6 +22,28 @@ class AsOfSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("asof_px"))) // nothing ≤ 50 for B
   }
 
+  test("union-window as-of equals the naive max-per-left theta join on random data") {
+    val rnd = new scala.util.Random(7)
+    val left = (0L until 200L).map(i => (i, s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong))
+      .toDF("l_id", "k", "l_t")
+    val right = (0L until 300L).map(i => (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, i, rnd.nextDouble()))
+      .toDF("k", "r_t", "r_id", "v")
+    val fast = AsOf.joinAsOf(left, right, "k", "k", "l_t", "r_t",
+        rightVals = Seq("r_id" -> "asof_rid"), tieBreakR = Some("r_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("asof_rid"))) -1L else r.getAs[Long]("asof_rid"))).toMap
+    // naive: all right rows <= t, keep max (r_t, r_id)
+    val naive = left.join(right.withColumnRenamed("k", "k2"),
+        col("k") === col("k2") && col("r_t") <= col("l_t"), "left")
+      .groupBy("l_id")
+      .agg(max(struct(col("r_t"), col("r_id"))).as("best"))
+      .collect().map { r =>
+        val b = r.getStruct(1)
+        r.getLong(0) -> (if (b == null || b.isNullAt(1)) -1L else b.getLong(1))
+      }.toMap
+    assert(fast == naive && fast.values.exists(_ >= 0))
+  }
+
   test("ties on (key, time) resolve by the tie-break column, deterministically") {
     val left = Seq((1L, "A", 100L)).toDF("id", "k", "t")
     val right = Seq(("A", 100L, 7L, 1.0), ("A", 100L, 9L, 2.0), ("A", 100L, 8L, 3.0))
