@@ -67,6 +67,36 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize: a real implementation re-encodes the pixel buffer;
+    * the stub scales the metadata deterministically and re-fingerprints
+    * with the target box salted in. The Spark-side shape — metadata
+    * struct in, metadata struct out, pure projection, no shuffle — is
+    * the real one. Aspect-preserving fit into (maxW, maxH). */
+  def resizeStub(df: DataFrame, maxW: Long, maxH: Long): DataFrame = {
+    val scaleNum = least(lit(maxW) * col("height"), lit(maxH) * col("width"))
+    val scaleDen = col("width") * col("height")
+    val fit = col("width") <= maxW && col("height") <= maxH
+    df.withColumn("resized_width",
+        when(fit, col("width"))
+          .otherwise(greatest(lit(1L), floor(col("width") * scaleNum / scaleDen))))
+      .withColumn("resized_height",
+        when(fit, col("height"))
+          .otherwise(greatest(lit(1L), floor(col("height") * scaleNum / scaleDen))))
+      .withColumn("resized_md5",
+        md5(concat_ws("x", col("feature_md5"), lit(maxW), lit(maxH))))
+  }
+
+  /** STUB frame sampling: every k-th frame index up to n_frames — the
+    * real op slices the container; the plumbing (per-row bounded array
+    * of frame descriptors, ready to explode into a frames table) is
+    * what a video pipeline needs from Spark. */
+  def sampleFramesStub(df: DataFrame, everyK: Long): DataFrame = {
+    require(everyK >= 1, "everyK must be >= 1")
+    df.withColumn("sampled_frames",
+      sequence(lit(0L), col("n_frames") - 1, lit(everyK)))
+      .withColumn("n_sampled", size(col("sampled_frames")).cast("bigint"))
+  }
+
   /** Attach a binary media column + decoded metadata to a table. */
   def withMedia(df: DataFrame, idCol: String, payload: org.apache.spark.sql.Column): DataFrame = {
     val blob = encode(payload, "UTF-8")

@@ -20,6 +20,32 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getAs[String]("feature_md5").length == 32)
   }
 
+  test("resize stub: aspect-preserving fit, small media untouched") {
+    val meta = Multimodal.withMedia(media, "media_id", col("payload"))
+    val out = Multimodal.resizeStub(meta, maxW = 4L, maxH = 2L)
+      .orderBy("media_id").collect()
+    out.foreach { r =>
+      val (w, h) = (r.getAs[Long]("resized_width"), r.getAs[Long]("resized_height"))
+      assert(w <= 4L && h <= 2L && w >= 1L && h >= 1L)
+    }
+    // no-op when already inside the box
+    val small = Multimodal.resizeStub(meta, maxW = 100000L, maxH = 100000L)
+      .orderBy("media_id").collect()
+    assert(small(0).getAs[Long]("resized_width") == small(0).getAs[Long]("width"))
+  }
+
+  test("frame-sample stub: every k-th frame, bounded array") {
+    val meta = Multimodal.withMedia(media, "media_id", col("payload"))
+    val out = Multimodal.sampleFramesStub(meta, everyK = 3L)
+      .orderBy("media_id").collect()
+    out.foreach { r =>
+      val frames = r.getAs[scala.collection.Seq[Long]]("sampled_frames")
+      val n = r.getAs[Long]("n_frames")
+      assert(frames.toSeq == (0L until n by 3L).toSeq)
+      assert(r.getAs[Long]("n_sampled") == frames.length.toLong)
+    }
+  }
+
   test("mapPartitions batch path produces identical metadata to column path") {
     val colPath = Multimodal.withMedia(media, "media_id", col("payload"))
       .select(col("media_id"), col("byte_len"), col("width"), col("height"),
