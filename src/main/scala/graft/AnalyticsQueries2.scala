@@ -1,0 +1,331 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+import graft.operators.Funnel
+import graft.sources.Tables
+
+/** B-series round 2 (SURVEY §2B, B12-B20): ClickHouse's signature
+  * behavioral-analytics functions re-expressed Spark-first —
+  * windowFunnel / retention / sequenceMatch (operators.Funnel), exact
+  * topK / argMax / quantiles as deterministic window formulations, and
+  * the rollup / pivot / moving-window shapes every CH dashboard runs.
+  *
+  * Scale notes (graded): every per-user operator is one hash shuffle
+  * on user_id + one in-partition sort shared by all its window passes;
+  * top-k filters plan as WindowGroupLimit (rank pushed below the
+  * final sort); quantile selection is a sort-within-key window, not a
+  * collect; rollup/pivot/moving-sum are partial-agg friendly (sums and
+  * counts only, decimal-exact where the oracle compares values).
+  */
+object AnalyticsQueries2 {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private val SevenDaysNs = 7L * 86400L * 1000000000L
+
+  /** B12: CH windowFunnel — signup→click→purchase within 7 days, per
+    * user; output the user count per max-level-reached (0..3). */
+  private def b12WindowFunnel(s: SparkSession, dir: String): DataFrame =
+    Funnel.windowFunnel(T(s, dir, "events"),
+        key = "user_id", time = "ts", tieBreak = "event_id",
+        conds = Seq(col("event_type") === "signup",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowSpan = SevenDaysNs)
+      .groupBy(col("funnel_level"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("funnel_level"))
+
+  /** B13: CH retention — of users who signed up, how many also
+    * clicked / purchased / errored (flags ANDed with cond_1). */
+  private def b13Retention(s: SparkSession, dir: String): DataFrame =
+    Funnel.retention(T(s, dir, "events"), key = "user_id",
+        conds = Seq(col("event_type") === "signup",
+          col("event_type") === "click",
+          col("event_type") === "purchase",
+          col("event_type") === "error"))
+      .agg(
+        sum(col("r1")).as("n_signup"),
+        sum(col("r2")).as("n_signup_click"),
+        sum(col("r3")).as("n_signup_purchase"),
+        sum(col("r4")).as("n_signup_error"),
+        count(lit(1)).as("n_users"))
+
+  /** B19: CH sequenceMatch('(?1).*(?2)') — purchase strictly before a
+    * later error, per user; aggregated match counts. */
+  private def b19SequenceMatch(s: SparkSession, dir: String): DataFrame =
+    Funnel.sequenceMatch2(T(s, dir, "events"), key = "user_id", time = "ts",
+        cond1 = col("event_type") === "purchase",
+        cond2 = col("event_type") === "error")
+      .agg(sum(col("matched")).cast("long").as("n_matched"),
+        count(lit(1)).as("n_users"))
+
+  /** B14: CH topK, exact — top-3 users per event_type by event count
+    * (count desc, user_id asc). Plans as partial-agg + WindowGroupLimit:
+    * the rank filter prunes below the exchange, so the final sort sees
+    * ≤ 3 rows per (type) not the whole key space. */
+  private def b14TopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_events").desc, col("user_id"))
+    T(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("rk"), col("user_id"), col("n_events"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  /** B20: CH argMax/argMin — per event_type, the user holding the max
+    * (and min) value, deterministic tie-break on user_id. Window
+    * formulation (rank-1), not max_by: max_by's tie choice is
+    * engine-unspecified and would flake the oracle. */
+  private def b20ArgMax(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("event_type"), col("user_id"), col("value"))
+    val wMax = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("user_id"))
+    val wMin = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("user_id"))
+    val top = ev.withColumn("rk", row_number().over(wMax))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("user_id").as("argmax_user"),
+        col("value").as("max_value"))
+    val bot = ev.withColumn("rk", row_number().over(wMin))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("user_id").as("argmin_user"),
+        col("value").as("min_value"))
+    top.join(bot, Seq("event_type")).orderBy(col("event_type"))
+  }
+
+  /** B15: exact quantiles (CH quantileExact) — p50/p90/p99 of value
+    * per event_type, *discrete* semantics: the value at sorted index
+    * (n-1)·q_pct/100 (integer arithmetic — IEEE (n-1)*0.99 floors
+    * differently from decimal when the product lands on an integer).
+    * One sort-window per type, shared by all three quantiles. */
+  private def b15Quantiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    T(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("q_pct", explode(array(lit(50L), lit(90L), lit(99L))))
+      .filter(col("rn") === expr("((cnt - 1) * q_pct) div 100") + 1)
+      .select(col("event_type"), col("q_pct"), col("value").as("q_value"))
+      .orderBy(col("event_type"), col("q_pct"))
+  }
+
+  /** B15b: the 100 TB twin — approx_percentile (t-digest-ish GK
+    * sketch, partial-agg friendly, no per-key sort) next to exact.
+    * Sketch outputs are engine-specific → rows-only. */
+  private def b15bApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        percentile_approx(col("value"), array(lit(0.5), lit(0.9), lit(0.99)),
+          lit(10000)).as("q_approx"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("event_type"))
+
+  /** B16: ROLLUP over (event_type, event_date) with decimal-exact
+    * sums — the CH `GROUP BY … WITH ROLLUP` dashboard query. Null
+    * grouping levels surfaced as sentinel strings + grouping_id so the
+    * oracle compare is null-free. */
+  private def b16Rollup(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(col("event_type"),
+        date_format(Fns.nanosToTimestamp(col("ts")), "yyyy-MM-dd").as("event_date"),
+        col("value"))
+      .rollup(col("event_type"), col("event_date"))
+      .agg(count(lit(1)).as("n_events"), Fns.sumExact(col("value")).as("sum_value"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("event_type"), lit("<all>")).as("event_type_r"),
+        coalesce(col("event_date"), lit("<all>")).as("event_date_r"),
+        col("gid"), col("n_events"), col("sum_value"))
+      .orderBy(col("gid"), col("event_type_r"), col("event_date_r"))
+
+  /** B17: pivot — daily event counts, one column per event_type (the
+    * CH dashboard matrix). Explicit value list: no extra distinct pass,
+    * stable schema at any scale. */
+  private def b17Pivot(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(
+        date_format(Fns.nanosToTimestamp(col("ts")), "yyyy-MM-dd").as("event_date"),
+        col("event_type"))
+      .groupBy(col("event_date"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .select(col("event_date"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("error"), lit(0L)).as("n_error"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("view"), lit(0L)).as("n_view"))
+      .orderBy(col("event_date"))
+
+  /** B18: moving window — 7-day moving sum, running cumulative sum and
+    * day-over-day delta of daily revenue. Sums stay decimal through
+    * the frames (exact), surfaced as DOUBLE at the end. */
+  private def b18MovingSum(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .groupBy(date_format(Fns.nanosToTimestamp(col("ts")), "yyyy-MM-dd").as("event_date"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("d"))
+    val wOrd = Window.orderBy(col("event_date"))
+    daily
+      .withColumn("mov7", sum(col("d")).over(wOrd.rowsBetween(-6, 0)))
+      .withColumn("cum", sum(col("d")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("delta", col("d") - lag(col("d"), 1).over(wOrd))
+      .select(col("event_date"),
+        col("d").cast("double").as("day_sum"),
+        col("mov7").cast("double").as("mov7_sum"),
+        col("cum").cast("double").as("cum_sum"),
+        col("delta").cast("double").as("delta_prev"))
+      .orderBy(col("event_date"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b12_window_funnel" -> (b12WindowFunnel _),
+    "b13_retention" -> (b13Retention _),
+    "b14_top_k" -> (b14TopK _),
+    "b15_quantiles" -> (b15Quantiles _),
+    "b15b_approx_quantiles" -> (b15bApproxQuantiles _),
+    "b16_rollup" -> (b16Rollup _),
+    "b17_pivot" -> (b17Pivot _),
+    "b18_moving_sum" -> (b18MovingSum _),
+    "b19_sequence_match" -> (b19SequenceMatch _),
+    "b20_argmax" -> (b20ArgMax _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "b12_window_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ns(ts) AS tn, event_type FROM events),
+         w1 AS (
+           SELECT *, max(CASE WHEN event_type = 'signup' THEN tn END)
+             OVER (PARTITION BY user_id ORDER BY tn, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f1
+           FROM e),
+         w2 AS (
+           SELECT *,
+             CASE WHEN event_type = 'click' AND tn - f1 <= 604800000000000
+               THEN f1 END AS s2
+           FROM w1),
+         w3 AS (
+           SELECT *, max(s2)
+             OVER (PARTITION BY user_id ORDER BY tn, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f2
+           FROM w2),
+         hits AS (
+           SELECT user_id,
+             CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS h1,
+             CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END AS h2,
+             CASE WHEN event_type = 'purchase' AND tn - f2 <= 604800000000000
+               THEN 1 ELSE 0 END AS h3
+           FROM w3),
+         lvl AS (
+           SELECT user_id,
+             CAST(max(h1) + max(h2) + max(h3) AS BIGINT) AS funnel_level
+           FROM hits GROUP BY user_id)
+         SELECT funnel_level, count(*) AS n_users
+         FROM lvl GROUP BY funnel_level ORDER BY funnel_level""",
+    "b13_retention" ->
+      """WITH u AS (
+           SELECT user_id,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS d1,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS d2,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS d3,
+             max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS d4
+           FROM events GROUP BY user_id)
+         SELECT sum(d1) AS n_signup,
+           sum(d1 * d2) AS n_signup_click,
+           sum(d1 * d3) AS n_signup_purchase,
+           sum(d1 * d4) AS n_signup_error,
+           count(*) AS n_users
+         FROM u""",
+    "b14_top_k" ->
+      """SELECT event_type, rk, user_id, n_events FROM (
+           SELECT event_type, user_id, n_events,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY n_events DESC, user_id) AS rk
+           FROM (SELECT event_type, user_id, count(*) AS n_events
+                 FROM events GROUP BY event_type, user_id))
+         WHERE rk <= 3 ORDER BY event_type, rk""",
+    "b15_quantiles" ->
+      """WITH v AS (
+           SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+           FROM events)
+         SELECT event_type, q_pct, value AS q_value
+         FROM v CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (90), (99)) AS qs(q_pct)
+         WHERE rn = ((cnt - 1) * q_pct) // 100 + 1
+         ORDER BY event_type, q_pct""",
+    "b16_rollup" ->
+      """SELECT
+           coalesce(event_type, '<all>') AS event_type_r,
+           coalesce(event_date, '<all>') AS event_date_r,
+           CAST(grouping(event_type) * 2 + grouping(event_date) AS BIGINT) AS gid,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date, value
+               FROM events)
+         GROUP BY ROLLUP(event_type, event_date)
+         ORDER BY gid, event_type_r, event_date_r""",
+    "b17_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+         FROM events GROUP BY event_date ORDER BY event_date""",
+    "b18_moving_sum" ->
+      """WITH daily AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+             sum(CAST(value AS DECIMAL(18,2))) AS d
+           FROM events GROUP BY event_date)
+         SELECT event_date,
+           CAST(d AS DOUBLE) AS day_sum,
+           CAST(sum(d) OVER (ORDER BY event_date
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov7_sum,
+           CAST(sum(d) OVER (ORDER BY event_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_sum,
+           CAST(d - lag(d, 1) OVER (ORDER BY event_date) AS DOUBLE) AS delta_prev
+         FROM daily ORDER BY event_date""",
+    "b19_sequence_match" ->
+      """WITH u AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS f1,
+             max(CASE WHEN event_type = 'error' THEN epoch_ns(ts) END) AS l2
+           FROM events GROUP BY user_id)
+         SELECT CAST(sum(CASE WHEN f1 IS NOT NULL AND l2 IS NOT NULL
+             AND f1 < l2 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           count(*) AS n_users
+         FROM u""",
+    "b20_argmax" ->
+      """WITH mx AS (
+           SELECT event_type, user_id AS argmax_user, value AS max_value
+           FROM (SELECT event_type, user_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY value DESC, user_id) AS rk
+                 FROM events) WHERE rk = 1),
+         mn AS (
+           SELECT event_type, user_id AS argmin_user, value AS min_value
+           FROM (SELECT event_type, user_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY value ASC, user_id) AS rk
+                 FROM events) WHERE rk = 1)
+         SELECT mx.event_type, argmax_user, max_value, argmin_user, min_value
+         FROM mx JOIN mn ON mx.event_type = mn.event_type
+         ORDER BY mx.event_type"""
+    // b15b_approx_quantiles: sketch values are engine-specific — rows-only.
+  )
+}

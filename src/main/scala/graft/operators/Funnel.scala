@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ClickHouse-style behavioral analytics — `windowFunnel`, `retention`,
+  * `sequenceMatch` — the signature functions the reference's MergeTree
+  * tables exist to serve (the reference creates per-event-type tables
+  * `ORDER BY sent_at` precisely so CH can run these over them;
+  * src/clickhouse-batch-client.class.ts:492-568).
+  *
+  * Spark-first shape: CH evaluates these as per-key sorted scans inside
+  * its aggregator. Here each one is a single hash-shuffle on the key +
+  * one sort within partitions, expressed with cascading window
+  * functions — no UDAF, no collect_list, fully codegen-friendly, and
+  * the same one-shuffle cost profile at any corpus size. A 100 TB
+  * events table funnels with exactly one exchange on `user_id` (its
+  * natural analysis key), and all L levels reuse the same sorted run —
+  * Catalyst plans one Window node for the lot.
+  */
+object Funnel {
+
+  /** `windowFunnel(window)(ts, cond_1 … cond_L)`: the max funnel level
+    * per key — the largest L' such that events e_1 … e_L' exist with
+    * cond_i(e_i), ordered strictly by (time, tieBreak) row order, and
+    * time(e_L') - time(e_1) ≤ windowSpan.
+    *
+    * DP over the per-key (time, tieBreak)-sorted run: f_1(e) = latest
+    * cond_1 time strictly before e; f_k(e) = latest *chain-start* time
+    * among chains reaching level k strictly before e (taking the
+    * latest start is optimal — the window constraint only compares the
+    * current time against the start). Each f_k is one running-max
+    * window over the previous level's column.
+    *
+    * Returns one row per key: `(key, funnel_level)` with level 0 for
+    * keys whose events never match cond_1.
+    */
+  def windowFunnel(events: DataFrame, key: String, time: String,
+                   tieBreak: String, conds: Seq[Column],
+                   windowSpan: Long): DataFrame = {
+    require(conds.nonEmpty, "windowFunnel needs at least one condition")
+    // Strictly-preceding frame: an event can't occupy two funnel
+    // levels at once (conds are usually disjoint, but the operator
+    // shouldn't depend on that).
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, -1)
+
+    var acc = events
+    conds.zipWithIndex.foreach { case (cond, i) =>
+      val lvl = i + 1
+      val start =
+        if (i == 0) when(cond, col(time))
+        else when(cond && col(time) - col(s"_f$i") <= windowSpan, col(s"_f$i"))
+      // _hit_k marks "this event completes a chain to level k";
+      // _f_k carries the best chain-start forward for level k+1.
+      acc = acc
+        .withColumn(s"_hit$lvl", start.isNotNull.cast("int"))
+        .withColumn(s"_f$lvl", max(start).over(w))
+    }
+    // Chain-reachability is monotone (level k implies level k-1), so
+    // the sum of per-level any-hit flags IS the max level reached.
+    val levelFlags = conds.indices.map(i => max(col(s"_hit${i + 1}")))
+    acc.groupBy(col(key))
+      .agg(levelFlags.reduce(_ + _).cast("long").as("funnel_level"))
+  }
+
+  /** `retention(cond_1 … cond_L)` per key: flag_1 = did cond_1;
+    * flag_i (i>1) = did cond_1 AND did cond_i. One conditional
+    * aggregation — no ordering, no window, map-side combinable. */
+  def retention(events: DataFrame, key: String, conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty, "retention needs at least one condition")
+    val did = conds.zipWithIndex.map { case (c, i) =>
+      max(c.cast("int")).as(s"_did${i + 1}")
+    }
+    val base = events.groupBy(col(key)).agg(did.head, did.tail: _*)
+    val flags = conds.indices.map { i =>
+      val f =
+        if (i == 0) col("_did1")
+        else col("_did1") * col(s"_did${i + 1}")
+      f.cast("long").as(s"r${i + 1}")
+    }
+    base.select(col(key) +: flags: _*)
+  }
+
+  /** `sequenceMatch('(?1).*(?2)')` per key: does a cond_1 event
+    * precede (strictly, by time) a cond_2 event? min/max conditional
+    * aggregation — no join, no window. */
+  def sequenceMatch2(events: DataFrame, key: String, time: String,
+                     cond1: Column, cond2: Column): DataFrame =
+    events.groupBy(col(key))
+      .agg(
+        min(when(cond1, col(time))).as("_first1"),
+        max(when(cond2, col(time))).as("_last2"))
+      .select(col(key),
+        (col("_first1").isNotNull && col("_last2").isNotNull &&
+          col("_first1") < col("_last2")).cast("int").as("matched"))
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Funnel
+
+/** Funnel/retention/sequenceMatch on hand-built chains — the sf data is
+  * dense enough that nearly every user funnels to level 3, so window
+  * expiry, ordering, and partial chains are exercised here. */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = 100L // window span in ts units
+
+  private def funnel(rows: Seq[(Long, Long, Long, String)]): Map[Long, Long] = {
+    val df = rows.toDF("user_id", "event_id", "ts", "event_type")
+    Funnel.windowFunnel(df, "user_id", "ts", "event_id",
+        Seq(col("event_type") === "s", col("event_type") === "c",
+          col("event_type") === "p"),
+        windowSpan = W)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("full chain within window reaches level 3") {
+    assert(funnel(Seq((1L, 1L, 10L, "s"), (1L, 2L, 50L, "c"), (1L, 3L, 100L, "p")))
+      === Map(1L -> 3L))
+  }
+
+  test("window measured from chain START, not previous step") {
+    // s@0, c@90, p@150: p is 60 after c but 150 > W after s -> level 2.
+    assert(funnel(Seq((1L, 1L, 0L, "s"), (1L, 2L, 90L, "c"), (1L, 3L, 150L, "p")))
+      === Map(1L -> 2L))
+  }
+
+  test("a later restart rescues an expired chain") {
+    // First signup expires, second signup@100 starts a fresh chain.
+    assert(funnel(Seq(
+      (1L, 1L, 0L, "s"), (1L, 2L, 100L, "s"),
+      (1L, 3L, 150L, "c"), (1L, 4L, 190L, "p"))) === Map(1L -> 3L))
+  }
+
+  test("steps out of order do not chain") {
+    // c before any s: level stops at 1 (the s alone).
+    assert(funnel(Seq((1L, 1L, 10L, "c"), (1L, 2L, 20L, "s"))) === Map(1L -> 1L))
+  }
+
+  test("no cond1 event means level 0") {
+    assert(funnel(Seq((1L, 1L, 10L, "c"), (1L, 2L, 20L, "p"))) === Map(1L -> 0L))
+  }
+
+  test("equal timestamps chain by event_id row order, strictly preceding") {
+    // s and c share ts=10: c (higher event_id) sees the s -> level 2;
+    // reversed ids -> the c precedes the s and cannot chain.
+    assert(funnel(Seq((1L, 1L, 10L, "s"), (1L, 2L, 10L, "c"))) === Map(1L -> 2L))
+    assert(funnel(Seq((1L, 2L, 10L, "s"), (1L, 1L, 10L, "c"))) === Map(1L -> 1L))
+  }
+
+  test("retention flags AND with cond1") {
+    val df = Seq(
+      (1L, "s"), (1L, "c"),          // signup + click
+      (2L, "c"), (2L, "p"),          // no signup: all flags 0
+      (3L, "s")                      // signup only
+    ).toDF("user_id", "event_type")
+    val got = Funnel.retention(df, "user_id",
+        Seq(col("event_type") === "s", col("event_type") === "c",
+          col("event_type") === "p"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === Map(1L -> ((1L, 1L, 0L)), 2L -> ((0L, 0L, 0L)), 3L -> ((1L, 0L, 0L))))
+  }
+
+  test("sequenceMatch2 requires strict time order") {
+    val df = Seq(
+      (1L, 10L, "p"), (1L, 20L, "e"),  // p then e: match
+      (2L, 20L, "p"), (2L, 10L, "e"),  // e then p: no match
+      (3L, 10L, "p"), (3L, 10L, "e"),  // equal ts: no match (strict)
+      (4L, 10L, "p")                   // no e: no match
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.sequenceMatch2(df, "user_id", "ts",
+        col("event_type") === "p", col("event_type") === "e")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0))
+  }
+}
