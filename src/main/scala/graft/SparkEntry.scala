@@ -233,7 +233,8 @@ object SparkEntry {
     "a11_pipeline_e2e" -> (a11PipelineE2e _),
     "b1_pricing_summary" -> (b1Pricing _),
     "b8_daily_rollup" -> (b8DailyRollup _)
-  ) ++ AnalyticsQueries.queries ++ AnalyticsQueries2.queries ++ TrainingQueries.queries
+  ) ++ AnalyticsQueries.queries ++ AnalyticsQueries2.queries ++
+    TrainingQueries.queries ++ TrainingQueries2.queries
 
   def oracleSql: Map[String, String] = Map(
     "a1_ingest" ->
@@ -312,7 +313,8 @@ object SparkEntry {
          count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
          ORDER BY event_type, event_date"""
-  ) ++ AnalyticsQueries.oracleSql ++ AnalyticsQueries2.oracleSql ++ TrainingQueries.oracleSql
+  ) ++ AnalyticsQueries.oracleSql ++ AnalyticsQueries2.oracleSql ++
+    TrainingQueries.oracleSql ++ TrainingQueries2.oracleSql
 
   /** DuckDB mirror of ChTypes.inferFromStrings over the same 5 keys. */
   private def inferTypesOracle: String = {

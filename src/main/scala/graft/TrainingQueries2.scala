@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Chunker, PiiScrub, TfIdf, VectorStats}
+import graft.sources.Tables
+
+/** C-series round 2 (SURVEY §2C, C14-C18): corpus statistics and
+  * preparation operators — TF-IDF term ranking, token-window chunking,
+  * PII scrubbing, per-label embedding centroids, vocabulary — each
+  * oracle-checked against a DuckDB mirror of the same computation
+  * (integer-scaled scores, md5 chunk digests, micro-unit vector sums;
+  * no floats cross engines un-quantized).
+  */
+object TrainingQueries2 {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private val toksSql = """regexp_extract_all(lower(trim(text)), '\S+')"""
+
+  /** C14: top-3 TF-IDF terms per document (integer-scaled score). */
+  private def c14Tfidf(s: SparkSession, dir: String): DataFrame =
+    TfIdf.topTerms(T(s, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rk"))
+
+  /** C15: 64-token chunks, stride 32 (overlapping context windows);
+    * chunk text compared by md5 digest. */
+  private def c15Chunks(s: SparkSession, dir: String): DataFrame =
+    Chunker.chunkTokens(T(s, dir, "documents"), "doc_id", "text",
+        size = 64, stride = 32)
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk_tokens")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk_tokens"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** C16: PII scrub over a corpus with planted emails/phones (the raw
+    * synthetic corpus carries none — plant deterministically in-plan,
+    * mirror the plant in the oracle). */
+  private def c16PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val withPii = T(s, dir, "documents").select(col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact u"), col("doc_id").cast("string"), lit("@ex.com"),
+        when(col("doc_id") % 3 === 0, lit(" also admin@site.net"))
+          .otherwise(lit("")),
+        lit(" call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    PiiScrub.scrub(withPii, "doc_id", "text")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("scrubbed")).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C17: per-label embedding centroid sums (micro-unit exact). */
+  private def c17LabelCentroids(s: SparkSession, dir: String): DataFrame =
+    VectorStats.centroidSums(T(s, dir, "embeddings"), "label", "embedding")
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        col("sum_micro"), col("n_vecs"))
+      .orderBy(col("label"), col("dim"))
+
+  /** C18: corpus vocabulary top-50 by total occurrences. The heavy
+    * part (full-vocab ordering) runs as TakeOrderedAndProject — the
+    * rank window only ever sees the surviving 50 rows. */
+  private def c18Vocab(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = TfIdf.termFreq(T(s, dir, "documents"), "doc_id", "text")
+      .groupBy(col("word"))
+      .agg(sum(col("term_freq")).as("n_total"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_total").desc, col("word"))
+      .limit(50)
+    v.withColumn("rk",
+        row_number().over(Window.orderBy(col("n_total").desc, col("word"))))
+      .select(col("rk"), col("word"), col("n_total"), col("n_docs"))
+      .orderBy(col("rk"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c14_tfidf" -> (c14Tfidf _),
+    "c15_chunks" -> (c15Chunks _),
+    "c16_pii_scrub" -> (c16PiiScrub _),
+    "c17_label_centroids" -> (c17LabelCentroids _),
+    "c18_vocab" -> (c18Vocab _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "c14_tfidf" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest($toksSql) AS word FROM documents),
+          tf AS (
+            SELECT doc_id, word, count(*) AS term_freq
+            FROM toks GROUP BY doc_id, word),
+          dfreq AS (SELECT word, count(*) AS doc_freq FROM tf GROUP BY word),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          scored AS (
+            SELECT tf.doc_id, tf.word, tf.term_freq, dfreq.doc_freq,
+              (tf.term_freq * 1000000 * n.n_docs) // dfreq.doc_freq AS score_micro
+            FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+          r AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_micro DESC, word) AS rk
+            FROM scored)
+          SELECT doc_id, rk, word, term_freq, doc_freq, score_micro
+          FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "c15_chunks" ->
+      s"""WITH t AS (
+            SELECT doc_id, $toksSql AS tk FROM documents),
+          c AS (
+            SELECT doc_id, tk,
+              unnest(generate_series(0, CAST((len(tk) - 1) // 32 AS BIGINT)))
+                AS chunk_id
+            FROM t WHERE len(tk) > 0),
+          sl AS (
+            SELECT doc_id, chunk_id,
+              list_slice(tk, chunk_id * 32 + 1, chunk_id * 32 + 64) AS ct
+            FROM c)
+          SELECT doc_id, chunk_id, CAST(len(ct) AS BIGINT) AS n_tokens,
+            md5(array_to_string(ct, ' ')) AS chunk_md5
+          FROM sl ORDER BY doc_id, chunk_id""",
+    "c16_pii_scrub" ->
+      """WITH pii AS (
+           SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com' ||
+             CASE WHEN doc_id % 3 = 0 THEN ' also admin@site.net' ELSE '' END ||
+             ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS text
+           FROM documents),
+         scr AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_emails,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS demail
+           FROM pii)
+         SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(demail,
+             '\+?1?[-.]?\(?\d{3}[-. )]*\d{3}[-. ]*\d{4}|\b555-\d{4}\b'))
+             AS BIGINT) AS n_phones,
+           md5(regexp_replace(demail,
+             '\+?1?[-.]?\(?\d{3}[-. )]*\d{3}[-. ]*\d{4}|\b555-\d{4}\b',
+             '<PHONE>', 'g')) AS scrubbed_md5
+         FROM scr ORDER BY doc_id""",
+    "c17_label_centroids" ->
+      """SELECT label, CAST(pos AS BIGINT) AS dim,
+           sum(CAST(round(CAST(embedding[pos + 1] AS DOUBLE) * 1000000)
+             AS BIGINT)) AS sum_micro,
+           count(*) AS n_vecs
+         FROM embeddings
+         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) g
+         GROUP BY label, pos ORDER BY label, dim""",
+    "c18_vocab" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest($toksSql) AS word FROM documents),
+          tf AS (
+            SELECT doc_id, word, count(*) AS term_freq
+            FROM toks GROUP BY doc_id, word),
+          v AS (
+            SELECT word, sum(term_freq) AS n_total, count(*) AS n_docs
+            FROM tf GROUP BY word),
+          top AS (
+            SELECT row_number() OVER (ORDER BY n_total DESC, word) AS rk,
+              word, n_total, n_docs
+            FROM v ORDER BY n_total DESC, word LIMIT 50)
+          SELECT rk, word, n_total, n_docs FROM top ORDER BY rk"""
+  )
+}

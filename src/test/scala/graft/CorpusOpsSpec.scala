@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Chunker, PiiScrub, TfIdf, VectorStats}
+
+/** Unit coverage for the round-2 corpus operators (TF-IDF, chunking,
+  * PII scrub, centroid sums) on hand-built edge cases the synthetic
+  * corpus doesn't exercise. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidf ranks rare terms above common ones") {
+    val docs = Seq(
+      (1L, "alpha common common"),
+      (2L, "beta common"),
+      (3L, "gamma common")).toDF("doc_id", "text")
+    val top1 = TfIdf.topTerms(docs, "doc_id", "text", k = 1)
+      .select("doc_id", "word").as[(Long, String)].collect().toMap
+    // each doc's unique term (df=1) outranks 'common' (df=3) even
+    // where 'common' has higher tf
+    assert(top1 === Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+  }
+
+  test("vocabulary counts totals and doc frequency") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val v = TfIdf.vocabulary(docs, "doc_id", "text")
+      .select("word", "n_total", "n_docs").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(v === Map("a" -> ((2L, 1L)), "b" -> ((2L, 2L)), "c" -> ((1L, 1L))))
+  }
+
+  test("chunker covers every token; overlap matches stride") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Chunker.chunkTokens(docs, "doc_id", "text", size = 64, stride = 32)
+      .orderBy("chunk_id")
+      .select(col("chunk_id"), col("chunk_tokens"))
+      .as[(Long, Seq[String])].collect()
+    // starts at 0, 32, 64, 96 -> lengths 64, 64, 36, 4
+    assert(chunks.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(chunks.map(_._2.size).toSeq === Seq(64, 64, 36, 4))
+    assert(chunks(0)._2.head === "t1" && chunks(1)._2.head === "t33")
+    assert(chunks(3)._2 === Seq("t97", "t98", "t99", "t100"))
+  }
+
+  test("chunker emits nothing for empty or null text") {
+    val docs = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "one"))
+      .toDF("doc_id", "text")
+    val got = Chunker.chunkTokens(docs, "doc_id", "text", 4, 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got === Seq(3L))
+  }
+
+  test("pii scrub replaces all emails and phones, counts match") {
+    val docs = Seq(
+      (1L, "mail a@b.com and c.d+e@f-g.org or call 555-0199"),
+      (2L, "clean text no pii"),
+      (3L, "dial (555) 012-3456 now")).toDF("doc_id", "text")
+    val got = PiiScrub.scrub(docs, "doc_id", "text")
+      .select("doc_id", "n_emails", "n_phones", "scrubbed")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L)._1 === 2 && got(1L)._2 === 1)
+    assert(got(1L)._3 === "mail <EMAIL> and <EMAIL> or call <PHONE>")
+    assert(got(2L) === ((0L, 0L, "clean text no pii")))
+    assert(got(3L)._2 === 1 && got(3L)._3 === "dial <PHONE> now")
+  }
+
+  test("centroid sums are exact micro-unit integers per (label, dim)") {
+    val emb = Seq(
+      ("a", Array(0.5f, -1.25f)),
+      ("a", Array(0.25f, 0.75f)),
+      ("b", Array(1.0f, 2.0f))).toDF("label", "embedding")
+    val got = VectorStats.centroidSums(emb, "label", "embedding")
+      .select("label", "dim", "sum_micro", "n_vecs")
+      .as[(String, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === Map(
+      ("a", 0) -> ((750000L, 2L)), ("a", 1) -> ((-500000L, 2L)),
+      ("b", 0) -> ((1000000L, 1L)), ("b", 1) -> ((2000000L, 1L))))
+  }
+}
