@@ -35,6 +35,45 @@ object StreamingAnalytics {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup keyed on `idCols`, with state bounded by
+    * the event-time watermark (Spark keeps one key per id only until
+    * the watermark passes it — the unbounded-stream analogue of C1's
+    * batch hash-dedup; without the watermark the key store grows
+    * forever). Duplicates arriving later than `watermark` can
+    * reappear — that's the documented at-least-once trade. */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("event_time", Fns.nanosToTimestamp(col("ts")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Stream-stream interval join (B11's streaming twin): each left
+    * event joined to same-key right events at-or-after it within
+    * `maxDeltaNs`. Both sides watermarked so Spark can discard
+    * buffered state once no future match is possible — the state
+    * bound is (watermark + maxDelta) per side, independent of stream
+    * length. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         maxDeltaNs: Long,
+                         watermark: String = "10 minutes"): DataFrame = {
+    val l = left
+      .withColumn("l_time", Fns.nanosToTimestamp(col("ts")))
+      .withWatermark("l_time", watermark)
+      .select(col(key).as("l_key"), col("l_time"),
+        col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val r = right
+      .withColumn("r_time", Fns.nanosToTimestamp(col("ts")))
+      .withWatermark("r_time", watermark)
+      .select(col(key).as("r_key"), col("r_time"),
+        col("event_id").as("r_id"), col("ts").as("r_ts"))
+    val deltaExpr = expr(
+      s"r_time >= l_time AND r_time <= l_time + INTERVAL ${maxDeltaNs / 1000} MICROSECOND")
+    l.join(r, col("l_key") === col("r_key") && deltaExpr)
+      .select(col("l_key").as(key), col("l_id"), col("r_id"),
+        ((col("r_ts") - col("l_ts")) / 1000000000L).cast("long").as("delta_s"))
+  }
+
   /** Streaming sessionization: 30-min-gap sessions per user via
     * flatMapGroupsWithState. Closed sessions emit as soon as a
     * later event proves the gap (Append mode); the open tail of each
