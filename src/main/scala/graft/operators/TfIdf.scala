@@ -14,12 +14,15 @@ import graft.functions.Fns
   * fixed N (both monotone in tf and 1/df), but exact on both engines;
   * ln() on doubles is libm-dependent and hash-flakes the oracle.
   *
-  * Scale shape: explode → two partial-agg groupBys (doc-term, then
-  * term) → shuffle join on `word` (the doc-frequency side is
-  * vocabulary-sized — can exceed broadcast range on a 100 TB corpus,
-  * so it stays a shuffle join and AQE may downgrade it to broadcast
-  * when small) → per-doc WindowGroupLimit for the top-k filter. No
-  * collect, no cross join; the corpus-size scalar N broadcasts.
+  * Scale shape: ONE corpus scan — explode → partial-agg groupBy on
+  * (doc, term), then doc-frequency as a count window over the
+  * aggregated (vocab-sized) rows rather than a join against a second
+  * derivation of the same aggregate (a DataFrame fork would re-scan
+  * and re-explode the whole corpus; at 100 TB the scan dominates
+  * everything else). Two further shuffles move only aggregated rows:
+  * word (doc-freq window) and doc (top-k rank, pruned by
+  * WindowGroupLimit below the exchange). The corpus-size scalar N
+  * broadcasts as a 1-row cross join.
   */
 object TfIdf {
 
@@ -33,11 +36,11 @@ object TfIdf {
     * Output: (id, rk, word, term_freq, doc_freq, score_micro). */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val tf = termFreq(docs, idCol, textCol)
-    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("doc_freq"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score_micro").desc, col("word"))
-    tf.join(dfreq, "word")
+    tf.withColumn("doc_freq",
+        count(lit(1)).over(Window.partitionBy(col("word"))))
       .crossJoin(broadcast(n))
       .withColumn("score_micro",
         expr("(term_freq * 1000000 * n_docs) div doc_freq"))
