@@ -126,6 +126,19 @@ object TrainingQueries {
         threshold = 0.9, roundScale = 4)
       .orderBy(col("id1"), col("id2"))
 
+  /** C19: near-dup pairs → duplicate CLUSTERS via connected components
+    * (min-id label propagation; the keep/drop decision step after any
+    * pairwise near-dup pass). Oracle is a recursive CTE to fixpoint —
+    * genuinely the same computation. */
+  private def c19DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(
+      corpusWithDups(T(s, dir, "documents")), "doc_id", "text",
+      n = 3, threshold = 0.6)
+    Dedup.connectedComponents(pairs, "id1", "id2")
+      .select(col("node").as("doc_id"), col("component").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------
   // C6-C7: similarity search
   // ------------------------------------------------------------------
@@ -223,7 +236,8 @@ object TrainingQueries {
     "c10_token_count" -> (c10TokenCount _),
     "c11_fingerprint" -> (c11Fingerprint _),
     "c12_multimodal" -> (c12Multimodal _),
-    "c13_sample" -> (c13Sample _)
+    "c13_sample" -> (c13Sample _),
+    "c19_dup_clusters" -> (c19DupClusters _)
   )
 
   // ------------------------------------------------------------------
@@ -481,6 +495,24 @@ object TrainingQueries {
                ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
            FROM events)
          SELECT event_type, list(event_id ORDER BY h, event_id) AS sample_ids
-         FROM r WHERE rn <= 5 GROUP BY event_type ORDER BY event_type"""
+         FROM r WHERE rn <= 5 GROUP BY event_type ORDER BY event_type""",
+    "c19_dup_clusters" -> c19OracleSql
   )
+
+  /** Recursive-CTE fixpoint of min-label reachability over the same
+    * verified ngram-jaccard pairs c4 emits. */
+  private def c19OracleSql: String =
+    s"""WITH RECURSIVE $corpusSql,
+        toks AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+        shd AS (SELECT doc_id, list_distinct(${ngramsSql(3)}) AS shs FROM toks),
+        ${jaccardSql(0.6)},
+        edges AS (
+          SELECT id1 AS a, id2 AS b FROM verified
+          UNION SELECT id2, id1 FROM verified),
+        reach(n, m) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+        SELECT n AS doc_id, min(m) AS cluster
+        FROM reach GROUP BY n ORDER BY doc_id"""
 }

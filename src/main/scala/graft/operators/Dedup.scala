@@ -215,4 +215,59 @@ object Dedup {
         Fns.cosine(col("a.v"), col("b.v"), roundScale).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
+
+  /** Connected components over an undirected near-dup pair list — the
+    * clustering step that turns pairwise matches into dedup groups
+    * (keep min-id per component, drop the rest). Returns one row per
+    * node that appears in a pair: `(node, component)` with component =
+    * min node id in its component.
+    *
+    * Algorithm: neighbor-min label propagation to fixpoint — each
+    * round joins labels to edges and takes min(self, neighbors), so a
+    * round is one shuffle join + one groupBy over the PAIR list (edge
+    * count ~ duplicate density, orders of magnitude below corpus
+    * size). Rounds needed = eccentricity of each component's min node;
+    * near-dup clusters are shallow (dups of a common source), so this
+    * converges in a handful of rounds. `localCheckpoint` truncates the
+    * growing lineage each round (iterative DataFrame joins otherwise
+    * re-plan the whole history). For adversarially long path graphs at
+    * extreme scale the two-phase large-star/small-star variant
+    * (Kiveris et al., "Connected Components in MapReduce") drops
+    * rounds to O(log n); this operator asserts convergence within
+    * `maxIter` instead of silently emitting partial components. */
+  def connectedComponents(pairs: DataFrame, col1: String, col2: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(col1).as("src"), col(col2).as("dst"))
+      .unionAll(pairs.select(col(col2).as("src"), col(col1).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // re-joined every round
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("component").as("dst_comp")),
+          "dst")
+        .groupBy(col("src")).agg(min(col("dst_comp")).as("nbr_comp"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("node"), col("nbr_comp")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_comp"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      converged = next.select(col("node"), col("component").as("next_comp"))
+        .join(labels, "node")
+        .filter(col("next_comp") =!= col("component"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
 }

@@ -80,4 +80,26 @@ class DedupSpec extends SparkSpec {
     assert((out(0).getLong(0), out(0).getLong(1)) == (1L, 2L))
     assert(out(0).getAs[Double]("cosine_sim") == 1.0)
   }
+
+  test("connected components: chain, triangle, isolated pair, min-id labels") {
+    // chain 5-6-7-8 (min 5), triangle 1-2-3 (min 1), pair 10-11 (min 10)
+    val pairs = Seq(
+      (6L, 5L), (6L, 7L), (8L, 7L),
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (11L, 10L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L,
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: long path converges (propagation rounds)") {
+    // path 1-2-3-...-12: min label must travel 11 hops
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(got === (1L to 12L).map(_ -> 1L).toMap)
+  }
 }

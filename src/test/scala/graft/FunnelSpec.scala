@@ -54,6 +54,36 @@ class FunnelSpec extends SparkSpec {
     assert(funnel(Seq((1L, 2L, 10L, "s"), (1L, 1L, 10L, "c"))) === Map(1L -> 1L))
   }
 
+  test("windowFunnel DP equals brute-force chain search on random data") {
+    val rnd = new scala.util.Random(42)
+    val types = Array("s", "c", "p", "x")
+    val rows = (1 to 400).map { i =>
+      (rnd.nextInt(12).toLong + 1, i.toLong, rnd.nextInt(300).toLong,
+        types(rnd.nextInt(types.length)))
+    }
+    // brute force: max L such that a strictly-row-ordered chain
+    // s->c->p exists with ts_L - ts_1 <= W (rows ordered by ts, id)
+    val want = rows.groupBy(_._1).map { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._2))
+      val chains = Seq("s", "c", "p")
+      def best(level: Int, startIdx: Int, startTs: Long): Int =
+        if (level == 3) 3
+        else {
+          val nexts = sorted.zipWithIndex.drop(startIdx).collect {
+            case ((_, _, ts, tp), idx)
+              if tp == chains(level) && (level == 0 || ts - startTs <= W) =>
+                (idx, ts)
+          }
+          if (nexts.isEmpty) level
+          else nexts.map { case (idx, ts) =>
+            best(level + 1, idx + 1, if (level == 0) ts else startTs)
+          }.max
+        }
+      uid -> best(0, 0, 0L).toLong
+    }
+    assert(funnel(rows) === want)
+  }
+
   test("retention flags AND with cond1") {
     val df = Seq(
       (1L, "s"), (1L, "c"),          // signup + click
