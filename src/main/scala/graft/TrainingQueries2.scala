@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Chunker, PiiScrub, TfIdf, VectorStats}
+import graft.operators.{Chunker, PiiScrub, Splitter, TfIdf, VectorStats}
 import graft.sources.Tables
 
 /** C-series round 2 (SURVEY §2C, C14-C18): corpus statistics and
@@ -75,12 +75,29 @@ object TrainingQueries2 {
       .orderBy(col("rk"))
   }
 
+  /** C20: deterministic train/valid/test split + per-language 10%
+    * stratified sample, rolled up per (lang, split). Pure hash
+    * projections — no RNG, no shuffle before the final rollup. */
+  private def c20Split(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val sp = Splitter.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val sampled = Splitter.stratifiedSample(docs, "lang", "doc_id", 0.1)
+      .select(col("doc_id"), lit(1L).as("in_sample"))
+    sp.join(sampled, Seq("doc_id"), "left")
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("in_sample"), lit(0L))).as("n_sampled"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c14_tfidf" -> (c14Tfidf _),
     "c15_chunks" -> (c15Chunks _),
     "c16_pii_scrub" -> (c16PiiScrub _),
     "c17_label_centroids" -> (c17LabelCentroids _),
-    "c18_vocab" -> (c18Vocab _)
+    "c18_vocab" -> (c18Vocab _),
+    "c20_split" -> (c20Split _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -163,6 +180,19 @@ object TrainingQueries2 {
             SELECT row_number() OVER (ORDER BY n_total DESC, word) AS rk,
               word, n_total, n_docs
             FROM v ORDER BY n_total DESC, word LIMIT 50)
-          SELECT rk, word, n_total, n_docs FROM top ORDER BY rk"""
+          SELECT rk, word, n_total, n_docs FROM top ORDER BY rk""",
+    "c20_split" ->
+      """WITH sp AS (
+           SELECT doc_id, lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+                    THEN 'valid'
+                  ELSE 'test' END AS split,
+             CASE WHEN substr(md5(lang || '#' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '19999999' THEN 1 ELSE 0 END AS in_sample
+           FROM documents)
+         SELECT lang, split, count(*) AS n_docs, sum(in_sample) AS n_sampled
+         FROM sp GROUP BY lang, split ORDER BY lang, split"""
   )
 }
