@@ -190,6 +190,25 @@ object AnalyticsQueries2 {
       .orderBy(col("event_date"))
   }
 
+  /** B21: CH groupUniqArray — each user's sorted distinct event-type
+    * set, rolled up into behavior-profile counts. Set semantics make
+    * collect_set order-independent; sort_array + join makes the
+    * profile string deterministic cross-engine. */
+  private def b21TypeProfiles(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      // null/empty types excluded on BOTH sides: collect_set drops
+      // nulls, DuckDB's list() keeps them — don't let them differ.
+      // The 1-in-7 event sample keeps profiles varied — the full table
+      // is dense enough that every user hits all five types.
+      .filter(col("event_type").isNotNull && length(col("event_type")) > 0 &&
+        col("event_id") % 7 === 0)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(",", sort_array(collect_set(col("event_type"))))
+        .as("type_set"))
+      .groupBy(col("type_set"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("type_set"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b12_window_funnel" -> (b12WindowFunnel _),
     "b13_retention" -> (b13Retention _),
@@ -200,7 +219,8 @@ object AnalyticsQueries2 {
     "b17_pivot" -> (b17Pivot _),
     "b18_moving_sum" -> (b18MovingSum _),
     "b19_sequence_match" -> (b19SequenceMatch _),
-    "b20_argmax" -> (b20ArgMax _)
+    "b20_argmax" -> (b20ArgMax _),
+    "b21_type_profiles" -> (b21TypeProfiles _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -325,7 +345,18 @@ object AnalyticsQueries2 {
                  FROM events) WHERE rk = 1)
          SELECT mx.event_type, argmax_user, max_value, argmin_user, min_value
          FROM mx JOIN mn ON mx.event_type = mn.event_type
-         ORDER BY mx.event_type"""
+         ORDER BY mx.event_type""",
+    "b21_type_profiles" ->
+      """WITH p AS (
+           SELECT user_id,
+             array_to_string(list_sort(list(DISTINCT event_type)), ',')
+               AS type_set
+           FROM events
+           WHERE event_type IS NOT NULL AND len(event_type) > 0
+             AND event_id % 7 = 0
+           GROUP BY user_id)
+         SELECT type_set, count(*) AS n_users
+         FROM p GROUP BY type_set ORDER BY type_set"""
     // b15b_approx_quantiles: sketch values are engine-specific — rows-only.
   )
 }
