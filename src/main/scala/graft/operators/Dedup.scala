@@ -251,17 +251,18 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("component").as("dst_comp")),
           "dst")
         .groupBy(col("src")).agg(min(col("dst_comp")).as("nbr_comp"))
+      // carry the changed flag inside the checkpointed frame: the
+      // convergence probe then scans cached partitions instead of
+      // re-running the round's join (two jobs per round, not three)
       val next = labels
         .join(nbrMin.select(col("src").as("node"), col("nbr_comp")), Seq("node"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_comp"), col("component")))
-            .as("component"))
+            .as("component"),
+          (col("nbr_comp") < col("component")).as("_changed"))
         .localCheckpoint()
-      converged = next.select(col("node"), col("component").as("next_comp"))
-        .join(labels, "node")
-        .filter(col("next_comp") =!= col("component"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("_changed")).isEmpty
+      labels = next.drop("_changed")
       iter += 1
     }
     edges.unpersist()
