@@ -1,0 +1,59 @@
+package graft
+
+/** Plan-shape regression guards: SURVEY §5's scale claims, asserted
+  * against the actual physical plans (not just documented in
+  * docs/EXPLAINS.md). If an operator edit silently reintroduces a
+  * shuffle, un-pushes a filter, or drops WindowGroupLimit pruning,
+  * these fail before any benchmark would notice. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("b1: shipdate filter reaches the parquet scan; columns pruned") {
+    val p = plan("b1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"filter not pushed:\n$p")
+    assert(!p.contains("l_orderkey"), "reads columns the query never uses")
+  }
+
+  test("b3: every dimension join broadcasts; no dim-side shuffle") {
+    val p = plan("b3_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a dim join fell back to sort-merge:\n$p")
+  }
+
+  test("b12: funnel shuffles once on user_id; windows share the sort") {
+    val p = plan("b12_window_funnel")
+    val userExchanges = p.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1, s"expected exactly 1 user_id exchange:\n$p")
+    // both level windows run over ONE sort of that exchange
+    val sorts = p.split("\n").count(l => l.trim.startsWith("+- Sort ") ||
+      l.trim.startsWith(":- Sort "))
+    assert(p.split("Window \\[").length - 1 == 2, s"expected 2 window nodes:\n$p")
+    assert(sorts <= 2, s"windows re-sorted instead of sharing:\n$p") // 1 keyed + 1 output order
+  }
+
+  test("b14/c14: rank filter prunes below the exchange (WindowGroupLimit)") {
+    assert(plan("b14_top_k").contains("WindowGroupLimit"))
+    val c14 = plan("c14_tfidf")
+    assert(c14.contains("WindowGroupLimit"))
+    // one corpus explode only — doc-freq must not re-derive the corpus
+    assert(c14.split("Generate explode").length - 1 == 1,
+      s"tfidf re-explodes the corpus:\n$c14")
+  }
+
+  test("b2: top-n plans as TakeOrderedAndProject, never a full sort") {
+    val p = plan("b2_top_revenue")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for a limit:\n$p")
+  }
+
+  test("c9: quality metrics are a single scan with no shuffle") {
+    val p = plan("c9_quality")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"row-local metrics should not shuffle:\n$p")
+  }
+}
