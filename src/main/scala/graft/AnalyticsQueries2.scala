@@ -102,6 +102,18 @@ object AnalyticsQueries2 {
     top.join(bot, Seq("event_type")).orderBy(col("event_type"))
   }
 
+  /** B14b: the 100 TB twin of b14 — CH topK's actual algorithm
+    * (SpaceSaving, custom TypedImperativeAggregate): fixed counters
+    * per group, one pass, the shuffle carries ≤ capacity triples per
+    * group per map task instead of the unbounded (type, user) key
+    * space. Counts are merge-order upper bounds → rows-only. */
+  private def b14bTopkSketch(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(Fns.heavyHitters(col("user_id").cast("string"), capacity = 8)
+        .as("topk_sketch"))
+      .orderBy(col("event_type"))
+
   /** B15: exact quantiles (CH quantileExact) — p50/p90/p99 of value
     * per event_type, *discrete* semantics: the value at sorted index
     * (n-1)·q_pct/100 (integer arithmetic — IEEE (n-1)*0.99 floors
@@ -213,6 +225,7 @@ object AnalyticsQueries2 {
     "b12_window_funnel" -> (b12WindowFunnel _),
     "b13_retention" -> (b13Retention _),
     "b14_top_k" -> (b14TopK _),
+    "b14b_topk_sketch" -> (b14bTopkSketch _),
     "b15_quantiles" -> (b15Quantiles _),
     "b15b_approx_quantiles" -> (b15bApproxQuantiles _),
     "b16_rollup" -> (b16Rollup _),

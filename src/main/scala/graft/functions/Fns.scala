@@ -74,6 +74,15 @@ object Fns {
       graft.plans.BottomKByHash(graft.plans.Cols.expression(c), k)
         .toAggregateExpression())
 
+  /** SpaceSaving heavy hitters (CH topK): fixed `capacity` counters
+    * per group, one pass, mergeable — map value → count upper bound
+    * ([[graft.plans.HeavyHitters]]). Sketch counts are merge-order
+    * bounds: rows-only w.r.t. the oracle. */
+  def heavyHitters(c: Column, capacity: Int): Column =
+    graft.plans.Cols.column(
+      graft.plans.HeavyHitters(graft.plans.Cols.expression(c), capacity)
+        .toAggregateExpression())
+
   /** Exact decimal sum surfaced as DOUBLE (order-insensitive, so the
     * shuffle-order-dependent float sum never breaks the oracle). */
   def sumExact(c: Column, scale: Int = 2): Column =

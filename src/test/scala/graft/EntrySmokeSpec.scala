@@ -12,7 +12,8 @@ class EntrySmokeSpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
-    assert((q -- o) == Set("b9b_approx_distinct", "b15b_approx_quantiles"),
+    assert((q -- o) == Set("b9b_approx_distinct", "b15b_approx_quantiles",
+        "b14b_topk_sketch"),
       s"unexpected rows-only queries: ${q -- o}")
   }
 }
