@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.plans.{BottomKByHash, CosineSimD, DotProductD, WordNGrams}
+import graft.plans.{BottomKByHash, CosineSimD, DotProductD, HeavyHitters, WordNGrams}
 
 /** Session wiring for the graft engine.
   *
@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("bottom_k_by_hash"),
       info("bottom_k_by_hash", "bottom_k_by_hash(id, k) - deterministic k-minimum-values sample aggregate"),
       (args: Seq[Expression]) => BottomKByHash(args.head, intArg(args, 1, "bottom_k_by_hash"))))
+    ext.injectFunction((FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters", "heavy_hitters(v, capacity) - SpaceSaving top-k sketch aggregate (CH topK)"),
+      (args: Seq[Expression]) => HeavyHitters(args.head, intArg(args, 1, "heavy_hitters"))))
   }
 }
 

@@ -31,6 +31,11 @@ class GraftSessionSpec extends AnyFunSuite {
       assert(r.getAs[scala.collection.Seq[String]]("ng").toSeq == Seq("a b", "b c"))
       assert(r.getAs[Double]("dp") == 11.0)
       assert(r.getAs[Double]("cs") == 1.0)
+      val hh = spark.sql(
+        """SELECT heavy_hitters(v, 2) AS hh
+           FROM VALUES ('a'), ('a'), ('a'), ('b'), ('c') AS t(v)""")
+        .collect()(0).getAs[Map[String, Long]]("hh")
+      assert(hh.contains("a") && hh("a") >= 3)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
