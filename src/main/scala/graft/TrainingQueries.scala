@@ -59,11 +59,11 @@ object TrainingQueries {
   // Shared SQL fragments mirroring graft.functions.Fns
   // ------------------------------------------------------------------
 
-  private val toksSql = """regexp_extract_all(lower(trim(text)), '\S+')"""
-  private val normTextSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  private[graft] val toksSql = """regexp_extract_all(lower(trim(text)), '\S+')"""
+  private[graft] val normTextSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
   /** Mirror of Fns.wordNGrams over a token-list column `tk`. */
-  private def ngramsSql(n: Int): String =
+  private[graft] def ngramsSql(n: Int): String =
     s"""CASE WHEN len(tk) >= $n
         THEN list_transform(generate_series(1, len(tk) - ${n - 1}),
                i -> array_to_string(tk[i:i+${n - 1}], ' '))
@@ -72,7 +72,7 @@ object TrainingQueries {
   /** Mirror of the exact-jaccard verify: shingle self-join → count
     * intersections → jaccard vs per-doc shingle counts. Expects a
     * CTE `shd(doc_id, shs)` of distinct shingles to be in scope. */
-  private def jaccardSql(threshold: Double): String =
+  private[graft] def jaccardSql(threshold: Double): String =
     s"""sh AS (SELECT doc_id, unnest(shs) AS sh FROM shd),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
@@ -397,7 +397,7 @@ object TrainingQueries {
         SELECT query_id, rnk, corpus_id, cell, cosine_sim FROM ranked
         WHERE rnk <= 5 ORDER BY query_id, rnk"""
 
-  private def markersIn(ms: Seq[String]): String =
+  private[graft] def markersIn(ms: Seq[String]): String =
     ms.map(m => s"'$m'").mkString("(", ", ", ")")
 
   private def c8OracleSql: String = {

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Chunker, PiiScrub, Splitter, TfIdf, VectorStats}
+import graft.operators.{Chunker, CorpusPipeline, PiiScrub, Splitter, TfIdf, VectorStats}
+import graft.operators.TextAnalysis
 import graft.sources.Tables
 
 /** C-series round 2 (SURVEY §2C, C14-C18): corpus statistics and
@@ -91,13 +92,43 @@ object TrainingQueries2 {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** C21: the COMPOSED corpus pipeline end-to-end — exact dedup →
+    * quality gate → near-dup clustering (CC) → chunk — on a corpus
+    * with both exact and near duplicates planted, rolled up per lang.
+    * One oracle mirrors every stage in a single recursive-CTE query:
+    * if any stage drifts (dedup winner, rounding, cluster minima,
+    * chunk count), the hash breaks. */
+  private def c21Pipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val corpus = docs.select(col("doc_id"), col("lang"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"), col("text")))
+      .unionAll(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" zz tail")).as("text")))
+    val kept = CorpusPipeline.keptDocs(corpus, "doc_id", "text")
+    val chunkCounts = Chunker
+      .chunkTokens(kept, "doc_id", "text", size = 64, stride = 32)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    kept
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.Fns.tokens(col("text"))).cast("long").as("n_toks"))
+      .join(chunkCounts, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chunks")).as("n_chunks"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c14_tfidf" -> (c14Tfidf _),
     "c15_chunks" -> (c15Chunks _),
     "c16_pii_scrub" -> (c16PiiScrub _),
     "c17_label_centroids" -> (c17LabelCentroids _),
     "c18_vocab" -> (c18Vocab _),
-    "c20_split" -> (c20Split _)
+    "c20_split" -> (c20Split _),
+    "c21_corpus_pipeline" -> (c21Pipeline _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -193,6 +224,62 @@ object TrainingQueries2 {
                     < '19999999' THEN 1 ELSE 0 END AS in_sample
            FROM documents)
          SELECT lang, split, count(*) AS n_docs, sum(in_sample) AS n_sampled
-         FROM sp GROUP BY lang, split ORDER BY lang, split"""
+         FROM sp GROUP BY lang, split ORDER BY lang, split""",
+    "c21_corpus_pipeline" -> c21OracleSql
   )
+
+  /** Every pipeline stage mirrored in one recursive-CTE query (see
+    * c21Pipeline). Fragments shared with the per-stage oracles so the
+    * two stay in lockstep. */
+  private def c21OracleSql: String = {
+    val stopSet = TrainingQueries.markersIn(
+      TextAnalysis.langMarkers.flatMap(_._2).distinct)
+    s"""WITH RECURSIVE
+        pcorpus AS (
+          SELECT doc_id, lang, text FROM documents
+          UNION ALL
+          SELECT doc_id + 2000000, lang, text FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, lang, text || ' zz tail'
+          FROM documents WHERE doc_id % 10 = 0),
+        ex AS (
+          SELECT md5(${TrainingQueries.normTextSql}) AS fp, min(doc_id) AS keep_id
+          FROM pcorpus GROUP BY fp),
+        d1 AS (SELECT p.* FROM pcorpus p JOIN ex ON p.doc_id = ex.keep_id),
+        t0 AS (SELECT doc_id, lang, text, ${TrainingQueries.toksSql} AS tk FROM d1),
+        q AS (
+          SELECT doc_id, len(tk) AS n_tokens,
+            ((2 * least(CAST(len(tk) AS BIGINT) * 10000, 1000000)
+              + (1000000 - CASE WHEN length(text) > 0
+                  THEN CAST(round((length(text) -
+                    length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                    * 1000000.0 / length(text)) AS BIGINT) ELSE 0 END)
+              + least(5 * CASE WHEN len(tk) > 0
+                  THEN CAST(round(len(list_filter(tk, x -> x IN $stopSet))
+                    * 1000000.0 / len(tk)) AS BIGINT) ELSE 0 END, 1000000))
+             + 2) // 4 / 1000000.0 AS quality_score
+          FROM t0),
+        f AS (
+          SELECT t0.* FROM t0 JOIN q USING (doc_id)
+          WHERE q.n_tokens >= 40 AND q.quality_score >= 0.5),
+        shd AS (
+          SELECT doc_id, list_distinct(${TrainingQueries.ngramsSql(3)}) AS shs
+          FROM f),
+        ${TrainingQueries.jaccardSql(0.6)},
+        edges AS (
+          SELECT id1 AS a, id2 AS b FROM verified
+          UNION SELECT id2, id1 FROM verified),
+        reach(n, m) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+        comp AS (SELECT n, min(m) AS cluster FROM reach GROUP BY n),
+        dropids AS (SELECT n FROM comp WHERE n <> cluster),
+        keep AS (
+          SELECT * FROM f WHERE doc_id NOT IN (SELECT n FROM dropids))
+        SELECT lang, count(*) AS n_docs,
+          sum(len(tk)) AS n_tokens,
+          sum((len(tk) - 1) // 32 + 1) AS n_chunks
+        FROM keep GROUP BY lang ORDER BY lang"""
+  }
 }

@@ -92,6 +92,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept.subsetOf(Set(("en", 1L), ("de", 1L), ("en", 2L), ("de", 2L))))
   }
 
+  test("corpus pipeline: exact dup, short doc, and near-dup copy all drop") {
+    val good = (1 to 60).map(i => s"w$i").mkString(" ") // 60 tokens, clean
+    val near = good + " zz"                             // near-dup of good
+    val docs = Seq(
+      (1L, good),
+      (2L, good),            // exact dup of 1 -> dropped
+      (3L, "too short"),     // fails minTokens -> dropped
+      (4L, near),            // near-dup of 1 -> clustered, dropped
+      (5L, (100 to 170).map(i => s"v$i").mkString(" ")) // distinct, kept
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.CorpusPipeline
+      .keptDocs(docs, "doc_id", "text",
+        graft.operators.CorpusPipeline.Config(minTokens = 40, minQuality = 0.0))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 5L))
+  }
+
   test("centroid sums are exact micro-unit integers per (label, dim)") {
     val emb = Seq(
       ("a", Array(0.5f, -1.25f)),
