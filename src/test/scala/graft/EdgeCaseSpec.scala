@@ -51,6 +51,48 @@ class EdgeCaseSpec extends SparkSpec {
     assert(batched(1).getAs[Any]("feature_md5") == null)
   }
 
+  test("funnel on events matching no condition yields level 0, not empty") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 10L, "other")).toDF("user_id", "event_id", "ts", "event_type")
+    val got = graft.operators.Funnel.windowFunnel(df, "user_id", "ts", "event_id",
+      Seq(col("event_type") === "s", col("event_type") === "c"), 100L)
+      .collect()
+    assert(got.length == 1 && got(0).getLong(1) == 0L)
+  }
+
+  test("connectedComponents on an empty pair list returns empty, converged") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(graft.operators.Dedup.connectedComponents(empty, "id1", "id2").isEmpty)
+  }
+
+  test("splitter rejects fractions that don't sum to 1") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("doc_id")
+    intercept[IllegalArgumentException] {
+      graft.operators.Splitter.hashSplit(df, "doc_id",
+        Seq("a" -> 0.5, "b" -> 0.3))
+    }
+  }
+
+  test("heavy hitters ignores nulls; empty input yields empty map") {
+    import spark.implicits._
+    val df = Seq(Some("a"), None, Some("a")).toDF("v")
+    val hh = df.agg(graft.functions.Fns.heavyHitters(col("v"), 4).as("hh"))
+      .collect()(0).getAs[Map[String, Long]]("hh")
+    assert(hh === Map("a" -> 2L))
+    val none = Seq.empty[String].toDF("v")
+      .agg(graft.functions.Fns.heavyHitters(col("v"), 4).as("hh"))
+      .collect()(0).getAs[Map[String, Long]]("hh")
+    assert(none === Map.empty)
+  }
+
+  test("tfidf of an empty corpus is empty, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.TfIdf.topTerms(empty, "doc_id", "text", 3).isEmpty)
+  }
+
   test("hostile event_type values cannot escape the output root") {
     assert(EventPipeline.escapeType("click") == "click")
     assert(!EventPipeline.escapeType("page/view").contains("/"))
