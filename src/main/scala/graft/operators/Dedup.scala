@@ -234,13 +234,43 @@ object Dedup {
     * extreme scale the two-phase large-star/small-star variant
     * (Kiveris et al., "Connected Components in MapReduce") drops
     * rounds to O(log n); this operator asserts convergence within
-    * `maxIter` instead of silently emitting partial components. */
+    * `maxIter` instead of silently emitting partial components.
+    *
+    * Adaptive small-side path: duplicate-pair sets are usually orders
+    * of magnitude smaller than the corpus, so when the (long-keyed)
+    * edge list fits `localThreshold` the components are solved as
+    * driver-side union-find in one pass — the same small-side trade as
+    * Spark's broadcast-join threshold, with identical output. The
+    * iterative path remains for edge lists that don't fit. */
   def connectedComponents(pairs: DataFrame, col1: String, col2: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          localThreshold: Long = 1L << 20): DataFrame = {
     val edges = pairs.select(col(col1).as("src"), col(col2).as("dst"))
       .unionAll(pairs.select(col(col2).as("src"), col(col1).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK) // re-joined every round
+    val longKeys = pairs.schema(col1).dataType == org.apache.spark.sql.types.LongType &&
+      pairs.schema(col2).dataType == org.apache.spark.sql.types.LongType
+    if (longKeys && edges.count() <= localThreshold) {
+      val spark = pairs.sparkSession
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      val nodes = parent.keySet ++ parent.values
+      edges.unpersist()
+      import spark.implicits._
+      return nodes.toSeq.map(n => (n, find(n)))
+        .toDF("node", "component")
+    }
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint()

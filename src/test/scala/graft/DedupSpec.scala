@@ -96,10 +96,25 @@ class DedupSpec extends SparkSpec {
   }
 
   test("connected components: long path converges (propagation rounds)") {
-    // path 1-2-3-...-12: min label must travel 11 hops
+    // path 1-2-3-...-12: min label must travel 11 hops; localThreshold=0
+    // forces the DISTRIBUTED propagation path (the small-side union-find
+    // would otherwise take it)
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val got = Dedup.connectedComponents(pairs, "id1", "id2")
+    val got = Dedup.connectedComponents(pairs, "id1", "id2", localThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got === (1L to 12L).map(_ -> 1L).toMap)
+  }
+
+  test("connected components: local union-find equals distributed propagation") {
+    val rnd = new scala.util.Random(11)
+    val pairs = (1 to 60).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("id1", "id2")
+    val local = Dedup.connectedComponents(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, "id1", "id2", localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local === dist)
   }
 }
