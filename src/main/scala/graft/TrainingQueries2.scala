@@ -107,6 +107,7 @@ object TrainingQueries2 {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
           concat(col("text"), lit(" zz tail")).as("text")))
     val kept = CorpusPipeline.keptDocs(corpus, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkCounts = Chunker
       .chunkTokens(kept, "doc_id", "text", size = 64, stride = 32)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))

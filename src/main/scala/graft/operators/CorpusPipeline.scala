@@ -33,11 +33,16 @@ object CorpusPipeline {
     val deduped = Dedup.dropExactDups(docs, idCol, textCol)
     val t = coalesce(col(textCol), lit(""))
     val quality = TextAnalysis.qualityColsFrom(t, Fns.tokens(t)).toMap
+    // persisted: the dedup window + quality scan feeds pair generation,
+    // the clustering actions, AND the final anti-join — without the
+    // cache the whole upstream re-runs per action (same bounded
+    // columnar materialization contract as Dedup.minHashLsh)
     val filtered = deduped
       .withColumn("__ntok", quality("n_tokens"))
       .withColumn("__q", quality("quality_score"))
       .filter(col("__ntok") >= cfg.minTokens && col("__q") >= cfg.minQuality)
       .drop("__ntok", "__q")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.ngramJaccardPairs(filtered, idCol, textCol,
       n = cfg.shingleN, threshold = cfg.jaccardThreshold)
     val dropIds = Dedup.connectedComponents(pairs, "id1", "id2")
