@@ -202,6 +202,25 @@ object AnalyticsQueries2 {
       .orderBy(col("event_date"))
   }
 
+  /** B22: promo revenue share per month (TPC-H Q14 shape) — the one
+    * query family that touches `part`. Numerator and denominator are
+    * surfaced separately as decimal-exact doubles (cross-engine
+    * decimal DIVISION semantics differ; the ratio belongs to the
+    * reader). Part is dimension-sized here so AQE broadcasts it; at
+    * TPC-H scale it grows with SF and the shuffle join is correct. */
+  private def b22PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    val p = T(s, dir, "part")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        Fns.sumExact(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)), 6)
+          .as("promo_revenue"),
+        Fns.sumExact(rev, 6).as("total_revenue"))
+      .orderBy(col("ship_month"))
+  }
+
   /** B21: CH groupUniqArray — each user's sorted distinct event-type
     * set, rolled up into behavior-profile counts. Set semantics make
     * collect_set order-independent; sort_array + join makes the
@@ -233,7 +252,8 @@ object AnalyticsQueries2 {
     "b18_moving_sum" -> (b18MovingSum _),
     "b19_sequence_match" -> (b19SequenceMatch _),
     "b20_argmax" -> (b20ArgMax _),
-    "b21_type_profiles" -> (b21TypeProfiles _)
+    "b21_type_profiles" -> (b21TypeProfiles _),
+    "b22_promo_revenue" -> (b22PromoRevenue _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -369,7 +389,16 @@ object AnalyticsQueries2 {
              AND event_id % 7 = 0
            GROUP BY user_id)
          SELECT type_set, count(*) AS n_users
-         FROM p GROUP BY type_set ORDER BY type_set"""
+         FROM p GROUP BY type_set ORDER BY type_set""",
+    "b22_promo_revenue" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+             THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+             AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY ship_month ORDER BY ship_month"""
     // b15b_approx_quantiles: sketch values are engine-specific — rows-only.
   )
 }
