@@ -12,7 +12,8 @@ object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("b1_pricing_summary", "b2_top_revenue", "b3_region_revenue",
-        "c2_dedup_minhash", "c3_dedup_simhash", "c6_ann_topk", "c9_quality")
+        "b12_window_funnel", "b14_top_k", "c2_dedup_minhash",
+        "c3_dedup_simhash", "c6_ann_topk", "c9_quality", "c14_tfidf")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -12,6 +12,10 @@ case class Event(event_id: Long, ts: Long, user_id: Long,
 
 case class SessionState(start: Long, last: Long, n: Long)
 
+/** Streaming funnel DP state: `f(k)` = latest chain-start reaching
+  * level k+1 (Long.MinValue = unset), plus the max level so far. */
+case class FunnelState(f: Seq[Long], level: Int)
+
 case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
 
 /** Streaming twins of the batch analytics: the rollup the reference's
@@ -72,6 +76,51 @@ object StreamingAnalytics {
     l.join(r, col("l_key") === col("r_key") && deltaExpr)
       .select(col("l_key").as(key), col("l_id"), col("r_id"),
         ((col("r_ts") - col("l_ts")) / 1000000000L).cast("long").as("delta_s"))
+  }
+
+  /** Streaming windowFunnel (operators.Funnel's unbounded twin): the
+    * same cascading running-max DP, carried as per-user keyed state
+    * across micro-batches — each user's current max funnel level is
+    * re-emitted whenever new events move it. State is L longs + an int
+    * per user, independent of history length.
+    *
+    * Ordering contract: events must arrive per-user in (ts, event_id)
+    * order across batches (within a batch they're sorted here); a
+    * straggler older than already-processed state can only undercount
+    * its own chain — the standard mapGroupsWithState trade, fixable
+    * upstream with a watermark-sorted stage. */
+  def funnelStream(events: Dataset[Event], condTypes: Seq[String],
+                   windowNs: Long): Dataset[(Long, Long)] = {
+    require(condTypes.nonEmpty, "funnelStream needs at least one condition")
+    implicit val stateEnc = Encoders.product[FunnelState]
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val keyEnc = Encoders.scalaLong
+    val L = condTypes.length
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          val st = state.getOption
+          val f = st.map(_.f.toArray).getOrElse(Array.fill(L)(Long.MinValue))
+          var lvl = st.map(_.level).getOrElse(0)
+          it.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            // descending levels: an event extends at most one chain step
+            var k = L - 1
+            while (k >= 1) {
+              if (e.event_type == condTypes(k) && f(k - 1) != Long.MinValue &&
+                  e.ts - f(k - 1) <= windowNs) {
+                if (f(k - 1) > f(k)) f(k) = f(k - 1)
+                if (k + 1 > lvl) lvl = k + 1
+              }
+              k -= 1
+            }
+            if (e.event_type == condTypes.head) {
+              if (e.ts > f(0)) f(0) = e.ts
+              if (lvl < 1) lvl = 1
+            }
+          }
+          state.update(FunnelState(f.toSeq, lvl))
+          (uid, lvl.toLong)
+      }
   }
 
   /** Streaming sessionization: 30-min-gap sessions per user via
