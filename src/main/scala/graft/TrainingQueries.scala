@@ -246,7 +246,7 @@ object TrainingQueries {
 
   /** Mirror of Dedup.minHashSignatures: component j is an 8-hex-char
     * window of md5(s) (j<4) or md5(s || '#') (j≥4). */
-  private def minhashSigSql(k: Int): String = {
+  private[graft] def minhashSigSql(k: Int): String = {
     val hs = (0 until k).map { j =>
       val src = if (j < 4) "md5(s)" else "md5(s || '#')"
       s"list_min(list_transform(shs, s -> substr($src, ${(j % 4) * 8 + 1}, 8))) AS h$j"
@@ -255,7 +255,7 @@ object TrainingQueries {
   }
 
   /** Mirror of the LSH banding: band b = md5 of h{2b}|h{2b+1}. */
-  private def bandedSql(bands: Int, rows: Int): String = {
+  private[graft] def bandedSql(bands: Int, rows: Int): String = {
     val parts = (0 until bands).map { b =>
       val cols = (0 until rows).map(r => s"h${b * rows + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bk FROM sig"

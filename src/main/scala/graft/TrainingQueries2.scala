@@ -264,12 +264,21 @@ object TrainingQueries2 {
           SELECT t0.* FROM t0 JOIN q USING (doc_id)
           WHERE q.n_tokens >= 40 AND q.quality_score >= 0.5),
         shd AS (
-          SELECT doc_id, list_distinct(${TrainingQueries.ngramsSql(3)}) AS shs
+          SELECT doc_id, list_distinct(${TrainingQueries.ngramsSql(5)}) AS shs
           FROM f),
+        ${TrainingQueries.minhashSigSql(8)},
+        ${TrainingQueries.bandedSql(4, 2)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
         ${TrainingQueries.jaccardSql(0.6)},
+        pairs AS (
+          SELECT c.id1, c.id2 FROM cand c
+          JOIN verified v ON c.id1 = v.id1 AND c.id2 = v.id2),
         edges AS (
-          SELECT id1 AS a, id2 AS b FROM verified
-          UNION SELECT id2, id1 FROM verified),
+          SELECT id1 AS a, id2 AS b FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
         reach(n, m) AS (
           SELECT a, a FROM edges
           UNION

@@ -18,13 +18,19 @@ import graft.functions.Fns
   */
 object CorpusPipeline {
 
+  /** `lsh = true` (default) generates near-dup candidates via
+    * MinHash+LSH banding — the 100 TB path (candidates bounded by
+    * bucket-mates, never corpus²); `false` uses the exact shingle
+    * self-join, the audit variant for verification runs. Both verify
+    * candidates with exact Jaccard at `jaccardThreshold`. */
   case class Config(
       minTokens: Int = 40,
       minQuality: Double = 0.5,
-      shingleN: Int = 3,
+      shingleN: Int = 5,
       jaccardThreshold: Double = 0.6,
       chunkSize: Int = 64,
-      chunkStride: Int = 32)
+      chunkStride: Int = 32,
+      lsh: Boolean = true)
 
   /** Documents that survive exact dedup, the quality gate, and
     * near-dup clustering (one kept doc per duplicate cluster). */
@@ -43,8 +49,14 @@ object CorpusPipeline {
       .filter(col("__ntok") >= cfg.minTokens && col("__q") >= cfg.minQuality)
       .drop("__ntok", "__q")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = Dedup.ngramJaccardPairs(filtered, idCol, textCol,
-      n = cfg.shingleN, threshold = cfg.jaccardThreshold)
+    val pairs =
+      if (cfg.lsh)
+        Dedup.minHashLsh(filtered, idCol, textCol,
+          n = cfg.shingleN, k = 8, bands = 4,
+          threshold = cfg.jaccardThreshold)
+      else
+        Dedup.ngramJaccardPairs(filtered, idCol, textCol,
+          n = cfg.shingleN, threshold = cfg.jaccardThreshold)
     val dropIds = Dedup.connectedComponents(pairs, "id1", "id2")
       .filter(col("node") =!= col("component")) // non-minima of each cluster
       .select(col("node").as(idCol))
