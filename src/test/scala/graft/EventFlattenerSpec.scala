@@ -110,4 +110,20 @@ class EventFlattenerSpec extends SparkSpec {
     assert(r.getAs[java.sql.Timestamp]("timestamp") ==
       r.getAs[java.sql.Timestamp]("received_at"))
   }
+
+  test("malformed JSON bodies flatten to nulls; rows are not lost") {
+    // the reference DLQs rows whose body fails to parse — here the row
+    // survives with null flattened columns (splitDlq tags it downstream)
+    val df = Seq(
+      (1L, """{"k": 5, "name": "ok"}"""),
+      (2L, """{not json at all"""),
+      (3L, null.asInstanceOf[String])).toDF("event_id", "body")
+    val out = EventFlattener.flatten(df, "body", keep = Seq("event_id"),
+      opts = Options(detectDates = false, sampleFraction = 1.0))
+    assert(out.count() == 3)
+    val rows = out.orderBy("event_id").collect()
+    assert(rows(0).getAs[Long]("k") == 5L && rows(0).getAs[String]("name") == "ok")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("k")))
+    assert(rows(2).isNullAt(rows(2).fieldIndex("name")))
+  }
 }
