@@ -35,9 +35,9 @@ object TrainingQueries2 {
         md5(concat_ws(" ", col("chunk_tokens"))).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
-  /** C16: PII scrub over a corpus with planted emails/phones (the raw
-    * synthetic corpus carries none — plant deterministically in-plan,
-    * mirror the plant in the oracle). */
+  /** C16: PII scrub over a corpus with planted emails/cards/IPs/phones
+    * (the raw synthetic corpus carries none — plant deterministically
+    * in-plan, mirror the plant in the oracle). */
   private def c16PiiScrub(s: SparkSession, dir: String): DataFrame = {
     val withPii = T(s, dir, "documents").select(col("doc_id"),
       concat(
@@ -45,11 +45,15 @@ object TrainingQueries2 {
         lit(" contact u"), col("doc_id").cast("string"), lit("@ex.com"),
         when(col("doc_id") % 3 === 0, lit(" also admin@site.net"))
           .otherwise(lit("")),
+        lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string"),
+        lit(" card 4111-1111-1111-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
         lit(" call 555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
     PiiScrub.scrub(withPii, "doc_id", "text")
-      .select(col("doc_id"), col("n_emails"), col("n_phones"),
-        md5(col("scrubbed")).as("scrubbed_md5"))
+      .select(col("doc_id"), col("n_emails"), col("n_cards"), col("n_ips"),
+        col("n_phones"), md5(col("scrubbed")).as("scrubbed_md5"))
       .orderBy(col("doc_id"))
   }
 
@@ -171,26 +175,44 @@ object TrainingQueries2 {
            SELECT doc_id,
              text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com' ||
              CASE WHEN doc_id % 3 = 0 THEN ' also admin@site.net' ELSE '' END ||
+             ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+             '.0.' || CAST(doc_id % 100 AS VARCHAR) ||
+             ' card 4111-1111-1111-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
              ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                AS text
            FROM documents),
-         scr AS (
+         s1 AS (
            SELECT doc_id,
              CAST(len(regexp_extract_all(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
                AS n_emails,
              regexp_replace(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-               '<EMAIL>', 'g') AS demail
-           FROM pii)
-         SELECT doc_id, n_emails,
-           CAST(len(regexp_extract_all(demail,
+               '<EMAIL>', 'g') AS t1
+           FROM pii),
+         s2 AS (
+           SELECT doc_id, n_emails,
+             CAST(len(regexp_extract_all(t1,
+               '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS BIGINT) AS n_cards,
+             regexp_replace(t1, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b',
+               '<CARD>', 'g') AS t2
+           FROM s1),
+         s3 AS (
+           SELECT doc_id, n_emails, n_cards,
+             CAST(len(regexp_extract_all(t2,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+             regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+               '<IP>', 'g') AS t3
+           FROM s2)
+         SELECT doc_id, n_emails, n_cards, n_ips,
+           CAST(len(regexp_extract_all(t3,
              '\+?1?[-.]?\(?\d{3}[-. )]*\d{3}[-. ]*\d{4}|\b555-\d{4}\b'))
              AS BIGINT) AS n_phones,
-           md5(regexp_replace(demail,
+           md5(regexp_replace(t3,
              '\+?1?[-.]?\(?\d{3}[-. )]*\d{3}[-. ]*\d{4}|\b555-\d{4}\b',
              '<PHONE>', 'g')) AS scrubbed_md5
-         FROM scr ORDER BY doc_id""",
+         FROM s3 ORDER BY doc_id""",
     "c17_label_centroids" ->
       """SELECT label, CAST(pos AS BIGINT) AS dim,
            sum(CAST(round(CAST(embedding[pos + 1] AS DOUBLE) * 1000000)

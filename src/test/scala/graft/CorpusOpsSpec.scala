@@ -51,19 +51,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === Seq(3L))
   }
 
-  test("pii scrub replaces all emails and phones, counts match") {
+  test("pii scrub replaces emails/cards/ips/phones in chain order") {
     val docs = Seq(
       (1L, "mail a@b.com and c.d+e@f-g.org or call 555-0199"),
       (2L, "clean text no pii"),
-      (3L, "dial (555) 012-3456 now")).toDF("doc_id", "text")
+      (3L, "dial (555) 012-3456 now"),
+      (4L, "card 4111-1111-1111-1234 from 192.168.0.1")).toDF("doc_id", "text")
     val got = PiiScrub.scrub(docs, "doc_id", "text")
-      .select("doc_id", "n_emails", "n_phones", "scrubbed")
-      .as[(Long, Long, Long, String)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    assert(got(1L)._1 === 2 && got(1L)._2 === 1)
-    assert(got(1L)._3 === "mail <EMAIL> and <EMAIL> or call <PHONE>")
-    assert(got(2L) === ((0L, 0L, "clean text no pii")))
-    assert(got(3L)._2 === 1 && got(3L)._3 === "dial <PHONE> now")
+      .select("doc_id", "n_emails", "n_cards", "n_ips", "n_phones", "scrubbed")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) === ((2L, 0L, 0L, 1L, "mail <EMAIL> and <EMAIL> or call <PHONE>")))
+    assert(got(2L) === ((0L, 0L, 0L, 0L, "clean text no pii")))
+    assert(got(3L) === ((0L, 0L, 0L, 1L, "dial <PHONE> now")))
+    // the card is redacted BEFORE the phone pattern could bite its
+    // digit groups; the IP survives to its own stage
+    assert(got(4L) === ((0L, 1L, 1L, 0L, "card <CARD> from <IP>")))
   }
 
   test("hash split is exhaustive, deterministic, and near the fractions") {
