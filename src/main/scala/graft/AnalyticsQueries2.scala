@@ -240,6 +240,31 @@ object AnalyticsQueries2 {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("type_set"))
 
+  /** B25: fixed-width histogram of value per event_type (CH
+    * `histogram` dashboard shape, exact bins). floor(v/width) on
+    * identical IEEE doubles bins identically on both engines. */
+  private def b25Histogram(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(col("value") / 50.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        Fns.sumExact(col("value")).as("sum_value"))
+      .orderBy(col("event_type"), col("bin"))
+
+  /** B26: one-pass sufficient statistics per event_type — n, Σv, Σv²
+    * as decimal-exact sums. Variance/stddev/corr derive from these on
+    * the reader side; the engine never emits an order-dependent float
+    * reduction (a direct var_samp would hash-flake), and the scan
+    * stays a single partial-agg pass at any scale. */
+  private def b26SuffStats(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Fns.sumExact(col("value")).as("sum_v"),
+        Fns.sumExact(col("value") * col("value"), 4).as("sum_v2"),
+        Fns.sumExact(col("value") * col("user_id"), 2).as("sum_vu"))
+      .orderBy(col("event_type"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b12_window_funnel" -> (b12WindowFunnel _),
     "b13_retention" -> (b13Retention _),
@@ -253,7 +278,9 @@ object AnalyticsQueries2 {
     "b19_sequence_match" -> (b19SequenceMatch _),
     "b20_argmax" -> (b20ArgMax _),
     "b21_type_profiles" -> (b21TypeProfiles _),
-    "b22_promo_revenue" -> (b22PromoRevenue _)
+    "b22_promo_revenue" -> (b22PromoRevenue _),
+    "b25_histogram" -> (b25Histogram _),
+    "b26_suff_stats" -> (b26SuffStats _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -398,7 +425,19 @@ object AnalyticsQueries2 {
            CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
              AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey
-         GROUP BY ship_month ORDER BY ship_month"""
+         GROUP BY ship_month ORDER BY ship_month""",
+    "b25_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type, bin
+         ORDER BY event_type, bin""",
+    "b26_suff_stats" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+           CAST(sum(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v2,
+           CAST(sum(CAST(value * user_id AS DECIMAL(18,2))) AS DOUBLE) AS sum_vu
+         FROM events GROUP BY event_type ORDER BY event_type"""
     // b15b_approx_quantiles: sketch values are engine-specific — rows-only.
   )
 }
