@@ -30,6 +30,10 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      // queries are independent: drop this query's persisted
+      // intermediates (LSH signature/band caches etc.) so they don't
+      // accumulate, evict to disk, and tax later queries
+      spark.catalog.clearCache()
       System.err.println(f"[bench] $name%-24s ${sec}%7.2f s  gc=${gcMillis - g0}%5d ms")
       name -> sec
     }
