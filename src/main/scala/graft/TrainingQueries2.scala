@@ -126,6 +126,37 @@ object TrainingQueries2 {
       .orderBy(col("lang"))
   }
 
+  /** C22: benchmark decontamination — corpus docs sharing an 8-gram
+    * with the (tiny, broadcast) eval set. Eval rows are 16-token
+    * excerpts of every 13th doc, so the planted contamination is the
+    * known answer the oracle reproduces. */
+  private def c22Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Decontaminate
+    val docs = T(s, dir, "documents")
+    val eval = docs.filter(col("doc_id") % 13 === 0)
+      .select(concat_ws(" ",
+        slice(graft.functions.Fns.tokens(col("text")), 11, 16)).as("text"))
+    Decontaminate.flagged(docs, "doc_id", "text", eval, "text",
+        n = 8, minHits = 1)
+      .orderBy(col("doc_id"))
+  }
+
+  /** C23: repetition filter (Gopher rule) over a corpus with planted
+    * repetitive tails (every 9th doc gets a 4× repeated phrase). */
+  private def c23Repetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 9 === 0,
+        concat(col("text"),
+          lit(" spam ham eggs spam ham eggs spam ham eggs spam ham eggs")))
+        .otherwise(col("text")).as("text"))
+    val reps = TextAnalysis
+      .repetitionCols(graft.functions.Fns.tokens(col("text")), n = 3)
+    docs.select(col("doc_id") +: reps.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("flagged",
+        (col("dup_ratio_micro") >= 100000L).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c14_tfidf" -> (c14Tfidf _),
     "c15_chunks" -> (c15Chunks _),
@@ -133,7 +164,9 @@ object TrainingQueries2 {
     "c17_label_centroids" -> (c17LabelCentroids _),
     "c18_vocab" -> (c18Vocab _),
     "c20_split" -> (c20Split _),
-    "c21_corpus_pipeline" -> (c21Pipeline _)
+    "c21_corpus_pipeline" -> (c21Pipeline _),
+    "c22_decontaminate" -> (c22Decontaminate _),
+    "c23_repetition" -> (c23Repetition _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -248,7 +281,52 @@ object TrainingQueries2 {
            FROM documents)
          SELECT lang, split, count(*) AS n_docs, sum(in_sample) AS n_sampled
          FROM sp GROUP BY lang, split ORDER BY lang, split""",
-    "c21_corpus_pipeline" -> c21OracleSql
+    "c21_corpus_pipeline" -> c21OracleSql,
+    "c22_decontaminate" ->
+      s"""WITH evals AS (
+            SELECT array_to_string(list_slice($toksSql, 11, 26), ' ') AS text
+            FROM documents WHERE doc_id % 13 = 0),
+          eg AS (
+            SELECT DISTINCT unnest(CASE WHEN len(tk) >= 8
+              THEN list_transform(generate_series(1, len(tk) - 7),
+                     i -> array_to_string(tk[i:i+7], ' '))
+              ELSE [] END) AS gram
+            FROM (SELECT $toksSql AS tk FROM evals) _),
+          cg AS (
+            SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 8
+              THEN list_transform(generate_series(1, len(tk) - 7),
+                     i -> array_to_string(tk[i:i+7], ' '))
+              ELSE [] END)) AS gram
+            FROM (SELECT doc_id, $toksSql AS tk FROM documents) _)
+          SELECT doc_id, count(*) AS n_hits
+          FROM cg JOIN eg USING (gram)
+          GROUP BY doc_id HAVING count(*) >= 1 ORDER BY doc_id""",
+    "c23_repetition" ->
+      s"""WITH d AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 9 = 0 THEN text ||
+                ' spam ham eggs spam ham eggs spam ham eggs spam ham eggs'
+              ELSE text END AS text
+            FROM documents),
+          t AS (SELECT doc_id, $toksSql AS tk FROM d),
+          g AS (
+            SELECT doc_id,
+              CASE WHEN len(tk) >= 3
+                THEN list_transform(generate_series(1, len(tk) - 2),
+                       i -> array_to_string(tk[i:i+2], ' '))
+                ELSE [] END AS grams
+            FROM t),
+          m AS (
+            SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+              CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams
+            FROM g)
+          SELECT doc_id, n_grams, n_distinct_grams,
+            CASE WHEN n_grams > 0
+              THEN CAST(floor((n_grams - n_distinct_grams) * 1000000.0
+                / n_grams) AS BIGINT) ELSE 0 END AS dup_ratio_micro,
+            CASE WHEN n_grams > 0 AND floor((n_grams - n_distinct_grams)
+              * 1000000.0 / n_grams) >= 100000 THEN 1 ELSE 0 END AS flagged
+          FROM m ORDER BY doc_id"""
   )
 
   /** Every pipeline stage mirrored in one recursive-CTE query (see

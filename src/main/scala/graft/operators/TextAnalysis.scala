@@ -128,6 +128,24 @@ object TextAnalysis {
       (floor((scoreX4 + lit(2L)) / lit(4L)) / lit(1000000.0)).as("quality_score"))
   }
 
+  /** Repetition metrics (the Gopher/MassiveText "repeated n-gram"
+    * quality rule): how much of a document is duplicated n-grams.
+    * Ratio in integer micro-units — (total-distinct)·10⁶ is an exact
+    * integer in a double, the divide is one IEEE op, floor is
+    * tie-free — identical on both engines. */
+  def repetitionCols(toks: Column, n: Int): Seq[(String, Column)] = {
+    val grams = Fns.wordNGrams(toks, n)
+    val total = size(grams).cast("long")
+    val dist = size(array_distinct(grams)).cast("long")
+    Seq(
+      "n_grams" -> total,
+      "n_distinct_grams" -> dist,
+      "dup_ratio_micro" ->
+        when(total > 0,
+          floor((total - dist) * lit(1000000.0) / total).cast("long"))
+          .otherwise(0L))
+  }
+
   /** Document fingerprints: whole-text md5 over the canonical form, and
     * a min-shingle fingerprint (the 1-hash special case of MinHash —
     * robust to local edits the way winnowing selections are). */
