@@ -112,6 +112,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept === Seq(1L, 5L))
   }
 
+  test("decontaminate flags only docs sharing an n-gram with the eval set") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),      // contains eval 8-gram
+      (2L, "a b c d e f g x y z"),      // 7-gram prefix only -> clean
+      (3L, "q r s t u v w x")).toDF("doc_id", "text")
+    val eval = Seq("a b c d e f g h").toDF("text")
+    val got = graft.operators.Decontaminate
+      .flagged(corpus, "doc_id", "text", eval, "text", n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L))
+  }
+
+  test("decontaminate plans the eval side as a broadcast join") {
+    val corpus = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val eval = Seq("a b c d e f g h").toDF("text")
+    val plan = graft.operators.Decontaminate
+      .flagged(corpus, "doc_id", "text", eval, "text", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$plan")
+  }
+
   test("centroid sums are exact micro-unit integers per (label, dim)") {
     val emb = Seq(
       ("a", Array(0.5f, -1.25f)),
