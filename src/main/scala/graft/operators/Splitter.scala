@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object Splitter {
 
   /** Hex threshold for fraction p of the 32-bit hash space. */
-  private[operators] def hexThreshold(p: Double): String = {
+  private[graft] def hexThreshold(p: Double): String = {
     require(p >= 0.0 && p <= 1.0, s"fraction must be in [0,1], got $p")
     f"${math.min((p * 4294967296.0).toLong, 4294967295L)}%08x"
   }

@@ -90,4 +90,29 @@ class PropertySpec extends SparkSpec {
       assert(sparkMins.getString(j) == spec, s"component $j")
     }
   }
+
+  test("Splitter.hexThreshold is monotone and endpoint-exact") {
+    import graft.operators.Splitter
+    assert(Splitter.hexThreshold(0.0) == "00000000")
+    assert(Splitter.hexThreshold(1.0) == "ffffffff")
+    assert(Splitter.hexThreshold(0.5) == "80000000")
+    forAll(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (a: Double, b: Double) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      assert(Splitter.hexThreshold(lo) <= Splitter.hexThreshold(hi))
+    }
+  }
+
+  test("non-overlapping chunks reassemble to exactly the token stream") {
+    import spark.implicits._
+    forAll1(tokens.suchThat(_.nonEmpty), trials = 20) { (toks: List[String]) =>
+      val lower = toks.map(_.toLowerCase)
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = graft.operators.Chunker
+        .chunkTokens(df, "doc_id", "text", size = 7, stride = 7)
+        .orderBy("chunk_id")
+        .select("chunk_tokens").as[Seq[String]].collect()
+      assert(chunks.flatten.toList === lower)
+      assert(chunks.init.forall(_.size == 7)) // only the tail is short
+    }
+  }
 }
