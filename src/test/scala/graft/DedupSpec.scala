@@ -105,6 +105,16 @@ class DedupSpec extends SparkSpec {
     assert(got === (1L to 12L).map(_ -> 1L).toMap)
   }
 
+  test("connected components refuses to emit partial components") {
+    // path needs 5 propagation rounds; maxIter=2 must throw, not
+    // silently return wrong clusters
+    val pairs = (1L until 7L).map(i => (i, i + 1)).toDF("id1", "id2")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, "id1", "id2",
+        maxIter = 2, localThreshold = 0L).collect()
+    }
+  }
+
   test("connected components: local union-find equals distributed propagation") {
     val rnd = new scala.util.Random(11)
     val pairs = (1 to 60).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
