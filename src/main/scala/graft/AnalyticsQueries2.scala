@@ -265,6 +265,30 @@ object AnalyticsQueries2 {
         Fns.sumExact(col("value") * col("user_id"), 2).as("sum_vu"))
       .orderBy(col("event_type"))
 
+  /** B27: CH `ORDER BY … WITH FILL` — dense daily axis per type with
+    * zero-filled gaps. Spark-first: the date spine is a `sequence()`
+    * over the observed span (one row per day — bounded by calendar
+    * time, not data size), cross-joined with the type dim and
+    * left-joined to the sparse rollup. The 1-in-11 event sample makes
+    * real gaps to fill. */
+  private def b27GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").filter(col("event_id") % 11 === 0)
+      .select(col("event_type"),
+        to_date(Fns.nanosToTimestamp(col("ts"))).as("d"),
+        col("value"))
+    val daily = ev.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n_events"))
+    val span = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = span
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+    spine.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("event_date"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("event_type"), col("event_date"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b12_window_funnel" -> (b12WindowFunnel _),
     "b13_retention" -> (b13Retention _),
@@ -280,7 +304,8 @@ object AnalyticsQueries2 {
     "b21_type_profiles" -> (b21TypeProfiles _),
     "b22_promo_revenue" -> (b22PromoRevenue _),
     "b25_histogram" -> (b25Histogram _),
-    "b26_suff_stats" -> (b26SuffStats _)
+    "b26_suff_stats" -> (b26SuffStats _),
+    "b27_gap_fill" -> (b27GapFill _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -437,7 +462,27 @@ object AnalyticsQueries2 {
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
            CAST(sum(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v2,
            CAST(sum(CAST(value * user_id AS DECIMAL(18,2))) AS DOUBLE) AS sum_vu
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "b27_gap_fill" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(ts AS DATE) AS d
+           FROM events WHERE event_id % 11 = 0),
+         daily AS (
+           SELECT event_type, d, count(*) AS n_events
+           FROM ev GROUP BY event_type, d),
+         span AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+         spine AS (
+           SELECT t.event_type, CAST(g.d AS DATE) AS d
+           FROM (SELECT DISTINCT event_type FROM ev) t
+           CROSS JOIN (
+             SELECT unnest(generate_series(
+               (SELECT d0 FROM span), (SELECT d1 FROM span),
+               INTERVAL 1 DAY)) AS d) g)
+         SELECT s.event_type, strftime(s.d, '%Y-%m-%d') AS event_date,
+           coalesce(daily.n_events, 0) AS n_events
+         FROM spine s LEFT JOIN daily
+           ON s.event_type = daily.event_type AND s.d = daily.d
+         ORDER BY s.event_type, event_date"""
     // b15b_approx_quantiles: sketch values are engine-specific — rows-only.
   )
 }
