@@ -22,7 +22,13 @@ object Bench {
     // Caching queries are fair game now that the cache is cleared
     // before timing starts — only their generated code stays warm
     // (c21's composed plan alone costs ~13 s of janino compilation).
+    // The set touches EVERY test table once (a cold page cache
+    // otherwise charges each table's first read to whichever timed
+    // query scans it first): documents (c9), embeddings (c6),
+    // lineitem/orders/customer/supplier/nation/region (b3), events
+    // (a2), part (b22).
     Seq("c9_quality", "c6_ann_topk", "b3_region_revenue",
+        "a2_route_counts", "b22_promo_revenue",
         "c2_dedup_minhash", "c21_corpus_pipeline").foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
