@@ -112,6 +112,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept === Seq(1L, 5L))
   }
 
+  test("int8 quantization clips to [-127, 127] and rounds ties away from zero") {
+    val df = Seq((1L, Array(2.5f, -3.0f, 0.5f, -0.5f, 0.003f)))
+      .toDF("vec_id", "embedding")
+    val got = df.select(
+        graft.operators.VectorStats.quantizeInt8(col("embedding")).as("q"))
+      .as[Seq[Int]].collect()(0)
+    // 0.5 is exact in binary: ±0.5*127 = ±63.5 rounds away to ±64
+    assert(got === Seq(127, -127, 64, -64, 0))
+  }
+
   test("decontaminate flags only docs sharing an n-gram with the eval set") {
     val corpus = Seq(
       (1L, "a b c d e f g h i j"),      // contains eval 8-gram
