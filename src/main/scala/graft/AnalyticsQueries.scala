@@ -267,7 +267,8 @@ object AnalyticsQueries {
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
          sess AS (
            SELECT user_id, tsn,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS session_id
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsn, event_id)
+               AS BIGINT) AS session_id
            FROM marked)
          SELECT user_id, session_id, count(*) AS n_events,
            min(tsn) // 1000000000 AS start_s,
@@ -282,7 +283,8 @@ object AnalyticsQueries {
            FROM events GROUP BY user_id)
          SELECT strftime(signup_ts, '%Y-%m-%d') AS cohort_date,
            count(*) AS n_signups,
-           sum(CASE WHEN last_purchase_ts >= signup_ts THEN 1 ELSE 0 END) AS n_converted
+           CAST(sum(CASE WHEN last_purchase_ts >= signup_ts THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_converted
          FROM pu WHERE signup_ts IS NOT NULL
          GROUP BY cohort_date ORDER BY cohort_date""",
     "b9_distinct_users" ->

@@ -106,13 +106,18 @@ object AnalyticsQueries2 {
     * (SpaceSaving, custom TypedImperativeAggregate): fixed counters
     * per group, one pass, the shuffle carries ≤ capacity triples per
     * group per map task instead of the unbounded (type, user) key
-    * space. Counts are merge-order upper bounds → rows-only. */
+    * space. Counts are merge-order upper bounds → rows-only. The map
+    * is exploded to scalar (event_type, item, count_ub) rows — the
+    * driver's pandas compare can't sort container cells. */
   private def b14bTopkSketch(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(Fns.heavyHitters(col("user_id").cast("string"), capacity = 8)
         .as("topk_sketch"))
-      .orderBy(col("event_type"))
+      .select(col("event_type"), explode(col("topk_sketch")))
+      .select(col("event_type"), col("key").as("item"),
+        col("value").as("count_ub"))
+      .orderBy(col("event_type"), col("item"))
 
   /** B15: exact quantiles (CH quantileExact) — p50/p90/p99 of value
     * per event_type, *discrete* semantics: the value at sorted index
@@ -133,7 +138,9 @@ object AnalyticsQueries2 {
 
   /** B15b: the 100 TB twin — approx_percentile (t-digest-ish GK
     * sketch, partial-agg friendly, no per-key sort) next to exact.
-    * Sketch outputs are engine-specific → rows-only. */
+    * Sketch outputs are engine-specific → rows-only; quantiles are
+    * surfaced as scalar columns (the driver's pandas compare can't
+    * sort array cells). */
   private def b15bApproxQuantiles(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")
       .groupBy(col("event_type"))
@@ -142,6 +149,11 @@ object AnalyticsQueries2 {
           lit(10000)).as("q_approx"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
+      .select(col("event_type"),
+        col("q_approx")(0).as("p50_approx"),
+        col("q_approx")(1).as("p90_approx"),
+        col("q_approx")(2).as("p99_approx"),
+        col("min_value"), col("max_value"))
       .orderBy(col("event_type"))
 
   /** B16: ROLLUP over (event_type, event_date) with decimal-exact
@@ -206,13 +218,17 @@ object AnalyticsQueries2 {
     * query family that touches `part`. Numerator and denominator are
     * surfaced separately as decimal-exact doubles (cross-engine
     * decimal DIVISION semantics differ; the ratio belongs to the
-    * reader). Part is dimension-sized here so AQE broadcasts it; at
-    * TPC-H scale it grows with SF and the shuffle join is correct. */
+    * reader). `part` carries only (p_partkey, p_type) into the join —
+    * a pruned two-column dim — so it is broadcast EXPLICITLY (r2 bench
+    * showed AQE's post-hoc conversion left an 8 s sort-merge join; the
+    * hint makes it a map-side hash join with no lineitem shuffle). At
+    * TPC-H SF where part outgrows the broadcast threshold, drop the
+    * hint and the same plan degrades gracefully to a shuffle join. */
   private def b22PromoRevenue(s: SparkSession, dir: String): DataFrame = {
     val li = T(s, dir, "lineitem")
-    val p = T(s, dir, "part")
+    val p = T(s, dir, "part").select(col("p_partkey"), col("p_type"))
     val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    li.join(p, col("l_partkey") === col("p_partkey"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
       .agg(
         Fns.sumExact(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)), 6)
@@ -348,10 +364,10 @@ object AnalyticsQueries2 {
              max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS d3,
              max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS d4
            FROM events GROUP BY user_id)
-         SELECT sum(d1) AS n_signup,
-           sum(d1 * d2) AS n_signup_click,
-           sum(d1 * d3) AS n_signup_purchase,
-           sum(d1 * d4) AS n_signup_error,
+         SELECT CAST(sum(d1) AS BIGINT) AS n_signup,
+           CAST(sum(d1 * d2) AS BIGINT) AS n_signup_click,
+           CAST(sum(d1 * d3) AS BIGINT) AS n_signup_purchase,
+           CAST(sum(d1 * d4) AS BIGINT) AS n_signup_error,
            count(*) AS n_users
          FROM u""",
     "b14_top_k" ->
@@ -386,11 +402,11 @@ object AnalyticsQueries2 {
          ORDER BY gid, event_type_r, event_date_r""",
     "b17_pivot" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
          FROM events GROUP BY event_date ORDER BY event_date""",
     "b18_moving_sum" ->
       """WITH daily AS (

@@ -128,12 +128,16 @@ object TrainingQueries {
 
   /** C19: near-dup pairs → duplicate CLUSTERS via connected components
     * (min-id label propagation; the keep/drop decision step after any
-    * pairwise near-dup pass). Oracle is a recursive CTE to fixpoint —
-    * genuinely the same computation. */
+    * pairwise near-dup pass). Pairs come from the LSH chain — banding
+    * bounds the candidate set, so this is the 100 TB path (the exact
+    * shingle self-join stays available as the c4 audit variant, whose
+    * per-shingle candidate count grows quadratically with document
+    * frequency). Oracle is a recursive CTE to fixpoint over the SAME
+    * LSH-produced pair set — genuinely the same computation. */
   private def c19DupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(
+    val pairs = Dedup.minHashLsh(
       corpusWithDups(T(s, dir, "documents")), "doc_id", "text",
-      n = 3, threshold = 0.6)
+      n = 5, k = 8, bands = 4, threshold = 0.5)
     Dedup.connectedComponents(pairs, "id1", "id2")
       .select(col("node").as("doc_id"), col("component").as("cluster"))
       .orderBy(col("doc_id"))
@@ -201,13 +205,19 @@ object TrainingQueries {
 
   /** C13: deterministic bounded sampling per group — the KMV bottom-k
     * aggregate (custom TypedImperativeAggregate; mergeable, so the
-    * shuffle carries ≤ k values per group per partition). */
+    * shuffle carries ≤ k values per group per partition). Output is
+    * exploded to scalar rows (event_type, rn, event_id): the driver's
+    * pandas compare can't sort array cells, and the exploded form is
+    * hash-checkable against the full oracle. */
   private def c13Sample(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Fns
     T(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(Fns.bottomKByHash(col("event_id"), 5).as("sample_ids"))
-      .orderBy(col("event_type"))
+      .select(col("event_type"), posexplode(col("sample_ids")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rn"),
+        col("col").as("event_id"))
+      .orderBy(col("event_type"), col("rn"))
   }
 
   // ------------------------------------------------------------------
@@ -494,21 +504,30 @@ object TrainingQueries {
              row_number() OVER (PARTITION BY event_type
                ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
            FROM events)
-         SELECT event_type, list(event_id ORDER BY h, event_id) AS sample_ids
-         FROM r WHERE rn <= 5 GROUP BY event_type ORDER BY event_type""",
+         SELECT event_type, rn, event_id
+         FROM r WHERE rn <= 5 ORDER BY event_type, rn""",
     "c19_dup_clusters" -> c19OracleSql
   )
 
   /** Recursive-CTE fixpoint of min-label reachability over the same
-    * verified ngram-jaccard pairs c4 emits. */
+    * LSH-chain pairs c2 emits (band candidates ∩ jaccard-verified). */
   private def c19OracleSql: String =
     s"""WITH RECURSIVE $corpusSql,
         toks AS (SELECT doc_id, $toksSql AS tk FROM corpus),
-        shd AS (SELECT doc_id, list_distinct(${ngramsSql(3)}) AS shs FROM toks),
-        ${jaccardSql(0.6)},
+        shd AS (SELECT doc_id, list_distinct(${ngramsSql(5)}) AS shs FROM toks),
+        ${minhashSigSql(8)},
+        ${bandedSql(4, 2)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        ${jaccardSql(0.5)},
+        pairs AS (
+          SELECT c.id1, c.id2 FROM cand c
+          JOIN verified v ON c.id1 = v.id1 AND c.id2 = v.id2),
         edges AS (
-          SELECT id1 AS a, id2 AS b FROM verified
-          UNION SELECT id2, id1 FROM verified),
+          SELECT id1 AS a, id2 AS b FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
         reach(n, m) AS (
           SELECT a, a FROM edges
           UNION

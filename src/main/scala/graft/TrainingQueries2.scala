@@ -265,8 +265,8 @@ object TrainingQueries2 {
          FROM s3 ORDER BY doc_id""",
     "c17_label_centroids" ->
       """SELECT label, CAST(pos AS BIGINT) AS dim,
-           sum(CAST(round(CAST(embedding[pos + 1] AS DOUBLE) * 1000000)
-             AS BIGINT)) AS sum_micro,
+           CAST(sum(CAST(round(CAST(embedding[pos + 1] AS DOUBLE) * 1000000)
+             AS BIGINT)) AS BIGINT) AS sum_micro,
            count(*) AS n_vecs
          FROM embeddings
          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) g
@@ -278,7 +278,8 @@ object TrainingQueries2 {
             SELECT doc_id, word, count(*) AS term_freq
             FROM toks GROUP BY doc_id, word),
           v AS (
-            SELECT word, sum(term_freq) AS n_total, count(*) AS n_docs
+            SELECT word, CAST(sum(term_freq) AS BIGINT) AS n_total,
+              count(*) AS n_docs
             FROM tf GROUP BY word),
           top AS (
             SELECT row_number() OVER (ORDER BY n_total DESC, word) AS rk,
@@ -296,7 +297,8 @@ object TrainingQueries2 {
              CASE WHEN substr(md5(lang || '#' || CAST(doc_id AS VARCHAR)), 1, 8)
                     < '19999999' THEN 1 ELSE 0 END AS in_sample
            FROM documents)
-         SELECT lang, split, count(*) AS n_docs, sum(in_sample) AS n_sampled
+         SELECT lang, split, count(*) AS n_docs,
+           CAST(sum(in_sample) AS BIGINT) AS n_sampled
          FROM sp GROUP BY lang, split ORDER BY lang, split""",
     "c21_corpus_pipeline" -> c21OracleSql,
     "c22_decontaminate" ->
@@ -350,8 +352,8 @@ object TrainingQueries2 {
              CAST(round(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0) * 127)
                AS BIGINT) AS q
            FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) _)
-         SELECT vec_id, sum(q) AS sum_q, min(q) AS min_q, max(q) AS max_q,
-           sum(abs(q)) AS l1_q
+         SELECT vec_id, CAST(sum(q) AS BIGINT) AS sum_q, min(q) AS min_q,
+           max(q) AS max_q, CAST(sum(abs(q)) AS BIGINT) AS l1_q
          FROM q GROUP BY vec_id ORDER BY vec_id"""
   )
 
@@ -414,8 +416,8 @@ object TrainingQueries2 {
         keep AS (
           SELECT * FROM f WHERE doc_id NOT IN (SELECT n FROM dropids))
         SELECT lang, count(*) AS n_docs,
-          sum(len(tk)) AS n_tokens,
-          sum((len(tk) - 1) // 32 + 1) AS n_chunks
+          CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+          CAST(sum((len(tk) - 1) // 32 + 1) AS BIGINT) AS n_chunks
         FROM keep GROUP BY lang ORDER BY lang"""
   }
 }
