@@ -164,6 +164,32 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** A12: DLQ replay — the reference re-enqueues every failed row as a
+    * single-retry job with exponential backoff and `attempts: 5`
+    * (main.ts:502-507); after the budget, non-critical rows drop and
+    * critical rows park. Malformed rows are planted in-plan (every
+    * 17th event loses its routing key, every 23rd gets an unparseable
+    * body); bodies recover on a deterministic attempt (transient
+    * fault), keyless rows never do and are non-critical → dropped.
+    * The oracle reproduces the full (row, attempt) schedule. */
+  private def a12DlqReplay(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(
+      col("event_id"),
+      when(col("event_id") % 17 === 0, lit(""))
+        .otherwise(col("event_type")).as("event_type"),
+      when(col("event_id") % 23 === 0, concat(lit("{broken "), col("props")))
+        .otherwise(col("props")).as("props"))
+    val (_, dlq) = EventRouter.splitDlq(ev, "props")
+    val recoverAt = when(col("dlq_reason") === "malformed_body",
+      (col("event_id") % 3 + 2).cast("int"))
+    EventRouter.replayDlq(dlq, recoverAt, maxAttempts = 5,
+        baseDelaySec = 1L, nonCritical = Seq(""))
+      .select(col("event_id"), col("dlq_reason"),
+        col("attempt").cast("long").as("attempt"),
+        col("backoff_s"), col("disposition"))
+      .orderBy(col("event_id"), col("attempt"))
+  }
+
   /** A11 (batch form): the whole ingest path through a REAL routed
     * parquet write — flatten props, enrich metadata, default transform,
     * one-shuffle routed write, read the tables back. The oracle checks
@@ -231,6 +257,7 @@ object SparkEntry {
     "a9_bulk_sink" -> (a9BulkBatches _),
     "a10_dlq_retry" -> (a10Dlq _),
     "a11_pipeline_e2e" -> (a11PipelineE2e _),
+    "a12_dlq_replay" -> (a12DlqReplay _),
     "b1_pricing_summary" -> (b1Pricing _),
     "b8_daily_rollup" -> (b8DailyRollup _)
   ) ++ AnalyticsQueries.queries ++ AnalyticsQueries2.queries ++
@@ -290,6 +317,36 @@ object SparkEntry {
          FROM events
          WHERE event_type IS NOT NULL AND len(event_type) > 0
          GROUP BY event_type ORDER BY event_type""",
+    "a12_dlq_replay" ->
+      """WITH ev AS (
+           SELECT event_id,
+             CASE WHEN event_id % 17 = 0 THEN '' ELSE event_type END AS event_type,
+             CASE WHEN event_id % 23 = 0 THEN '{broken ' || props ELSE props END AS props
+           FROM events),
+         d AS (
+           SELECT event_id, event_type,
+             CASE WHEN event_type IS NULL OR len(event_type) = 0
+                    THEN 'missing_event_type'
+                  WHEN props IS NOT NULL AND NOT json_valid(props)
+                    THEN 'malformed_body' END AS dlq_reason
+           FROM ev),
+         dlq AS (SELECT * FROM d WHERE dlq_reason IS NOT NULL),
+         r AS (
+           SELECT *, CASE WHEN dlq_reason = 'malformed_body'
+             THEN event_id % 3 + 2 END AS rec_at
+           FROM dlq),
+         e AS (
+           SELECT *, CAST(CASE WHEN rec_at IS NOT NULL AND rec_at <= 5
+             THEN rec_at ELSE 5 END AS BIGINT) AS eff
+           FROM r),
+         x AS (SELECT *, unnest(generate_series(1, eff)) AS attempt FROM e)
+         SELECT event_id, dlq_reason, CAST(attempt AS BIGINT) AS attempt,
+           CAST(1 << (attempt - 1) AS BIGINT) AS backoff_s,
+           CASE WHEN attempt < eff THEN 'retried'
+                WHEN rec_at IS NOT NULL AND rec_at <= 5 THEN 'recovered'
+                WHEN coalesce(event_type, '') = '' THEN 'dropped_non_critical'
+                ELSE 'parked' END AS disposition
+         FROM x ORDER BY event_id, attempt""",
     "a11_pipeline_e2e" ->
       """SELECT event_type, count(*) AS n_rows,
          count(DISTINCT md5(concat(event_type, '#', CAST(event_id AS VARCHAR)))) AS n_message_ids

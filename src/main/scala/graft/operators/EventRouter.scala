@@ -73,6 +73,48 @@ object EventRouter {
     (failed.filter(!drop), failed.filter(drop))
   }
 
+  /** DLQ replay with bounded attempts + exponential backoff
+    * (reference: src/main.ts:502-507 — failed rows re-enqueue as
+    * single-retry jobs with `backoff: {type: 'exponential'}` and
+    * `attempts: 5`; after the retry budget, NON_CRITICAL_EVENT_TYPES
+    * rows are dropped, critical rows stay parked for operator action).
+    *
+    * Batch re-expression: the replay SCHEDULE is data — one row per
+    * (dlq row, attempt) with the backoff delay and the disposition the
+    * reference's queue would reach. `recoverAttempt` is the attempt at
+    * which the row's failure cause goes away (null = never): transient
+    * faults model as a recovery attempt, permanent faults exhaust the
+    * budget. Pure projection + bounded generator (≤ maxAttempts rows
+    * per input row, no shuffle) — replay state never leaves the row,
+    * so the operator scales like a map at any DLQ size.
+    *
+    * Emitted columns: attempt (1-based), backoff_s (base·2^(attempt-1),
+    * the reference's exponential policy), disposition ∈
+    * 'retried' | 'recovered' | 'dropped_non_critical' | 'parked'. */
+  def replayDlq(dlq: DataFrame, recoverAttempt: Column, maxAttempts: Int,
+                baseDelaySec: Long, nonCritical: Seq[String]): DataFrame = {
+    val eff = when(recoverAttempt.isNotNull && recoverAttempt <= maxAttempts,
+      recoverAttempt).otherwise(lit(maxAttempts)).cast("int")
+    val isNonCritical =
+      if (nonCritical.isEmpty) lit(false)
+      else coalesce(col(RouteCol), lit("")).isin(nonCritical.map(x => x: Any): _*)
+    dlq
+      .withColumn("recover_attempt", recoverAttempt.cast("int"))
+      .withColumn("attempt", explode(sequence(lit(1), eff)))
+      .withColumn("backoff_s",
+        (lit(baseDelaySec) * expr("shiftleft(1L, attempt - 1)")).cast("long"))
+      .withColumn("disposition",
+        when(col("attempt") <
+          when(col("recover_attempt").isNotNull &&
+            col("recover_attempt") <= maxAttempts, col("recover_attempt"))
+            .otherwise(lit(maxAttempts)), lit("retried"))
+          .when(col("recover_attempt").isNotNull &&
+            col("recover_attempt") <= maxAttempts, lit("recovered"))
+          .when(isNonCritical, lit("dropped_non_critical"))
+          .otherwise(lit("parked")))
+      .drop("recover_attempt")
+  }
+
   /** DLQ split (reference: src/main.ts:463-514 — failed batch rows
     * become single-retry jobs with attempt counters). Valid rows go to
     * the route; invalid rows (no routing key / unparseable body) go to

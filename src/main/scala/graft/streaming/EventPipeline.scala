@@ -25,6 +25,45 @@ import graft.operators.{EventFlattener, EventRouter, SchemaEvolution}
   */
 object EventPipeline {
 
+  /** Pluggable queue-source seam (reference north star: a Redis/Kafka
+    * consumer feeding the worker — main.ts:540's `queue.process`).
+    * Anything that yields a streaming DataFrame of event rows drops
+    * in: the file source below is the zero-egress stand-in; a Kafka
+    * reader is `FrameEventSource(spark.readStream.format("kafka")
+    * .option("subscribe", topic)...load().select(<decode body>))` —
+    * no pipeline code changes.
+    *
+    * Reference-knob mapping (so a queue deployment translates):
+    * - `NB_CONCURRENCY` (main.ts:162, parallel queue reads) ≙ source
+    *   partition count × `spark.sql.shuffle.partitions` — parallelism
+    *   is cluster-sized, not worker-config-sized.
+    * - `TAKE_UP_TO_PER_BATCH` / `BULKER_MAX_LENGTH` (main.ts:153,
+    *   bounded per-INSERT batch + buffer cap) ≙ trigger pacing:
+    *   `maxFilesPerTrigger` (files) or `maxOffsetsPerTrigger` (Kafka)
+    *   bound each micro-batch, and backpressure is structural — the
+    *   source is never drained faster than the sink commits, so there
+    *   is no `errors.bulker_full` overflow path to re-enqueue. */
+  trait EventSource {
+    def load(spark: SparkSession): DataFrame
+  }
+
+  /** File-backed queue stand-in: each arriving file ≙ a batch of
+    * queue jobs; `maxFilesPerTrigger` ≙ TAKE_UP_TO_PER_BATCH. */
+  final case class FileEventSource(schema: StructType, dir: String,
+                                   maxFilesPerTrigger: Int = 1) extends EventSource {
+    def load(spark: SparkSession): DataFrame =
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir)
+  }
+
+  /** Adapter for an already-built streaming frame (MemoryStream in
+    * tests, a Kafka/Redis reader in a real deployment). */
+  final case class FrameEventSource(df: DataFrame) extends EventSource {
+    def load(spark: SparkSession): DataFrame = df
+  }
+
   case class Config(
       inputDir: String,
       outputDir: String,
@@ -47,12 +86,15 @@ object EventPipeline {
     * stops — the batch-refill shape; Trigger.ProcessingTime is the
     * always-on worker (BULK_REPEAT_INTERVAL_SEC). */
   def start(spark: SparkSession, schema: StructType, cfg: Config,
-            availableNow: Boolean = true): StreamingQuery = {
+            availableNow: Boolean = true): StreamingQuery =
+    start(spark, FileEventSource(schema, cfg.inputDir, cfg.maxFilesPerTrigger),
+      cfg, availableNow)
+
+  /** Same pipeline over any [[EventSource]] (the queue seam). */
+  def start(spark: SparkSession, source: EventSource, cfg: Config,
+            availableNow: Boolean): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
-      .parquet(cfg.inputDir)
+    val stream = source.load(spark)
 
     val writer = stream.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
@@ -110,12 +152,16 @@ object EventPipeline {
     * named "event_id" must not shadow the envelope's event_id. */
   def startEvolving(spark: SparkSession, schema: StructType, cfg: Config,
                     jsonCol: String = "props",
-                    availableNow: Boolean = true): StreamingQuery = {
+                    availableNow: Boolean = true): StreamingQuery =
+    startEvolving(spark,
+      FileEventSource(schema, cfg.inputDir, cfg.maxFilesPerTrigger),
+      cfg, jsonCol, availableNow)
+
+  /** Same evolving pipeline over any [[EventSource]] (the queue seam). */
+  def startEvolving(spark: SparkSession, source: EventSource, cfg: Config,
+                    jsonCol: String, availableNow: Boolean): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
-      .parquet(cfg.inputDir)
+    val stream = source.load(spark)
     val enrichmentCols = Seq("received_at", "sent_at", "message_id",
       "timestamp", "stream_batch_id")
     val writer = stream.writeStream

@@ -59,6 +59,48 @@ class EventRouterSpec extends SparkSpec {
     assert(dropped.select("event_id").as[Long].collect().toSet == Set(2L))
   }
 
+  test("replayDlq: transient rows retry with doubling backoff then recover") {
+    val dlq = Seq((1L, "click", "malformed_body"))
+      .toDF("event_id", "event_type", "dlq_reason")
+    val out = EventRouter.replayDlq(dlq,
+        recoverAttempt = lit(3), maxAttempts = 5, baseDelaySec = 1L,
+        nonCritical = Nil)
+      .orderBy("attempt")
+      .select("attempt", "backoff_s", "disposition")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((1, 1L, "retried"), (2, 2L, "retried"),
+      (3, 4L, "recovered")))
+  }
+
+  test("replayDlq: exhausted rows drop when non-critical, park when critical") {
+    val dlq = Seq((1L, "click", "malformed_body"),
+        (2L, "purchase", "malformed_body"))
+      .toDF("event_id", "event_type", "dlq_reason")
+    val out = EventRouter.replayDlq(dlq,
+        recoverAttempt = lit(null).cast("int"), maxAttempts = 5,
+        baseDelaySec = 2L, nonCritical = Seq("click"))
+    // full budget spent on both rows, exponential base*2^(n-1)
+    assert(out.filter(col("event_id") === 1L).count() == 5)
+    assert(out.filter(col("attempt") === 5).select("backoff_s")
+      .as[Long].collect().toSeq == Seq(32L, 32L))
+    val last = out.filter(col("attempt") === 5)
+      .select("event_id", "disposition")
+      .as[(Long, String)].collect().toMap
+    assert(last == Map(1L -> "dropped_non_critical", 2L -> "parked"))
+    // attempts before the last are all retries
+    assert(out.filter(col("attempt") < 5)
+      .select("disposition").distinct().as[String].collect().toSeq == Seq("retried"))
+  }
+
+  test("replayDlq: recovery attempt beyond the budget behaves as never-recovers") {
+    val dlq = Seq((1L, "click", "malformed_body"))
+      .toDF("event_id", "event_type", "dlq_reason")
+    val out = EventRouter.replayDlq(dlq, recoverAttempt = lit(9),
+        maxAttempts = 5, baseDelaySec = 1L, nonCritical = Nil)
+      .orderBy("attempt").select("disposition").as[String].collect()
+    assert(out.length == 5 && out.last == "parked")
+  }
+
   test("withBatchId chunks each route into perBatch-sized batches") {
     val batched = EventRouter.withBatchId(events(300), perBatch = 40,
       Seq(col("ts"), col("event_id")))

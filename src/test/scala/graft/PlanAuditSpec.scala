@@ -56,4 +56,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"row-local metrics should not shuffle:\n$p")
   }
+
+  test("b22: part joins as an explicit broadcast, lineitem never shuffles for it") {
+    val p = plan("b22_promo_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"part not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the r2 8s sort-merge join is back:\n$p")
+    // only the pruned two columns of part are read
+    assert(!p.contains("p_name") && !p.contains("p_retailprice"),
+      s"part scan reads columns the query never uses:\n$p")
+  }
+
+  test("a12: the replay schedule is a shuffle-free generator") {
+    val p = plan("a12_dlq_replay")
+    // explode(sequence(...)) over the DLQ rows; the only exchange
+    // allowed is the final presentation sort's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"replay schedule should never hash-shuffle:\n$p")
+    assert(p.contains("Generate explode"), s"expected the attempt generator:\n$p")
+  }
 }

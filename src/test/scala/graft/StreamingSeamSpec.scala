@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventPipeline
+
+/** The queue-source seam (VERDICT r2 #8) and the bounded-trigger
+  * backpressure path (#9).
+  *
+  * Seam: the pipeline is constructed from an [[EventPipeline.EventSource]]
+  * — a MemoryStream here, a Kafka/Redis reader in a real deployment —
+  * with zero pipeline-code changes (reference main.ts:540 hard-wires
+  * BullMQ; our file source is just one EventSource among others).
+  *
+  * Backpressure: the reference bounds its per-table buffer
+  * (BULKER_MAX_LENGTH, bulker.class.ts:66-117) and re-enqueues overflow
+  * (`errors.bulker_full`, main.ts:388-409). Structured Streaming's
+  * analogue is structural: `maxFilesPerTrigger` caps each micro-batch
+  * and the surplus WAITS IN THE SOURCE — there is no overflow path to
+  * lose rows on. The test drives 4 waves of input through a 1-file
+  * trigger cap and asserts every row lands exactly once, in 4 distinct
+  * micro-batches.
+  */
+class StreamingSeamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(ids: Range, t: String) =
+    ids.map(i => (i.toLong, 1700000000000000000L + i * 1000000000L,
+      i.toLong % 7, t, i * 1.5, s"""{"k":$i}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("pipeline runs unchanged from an alternate in-memory source") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmpDir("seam")
+    val cfg = EventPipeline.Config(s"$base/unused", s"$base/out", s"$base/ck")
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    mem.addData((0 until 25).map(i => (i.toLong,
+      1700000000000000000L + i * 1000000000L, i.toLong % 7,
+      if (i % 5 == 0) "purchase" else "click", i * 1.5, s"""{"k":$i}""")))
+    val source = EventPipeline.FrameEventSource(
+      mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    EventPipeline.start(spark, source, cfg, availableNow = true)
+      .awaitTermination()
+    val routed = spark.read.parquet(s"$base/out")
+    assert(routed.count() == 25)
+    assert(routed.filter(col("event_type") === "purchase").count() == 5)
+    // the same enrichment the file-source path applies
+    assert(routed.columns.contains("message_id"))
+  }
+
+  test("bounded trigger drains a backlog without losing or duplicating rows") {
+    val base = tmpDir("backpressure")
+    val in = s"$base/in"
+    val cfg = EventPipeline.Config(in, s"$base/out", s"$base/ck",
+      maxFilesPerTrigger = 1)
+    // 4 waves arrive before the worker starts — a backlog deeper than
+    // the per-trigger budget (the bulker-full shape)
+    val waves = Seq(0 until 30, 30 until 60, 60 until 90, 90 until 120)
+    waves.foreach(r => rows(r, "click").coalesce(1).write.mode("append").parquet(in))
+    EventPipeline.start(spark, rows(0 until 1, "click").schema, cfg)
+      .awaitTermination()
+    val out = spark.read.parquet(s"$base/out")
+    // exactly once per row: nothing dropped on the floor, nothing replayed
+    assert(out.count() == 120)
+    assert(out.select("event_id").distinct().count() == 120)
+    // and the cap was honored: the backlog drained across 4 micro-batches
+    assert(out.select("stream_batch_id").distinct().count() == 4)
+  }
+}
