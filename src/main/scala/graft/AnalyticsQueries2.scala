@@ -305,8 +305,30 @@ object AnalyticsQueries2 {
       .orderBy(col("event_type"), col("event_date"))
   }
 
+  /** B28: ClickHouse ReplacingMergeTree semantics — the latest-version
+    * row per key (the canonical CH upsert pattern; replays/updates
+    * collapse to the max-version row at merge time). Deterministic
+    * rank-1 window on (ts desc, event_id desc); plans as
+    * WindowGroupLimit, so each map task ships one row per key — the
+    * same pruned-below-the-shuffle shape as b14. This is also the
+    * exactly-once read-side story for the streaming sink: latest row
+    * per message_id after an at-least-once replay. */
+  private def b28LatestVersion(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    T(s, dir, "events")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("latest_event_id"),
+        Fns.nanosToEpochSec(col("ts")).as("latest_ts_s"),
+        col("value").as("latest_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b12_window_funnel" -> (b12WindowFunnel _),
+    "b28_latest_version" -> (b28LatestVersion _),
     "b13_retention" -> (b13Retention _),
     "b14_top_k" -> (b14TopK _),
     "b14b_topk_sketch" -> (b14bTopkSketch _),
@@ -325,6 +347,15 @@ object AnalyticsQueries2 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b28_latest_version" ->
+      """SELECT user_id, event_type, event_id AS latest_event_id,
+           epoch_ns(ts) // 1000000000 AS latest_ts_s,
+           value AS latest_value
+         FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             ORDER BY ts DESC, event_id DESC) AS rk
+           FROM events)
+         WHERE rk = 1 ORDER BY user_id, event_type""",
     "b12_window_funnel" ->
       """WITH e AS (
            SELECT user_id, event_id, epoch_ns(ts) AS tn, event_type FROM events),

@@ -173,8 +173,35 @@ object TrainingQueries2 {
       .orderBy(col("vec_id"))
   }
 
+  /** C25: token-budget stratified sampling — the data-mixing primitive
+    * (fill each language's slice of a training mix up to a token
+    * budget, deterministically). Docs are ordered per stratum by
+    * md5(doc_id) (stable "random" — growth adds docs at the tail of
+    * the hash order it doesn't reshuffle survivors) and kept while the
+    * running token total BEFORE the doc is under budget, so exactly
+    * the first budget-crossing doc is included. One shuffle on the
+    * stratum key + one in-partition sort — the same single-exchange
+    * window shape as sessionization, at any corpus size. */
+  private def c25TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.Fns.tokens(col("text"))).cast("long").as("n_toks"),
+        md5(col("doc_id").cast("string")).as("h"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .filter(col("cum_before") < 10000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("long").as("n_tokens"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c14_tfidf" -> (c14Tfidf _),
+    "c25_token_budget" -> (c25TokenBudget _),
     "c15_chunks" -> (c15Chunks _),
     "c16_pii_scrub" -> (c16PiiScrub _),
     "c17_label_centroids" -> (c17LabelCentroids _),
@@ -187,6 +214,21 @@ object TrainingQueries2 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c25_token_budget" ->
+      s"""WITH d AS (
+            SELECT doc_id, lang, len($toksSql) AS n_toks,
+              md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents),
+          c AS (
+            SELECT *, coalesce(sum(n_toks) OVER (PARTITION BY lang
+              ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cum_before
+            FROM d)
+          SELECT lang, count(*) AS n_docs,
+            CAST(sum(n_toks) AS BIGINT) AS n_tokens
+          FROM c WHERE cum_before < 10000
+          GROUP BY lang ORDER BY lang""",
     "c14_tfidf" ->
       s"""WITH toks AS (
             SELECT doc_id, unnest($toksSql) AS word FROM documents),

@@ -119,10 +119,21 @@ object EventRouter {
     * become single-retry jobs with attempt counters). Valid rows go to
     * the route; invalid rows (no routing key / unparseable body) go to
     * the dead-letter frame with a reason, never lost. */
-  def splitDlq(events: DataFrame, jsonCol: String): (DataFrame, DataFrame) = {
+  def splitDlq(events: DataFrame, jsonCol: String): (DataFrame, DataFrame) =
+    splitDlqImpl(events, Some(jsonCol))
+
+  /** Routing-key-only DLQ split, for frames with no JSON body column. */
+  def splitDlq(events: DataFrame): (DataFrame, DataFrame) =
+    splitDlqImpl(events, None)
+
+  private def splitDlqImpl(events: DataFrame,
+                           jsonCol: Option[String]): (DataFrame, DataFrame) = {
+    val bodyBad = jsonCol
+      .map(c => col(c).isNotNull && isnull(try_parse_json(col(c))))
+      .getOrElse(lit(false))
     val invalidReason =
       when(col(RouteCol).isNull || length(col(RouteCol)) === 0, "missing_event_type")
-        .when(col(jsonCol).isNotNull && isnull(try_parse_json(col(jsonCol))), "malformed_body")
+        .when(bodyBad, "malformed_body")
     val tagged = events.withColumn("dlq_reason", invalidReason)
     (tagged.filter(col("dlq_reason").isNull).drop("dlq_reason"),
       tagged.filter(col("dlq_reason").isNotNull)

@@ -64,12 +64,17 @@ object EventPipeline {
     def load(spark: SparkSession): DataFrame = df
   }
 
+  /** `dlqDir = Some(dir)` dead-letters invalid rows (missing routing
+    * key / unparseable body) instead of dropping them — the reference
+    * never loses a row (main.ts:463-514); replay them later with
+    * `EventRouter.replayDlq`. None keeps the drop behavior. */
   case class Config(
       inputDir: String,
       outputDir: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 1,
-      transform: EventFlattener.RowTransform = EventFlattener.defaultTransform)
+      transform: EventFlattener.RowTransform = EventFlattener.defaultTransform,
+      dlqDir: Option[String] = None)
 
   /** The enrichment applied to each micro-batch (shared with tests and
     * with the batch path, so batch/streaming parity is testable). */
@@ -99,7 +104,22 @@ object EventPipeline {
     val writer = stream.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val enriched = enrich(batch, cfg.transform)
+        // reference main.ts:463-514: a row is never lost — invalid rows
+        // dead-letter (when configured) with a reason + attempt counter
+        val valid = cfg.dlqDir match {
+          case Some(dlqOut) =>
+            val (ok, dlq) =
+              if (batch.columns.contains("props"))
+                EventRouter.splitDlq(batch, "props")
+              else EventRouter.splitDlq(batch)
+            dlq.withColumn("stream_batch_id", lit(batchId))
+              .write.mode("append").parquet(dlqOut)
+            ok
+          case None =>
+            batch.filter(col("event_type").isNotNull &&
+              length(col("event_type")) > 0)
+        }
+        val enriched = enrich(valid, cfg.transform)
           .filter(col("event_type").isNotNull && length(col("event_type")) > 0)
           .withColumn("stream_batch_id", lit(batchId))
         enriched

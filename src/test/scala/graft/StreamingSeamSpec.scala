@@ -48,6 +48,32 @@ class StreamingSeamSpec extends SparkSpec {
     assert(routed.columns.contains("message_id"))
   }
 
+  test("dlqDir dead-letters invalid rows instead of dropping them (no row lost)") {
+    val base = tmpDir("dlq")
+    val in = s"$base/in"
+    val cfg = EventPipeline.Config(in, s"$base/out", s"$base/ck",
+      dlqDir = Some(s"$base/dlq"))
+    val good = rows(0 until 20, "click")
+    val noType = rows(20 until 24, "click")
+      .withColumn("event_type", lit(""))
+    val badBody = rows(24 until 27, "purchase")
+      .withColumn("props", lit("{not json"))
+    good.unionAll(noType).unionAll(badBody)
+      .coalesce(1).write.mode("append").parquet(in)
+
+    EventPipeline.start(spark, good.schema, cfg).awaitTermination()
+
+    val routed = spark.read.parquet(s"$base/out")
+    val dlq = spark.read.parquet(s"$base/dlq")
+    assert(routed.count() == 20)
+    assert(dlq.count() == 7) // 27 in = 20 routed + 7 dead-lettered
+    val reasons = dlq.groupBy("dlq_reason").count()
+      .as[(String, Long)].collect().toMap
+    assert(reasons == Map("missing_event_type" -> 4L, "malformed_body" -> 3L))
+    // dead-lettered rows carry the attempt counter replayDlq consumes
+    assert(dlq.columns.contains("retry_attempt"))
+  }
+
   test("bounded trigger drains a backlog without losing or duplicating rows") {
     val base = tmpDir("backpressure")
     val in = s"$base/in"
