@@ -143,6 +143,15 @@ object TrainingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C26: cross-doc duplicate-line fraction (RefinedWeb/MassiveText
+    * line-dedup signal) — the planted near-dup corpus gives true
+    * positives: every copied doc shares almost all its 10-token lines
+    * with its original. */
+  private def c26LineDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.lineDupStats(corpusWithDups(T(s, dir, "documents")),
+        "doc_id", "text", lineTokens = 10)
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------------
   // C6-C7: similarity search
   // ------------------------------------------------------------------
@@ -247,7 +256,8 @@ object TrainingQueries {
     "c11_fingerprint" -> (c11Fingerprint _),
     "c12_multimodal" -> (c12Multimodal _),
     "c13_sample" -> (c13Sample _),
-    "c19_dup_clusters" -> (c19DupClusters _)
+    "c19_dup_clusters" -> (c19DupClusters _),
+    "c26_line_dedup" -> (c26LineDedup _)
   )
 
   // ------------------------------------------------------------------
@@ -506,7 +516,30 @@ object TrainingQueries {
            FROM events)
          SELECT event_type, rn, event_id
          FROM r WHERE rn <= 5 ORDER BY event_type, rn""",
-    "c19_dup_clusters" -> c19OracleSql
+    "c19_dup_clusters" -> c19OracleSql,
+    "c26_line_dedup" ->
+      s"""WITH $corpusSql,
+          t AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+          c AS (
+            SELECT doc_id, tk,
+              unnest(generate_series(0, CAST((len(tk) - 1) // 10 AS BIGINT)))
+                AS line_id
+            FROM t WHERE len(tk) > 0),
+          l AS (
+            SELECT doc_id,
+              md5(array_to_string(
+                list_slice(tk, line_id * 10 + 1, line_id * 10 + 10), ' ')) AS h
+            FROM c),
+          occ AS (SELECT h, count(*) AS n_occ FROM l GROUP BY h),
+          d AS (
+            SELECT l.doc_id, count(*) AS n_lines,
+              CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup_lines
+            FROM l JOIN occ USING (h) GROUP BY l.doc_id)
+          SELECT doc_id, n_lines, n_dup_lines,
+            CAST(floor(n_dup_lines * 1000000.0 / n_lines) AS BIGINT)
+              AS dup_line_ratio_micro
+          FROM d ORDER BY doc_id"""
   )
 
   /** Recursive-CTE fixpoint of min-label reachability over the same

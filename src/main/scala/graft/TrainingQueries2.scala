@@ -176,10 +176,11 @@ object TrainingQueries2 {
   /** C25: token-budget stratified sampling — the data-mixing primitive
     * (fill each language's slice of a training mix up to a token
     * budget, deterministically). Docs are ordered per stratum by
-    * md5(doc_id) (stable "random" — growth adds docs at the tail of
-    * the hash order it doesn't reshuffle survivors) and kept while the
-    * running token total BEFORE the doc is under budget, so exactly
-    * the first budget-crossing doc is included. One shuffle on the
+    * md5(doc_id) (an unbiased, reproducible "random" order — unlike
+    * Splitter.hashSplit the kept SET does shift as the corpus grows,
+    * which is inherent to budget capping) and kept while the running
+    * token total BEFORE the doc is under budget, so exactly the first
+    * budget-crossing doc is included. One shuffle on the
     * stratum key + one in-partition sort — the same single-exchange
     * window shape as sessionization, at any corpus size. */
   private def c25TokenBudget(s: SparkSession, dir: String): DataFrame = {
@@ -199,9 +200,28 @@ object TrainingQueries2 {
       .orderBy(col("lang"))
   }
 
+  /** C27: C4-style URL-density quality rule over a corpus with planted
+    * links (the synthetic corpus carries none): every 4th doc gains
+    * one http URL, every 12th two www hosts on top. Flag threshold
+    * 0.5% of tokens — planted docs land well above, clean docs at 0. */
+  private def c27UrlDensity(s: SparkSession, dir: String): DataFrame = {
+    val planted = T(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" see http://ex.com/p"), col("doc_id").cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 12 === 0,
+          lit(" visit www.spam.com and www.mirror.net"))
+          .otherwise(lit(""))).as("text"))
+    val cols = TextAnalysis.urlCols(col("text"))
+    planted.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c14_tfidf" -> (c14Tfidf _),
     "c25_token_budget" -> (c25TokenBudget _),
+    "c27_url_density" -> (c27UrlDensity _),
     "c15_chunks" -> (c15Chunks _),
     "c16_pii_scrub" -> (c16PiiScrub _),
     "c17_label_centroids" -> (c17LabelCentroids _),
@@ -214,6 +234,30 @@ object TrainingQueries2 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c27_url_density" ->
+      s"""WITH d AS (
+            SELECT doc_id, text ||
+              CASE WHEN doc_id % 4 = 0
+                THEN ' see http://ex.com/p' || CAST(doc_id AS VARCHAR)
+                ELSE '' END ||
+              CASE WHEN doc_id % 12 = 0
+                THEN ' visit www.spam.com and www.mirror.net'
+                ELSE '' END AS text
+            FROM documents),
+          m AS (
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text, 'https?://\\S+|www\\.\\S+'))
+                AS BIGINT) AS n_urls,
+              CAST(len($toksSql) AS BIGINT) AS n_tokens
+            FROM d)
+          SELECT doc_id, n_urls, n_tokens,
+            CASE WHEN n_tokens > 0
+              THEN CAST(floor(n_urls * 1000000.0 / n_tokens) AS BIGINT)
+              ELSE 0 END AS url_density_micro,
+            CASE WHEN n_tokens > 0
+              AND floor(n_urls * 1000000.0 / n_tokens) >= 5000 THEN 1
+              ELSE 0 END AS flagged
+          FROM m ORDER BY doc_id""",
     "c25_token_budget" ->
       s"""WITH d AS (
             SELECT doc_id, lang, len($toksSql) AS n_toks,

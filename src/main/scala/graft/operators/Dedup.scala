@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.functions.Fns
@@ -201,6 +202,33 @@ object Dedup {
         bit_count(col("a.simhash32").bitwiseXOR(col("b.simhash32"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Cross-document duplicate-line fraction (the RefinedWeb /
+    * MassiveText line-dedup signal): a document whose lines mostly
+    * appear elsewhere in the corpus is boilerplate or a near-copy even
+    * when no single whole-doc pair crosses a Jaccard threshold.
+    *
+    * "Lines" are non-overlapping `lineTokens`-token windows (the
+    * corpus has no layout newlines; a real deployment would split on
+    * them — same plan shape either way). One bounded explode
+    * (~n_tokens/lineTokens rows per doc) → one hash shuffle for the
+    * per-line occurrence count → per-doc rollup. Work is linear in
+    * corpus token count; nothing is ever corpus². */
+  def lineDupStats(docs: DataFrame, idCol: String, textCol: String,
+                   lineTokens: Int = 10): DataFrame = {
+    val lines = Chunker
+      .chunkTokens(docs, idCol, textCol, size = lineTokens, stride = lineTokens)
+      .select(col(idCol), md5(concat_ws(" ", col("chunk_tokens"))).as("__h"))
+    val occ = Window.partitionBy(col("__h"))
+    lines
+      .withColumn("__n_occ", count(lit(1)).over(occ))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__n_occ") > 1, 1L).otherwise(0L)).as("n_dup_lines"))
+      .withColumn("dup_line_ratio_micro",
+        floor(col("n_dup_lines") * lit(1000000.0) / col("n_lines")).cast("long"))
   }
 
   /** Embedding-cosine near-dup pairs over an explicit sample predicate.

@@ -146,6 +146,25 @@ object TextAnalysis {
           .otherwise(0L))
   }
 
+  /** C4-style URL-density quality rule: documents whose token stream
+    * is dominated by links are boilerplate/link-farm pages, not prose.
+    * Counts `http(s)://…` and `www.…` spans, scores density in integer
+    * micro-units (urls·10⁶/tokens — exact integer in a double, one
+    * IEEE divide, tie-free floor on both engines). One projection, no
+    * shuffle — composes into any quality gate like [[qualityCols]]. */
+  def urlCols(text: Column, flagMicro: Long = 5000L): Seq[(String, Column)] = {
+    val urls = regexp_extract_all(text, lit("""https?://\S+|www\.\S+"""), lit(0))
+    val nToks = size(Fns.tokens(text)).cast("long")
+    val nUrls = size(urls).cast("long")
+    val density = when(nToks > 0,
+      floor(nUrls * lit(1000000.0) / nToks).cast("long")).otherwise(0L)
+    Seq(
+      "n_urls" -> nUrls,
+      "n_tokens" -> nToks,
+      "url_density_micro" -> density,
+      "flagged" -> (density >= flagMicro).cast("int"))
+  }
+
   /** Document fingerprints: whole-text md5 over the canonical form, and
     * a min-shingle fingerprint (the 1-hash special case of MinHash —
     * robust to local edits the way winnowing selections are). */

@@ -74,6 +74,42 @@ class StreamingSeamSpec extends SparkSpec {
     assert(dlq.columns.contains("retry_attempt"))
   }
 
+  test("full failure loop: dead-letter -> replay schedule -> recovered rows re-ingest") {
+    import graft.operators.EventRouter
+    val base = tmpDir("dlqloop")
+    val in = s"$base/in"
+    val cfg = EventPipeline.Config(in, s"$base/out", s"$base/ck",
+      dlqDir = Some(s"$base/dlq"))
+    // 10 valid rows + 4 with a transiently-broken body (say, a flaky
+    // upstream serializer — the reference's retry-then-succeed case)
+    val good = rows(0 until 10, "click")
+    val broken = rows(10 until 14, "purchase")
+      .withColumn("props", lit("{not json"))
+    good.unionAll(broken).coalesce(1).write.mode("append").parquet(in)
+    EventPipeline.start(spark, good.schema, cfg).awaitTermination()
+
+    val dlq = spark.read.parquet(s"$base/dlq")
+    assert(dlq.count() == 4)
+
+    // replay: the fault clears on attempt 2; recovered rows get their
+    // body repaired and re-enter the SAME pipeline via a new input file
+    val schedule = EventRouter.replayDlq(dlq,
+      recoverAttempt = lit(2), maxAttempts = 5, baseDelaySec = 1L,
+      nonCritical = Nil)
+    val recovered = schedule.filter(col("disposition") === "recovered")
+      .withColumn("props", concat(lit("""{"k":"""), col("event_id"), lit("}")))
+      .select(good.columns.map(col): _*)
+    assert(recovered.count() == 4)
+    recovered.coalesce(1).write.mode("append").parquet(in)
+    EventPipeline.start(spark, good.schema, cfg).awaitTermination()
+
+    // every original row landed exactly once; nothing re-dead-lettered
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 14)
+    assert(out.select("event_id").distinct().count() == 14)
+    assert(spark.read.parquet(s"$base/dlq").count() == 4) // unchanged
+  }
+
   test("bounded trigger drains a backlog without losing or duplicating rows") {
     val base = tmpDir("backpressure")
     val in = s"$base/in"
