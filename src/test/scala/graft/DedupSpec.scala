@@ -81,6 +81,18 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getAs[Double]("cosine_sim") == 1.0)
   }
 
+  test("lineDupStats: exact copies share every line; unique docs share none") {
+    // 14-token docs -> 2 lines of 10/4 tokens at lineTokens=10
+    val out = Dedup.lineDupStats(docs, "doc_id", "text", lineTokens = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_dup_lines"))).toMap
+    assert(out(1L) == (2L, 2L)) // every line of 1 also in 2 and 5 (tokens lowercase)
+    assert(out(2L) == (2L, 2L))
+    assert(out(4L)._2 == 0L) // unique content: no line appears elsewhere
+    // near-dup 3 shares its first line with 1/2 but not its edited tail
+    assert(out(3L) == (2L, 1L))
+  }
+
   test("connected components: chain, triangle, isolated pair, min-id labels") {
     // chain 5-6-7-8 (min 5), triangle 1-2-3 (min 1), pair 10-11 (min 10)
     val pairs = Seq(

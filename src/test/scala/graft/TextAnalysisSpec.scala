@@ -38,6 +38,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2).getAs[Double]("quality_score") > 0.0)
   }
 
+  test("url density counts http and www spans, flags link-farm docs") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "plain prose with no links at all in here"),
+      (2L, "see http://a.io/x and https://b.io and www.c.org now"),
+      (3L, "")
+    ).toDF("id", "text")
+    val cols = TextAnalysis.urlCols(col("text"), flagMicro = 100000L)
+    val out = df.select(col("id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_urls"), r.getAs[Int]("flagged"))).toMap
+    assert(out(1L) == (0L, 0))
+    assert(out(2L) == (3L, 1)) // 3 urls / 9 tokens = 333333 micro >= 100000
+    assert(out(3L) == (0L, 0)) // empty text: zero tokens, zero density
+  }
+
   test("fingerprints are whitespace/case-insensitive and shingle-stable") {
     val docs = Seq(
       (1L, "The Quick  Brown Fox jumps over it"),
