@@ -61,32 +61,50 @@ object Dedup {
     docs.join(pairs.select(col("id2").as("__drop")),
         col(idCol) === col("__drop"), "left_anti")
 
-  /** Distinct word-n-gram shingles, exploded to (id, shingle). */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(array_distinct(Fns.wordNGrams(Fns.tokens(col(textCol)), n))).as("sh"))
-
-  /** Exact pairwise Jaccard over shared shingles for pairs meeting a
-    * threshold. Shuffles on the shingle key; candidate pairs are only
-    * docs sharing at least one shingle. Exact/audit variant — at corpus
-    * scale use [[minHashLsh]], which this also verifies. */
+  /** EXACT pairwise Jaccard ≥ threshold via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al., WWW 2007; a public
+    * algorithm): any pair with J(A,B) ≥ t must share a shingle within
+    * the first |S|−⌈t·|S|⌉+1 shingles of each set under ONE global
+    * total order, so candidates join only on those prefixes. Ordering
+    * the prefix by ascending document frequency puts the RAREST
+    * shingles first — the high-df shingles whose buckets explode a
+    * naive shingle self-join quadratically are exactly the ones the
+    * prefix drops. Verification is per-candidate `array_intersect`,
+    * so exact work scales with candidate count, not corpus².
+    * Same output as the naive all-pairs join, structurally cheaper —
+    * still the audit-grade exact variant next to [[minHashLsh]]. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    // consumed three times (join both sides + sizes): materialize once
-    val sh = shingles(docs, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
-    jaccardOf(sh, sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")), threshold)
-  }
-
-  private def jaccardOf(sh: DataFrame, sizes: DataFrame, threshold: Double): DataFrame = {
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id1"), col("n_sh").as("n1")), "id1")
-      .join(sizes.select(col("doc_id").as("id2"), col("n_sh").as("n2")), "id2")
+    // consumed by the df count, the prefix join, and the verify joins
+    val sets = shingleSets(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = sets.select(col("doc_id"), size(col("shs")).as("sz"),
+      explode(col("shs")).as("sh"))
+    val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    // prefix length floor((1−t)·|S|)+1; the 1e-9 nudge keeps the IEEE
+    // floor from undershooting an exact integer product — a longer
+    // prefix only adds candidates, never loses a true pair
+    val prefix = ex.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <=
+        floor((lit(1.0) - threshold) * col("sz") + lit(1e-9)) + 1)
+      .select(col("doc_id"), col("sz"), col("sh"))
+    // size filter (also AllPairs): J ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥ t·max,
+    // and min ≥ |A∩B| — so size-incompatible pairs can't qualify
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")) >=
+            lit(threshold) * greatest(col("a.sz"), col("b.sz")) - lit(1e-9))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val inter = size(array_intersect(col("shs1"), col("shs2")))
+    cand
+      .join(sets.select(col("doc_id").as("id1"), col("shs").as("shs1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("shs").as("shs2")), "id2")
       .select(col("id1"), col("id2"),
-        round(col("n_inter") / (col("n1") + col("n2") - col("n_inter")), 6).as("jaccard"))
+        round(inter / (size(col("shs1")) + size(col("shs2")) - inter), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

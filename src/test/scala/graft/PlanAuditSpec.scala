@@ -67,6 +67,32 @@ class PlanAuditSpec extends SparkSpec {
       s"part scan reads columns the query never uses:\n$p")
   }
 
+  test("c4: exact jaccard verifies per-candidate, never a count-groupBy over a full self-join") {
+    val p = plan("c4_ngram_jaccard")
+    assert(p.contains("array_intersect"),
+      s"verify regressed to the self-join count form:\n$p")
+  }
+
+  test("c25: token-budget sampling is one exchange on the stratum key") {
+    val p = plan("c25_token_budget")
+    val hashEx = p.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning"))
+    // one shuffle for the lang window; the final groupBy(lang) reuses
+    // the same partitioning (no second lang exchange)
+    assert(hashEx == 1, s"expected exactly 1 hash exchange:\n$p")
+  }
+
+  test("c26: line dedup never joins the corpus to itself") {
+    val p = plan("c26_line_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"line dedup should be window+rollup, not a join:\n$p")
+  }
+
+  test("b28: latest-version prunes to one row per key below the shuffle") {
+    val p = plan("b28_latest_version")
+    assert(p.contains("WindowGroupLimit"), s"rank-1 filter not pruned:\n$p")
+  }
+
   test("a12: the replay schedule is a shuffle-free generator") {
     val p = plan("a12_dlq_replay")
     // explode(sequence(...)) over the DLQ rows; the only exchange
