@@ -40,6 +40,21 @@ object AnalyticsQueries2 {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("funnel_level"))
 
+  /** B12b: CH windowFunnel in 'strict_order' mode — the chain dies on
+    * any intervening event, so only consecutive signup→click→purchase
+    * runs count. Far fewer users reach level 3 than in b12's default
+    * mode (the planted streams interleave other events). */
+  private def b12bWindowFunnelStrict(s: SparkSession, dir: String): DataFrame =
+    Funnel.windowFunnelStrictOrder(T(s, dir, "events"),
+        key = "user_id", time = "ts", tieBreak = "event_id",
+        conds = Seq(col("event_type") === "signup",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowSpan = SevenDaysNs)
+      .groupBy(col("funnel_level"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("funnel_level"))
+
   /** B13: CH retention — of users who signed up, how many also
     * clicked / purchased / errored (flags ANDed with cond_1). */
   private def b13Retention(s: SparkSession, dir: String): DataFrame =
@@ -328,6 +343,7 @@ object AnalyticsQueries2 {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b12_window_funnel" -> (b12WindowFunnel _),
+    "b12b_window_funnel_strict" -> (b12bWindowFunnelStrict _),
     "b28_latest_version" -> (b28LatestVersion _),
     "b13_retention" -> (b13Retention _),
     "b14_top_k" -> (b14TopK _),
@@ -387,6 +403,33 @@ object AnalyticsQueries2 {
            FROM hits GROUP BY user_id)
          SELECT funnel_level, count(*) AS n_users
          FROM lvl GROUP BY funnel_level ORDER BY funnel_level""",
+    "b12b_window_funnel_strict" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ns(ts) AS tn, event_type FROM events),
+         s AS (
+           SELECT user_id, tn,
+             CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS c1,
+             lead(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END, 1)
+               OVER w AS nc2,
+             lead(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END, 2)
+               OVER w AS nc3,
+             lead(tn, 1) OVER w AS tn1,
+             lead(tn, 2) OVER w AS tn2
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id)),
+         lv AS (
+           SELECT user_id,
+             (CASE WHEN c1 = 1 THEN 1 ELSE 0 END
+              + CASE WHEN c1 = 1 AND nc2 = 1
+                  AND tn1 - tn <= 604800000000000 THEN 1 ELSE 0 END
+              + CASE WHEN c1 = 1 AND nc2 = 1
+                  AND tn1 - tn <= 604800000000000 AND nc3 = 1
+                  AND tn2 - tn <= 604800000000000 THEN 1 ELSE 0 END) AS l
+           FROM s),
+         agg AS (
+           SELECT user_id, CAST(max(l) AS BIGINT) AS funnel_level
+           FROM lv GROUP BY user_id)
+         SELECT funnel_level, count(*) AS n_users
+         FROM agg GROUP BY funnel_level ORDER BY funnel_level""",
     "b13_retention" ->
       """WITH u AS (
            SELECT user_id,

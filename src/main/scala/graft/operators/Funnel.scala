@@ -66,6 +66,37 @@ object Funnel {
       .agg(levelFlags.reduce(_ + _).cast("long").as("funnel_level"))
   }
 
+  /** `windowFunnel(..., 'strict_order')`: CH's strict-order mode — the
+    * chain dies on ANY intervening event, so only runs of CONSECUTIVE
+    * events count: the max L' such that consecutive events
+    * e_i … e_{i+L'-1} in (time, tieBreak) order match cond_1 … cond_L'
+    * with time(e_{i+L'-1}) − time(e_i) ≤ windowSpan.
+    *
+    * Same single hash-shuffle + sort as [[windowFunnel]]; the DP
+    * becomes `lead` columns (chain depth starting at each event), all
+    * sharing one Window sort. Chain-depth is monotone in k, so the
+    * sum of the per-k flags is the depth at each start event. */
+  def windowFunnelStrictOrder(events: DataFrame, key: String, time: String,
+                              tieBreak: String, conds: Seq[Column],
+                              windowSpan: Long): DataFrame = {
+    require(conds.nonEmpty, "windowFunnel needs at least one condition")
+    var acc = events
+    conds.zipWithIndex.foreach { case (c, i) =>
+      acc = acc.withColumn(s"_c${i + 1}", c.cast("int"))
+    }
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col(tieBreak))
+    var ok: Column = col("_c1") === 1
+    var lvl: Column = when(ok, 1).otherwise(0)
+    (2 to conds.length).foreach { k =>
+      ok = ok && lead(col(s"_c$k"), k - 1).over(w) === 1 &&
+        lead(col(time), k - 1).over(w) - col(time) <= windowSpan
+      lvl = lvl + when(ok, 1).otherwise(0)
+    }
+    acc.select(col(key), lvl.as("_lvl"))
+      .groupBy(col(key))
+      .agg(max(col("_lvl")).cast("long").as("funnel_level"))
+  }
+
   /** `retention(cond_1 … cond_L)` per key: flag_1 = did cond_1;
     * flag_i (i>1) = did cond_1 AND did cond_i. One conditional
     * aggregation — no ordering, no window, map-side combinable. */

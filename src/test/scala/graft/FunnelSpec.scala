@@ -20,6 +20,47 @@ class FunnelSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  private def strictFunnel(rows: Seq[(Long, Long, Long, String)]): Map[Long, Long] = {
+    val df = rows.toDF("user_id", "event_id", "ts", "event_type")
+    Funnel.windowFunnelStrictOrder(df, "user_id", "ts", "event_id",
+        Seq(col("event_type") === "s", col("event_type") === "c",
+          col("event_type") === "p"),
+        windowSpan = W)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("strict order: consecutive chain reaches level 3") {
+    assert(strictFunnel(Seq(
+      (1L, 1L, 10L, "s"), (1L, 2L, 50L, "c"), (1L, 3L, 100L, "p")))
+      === Map(1L -> 3L))
+  }
+
+  test("strict order: any intervening event kills the chain") {
+    // s, c, OTHER, p: default mode would reach 3, strict stops at 2
+    assert(strictFunnel(Seq(
+      (1L, 1L, 10L, "s"), (1L, 2L, 20L, "c"),
+      (1L, 3L, 30L, "x"), (1L, 4L, 40L, "p"))) === Map(1L -> 2L))
+    // s, OTHER, c, p: strict stops at 1
+    assert(strictFunnel(Seq(
+      (2L, 1L, 10L, "s"), (2L, 2L, 20L, "x"),
+      (2L, 3L, 30L, "c"), (2L, 4L, 40L, "p"))) === Map(2L -> 1L))
+  }
+
+  test("strict order: window still measured from chain start") {
+    // consecutive but p lands past W from s -> level 2
+    assert(strictFunnel(Seq(
+      (1L, 1L, 0L, "s"), (1L, 2L, 60L, "c"), (1L, 3L, 120L, "p")))
+      === Map(1L -> 2L))
+  }
+
+  test("strict order: best run wins among several starts") {
+    // broken run then a clean consecutive run later
+    assert(strictFunnel(Seq(
+      (1L, 1L, 0L, "s"), (1L, 2L, 10L, "x"),
+      (1L, 3L, 20L, "s"), (1L, 4L, 30L, "c"), (1L, 5L, 40L, "p")))
+      === Map(1L -> 3L))
+  }
+
   test("full chain within window reaches level 3") {
     assert(funnel(Seq((1L, 1L, 10L, "s"), (1L, 2L, 50L, "c"), (1L, 3L, 100L, "p")))
       === Map(1L -> 3L))
