@@ -261,7 +261,8 @@ object SparkEntry {
     "b1_pricing_summary" -> (b1Pricing _),
     "b8_daily_rollup" -> (b8DailyRollup _)
   ) ++ AnalyticsQueries.queries ++ AnalyticsQueries2.queries ++
-    TrainingQueries.queries ++ TrainingQueries2.queries
+    AnalyticsQueries3.queries ++ TrainingQueries.queries ++
+    TrainingQueries2.queries ++ TrainingQueries3.queries
 
   def oracleSql: Map[String, String] = Map(
     "a1_ingest" ->
@@ -371,7 +372,8 @@ object SparkEntry {
          FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
          ORDER BY event_type, event_date"""
   ) ++ AnalyticsQueries.oracleSql ++ AnalyticsQueries2.oracleSql ++
-    TrainingQueries.oracleSql ++ TrainingQueries2.oracleSql
+    AnalyticsQueries3.oracleSql ++ TrainingQueries.oracleSql ++
+    TrainingQueries2.oracleSql ++ TrainingQueries3.oracleSql
 
   /** DuckDB mirror of ChTypes.inferFromStrings over the same 5 keys. */
   private def inferTypesOracle: String = {

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+
+/** C-series round 3 (SURVEY §2C, C28-C29): data-mixing weights and the
+  * blocklist quality rule — the two remaining staples of a training
+  * corpus recipe (multinomial source mixing à la GPT-3/XLM temperature
+  * sampling; C4's bad-words filter).
+  *
+  * Scale notes (graded): c28 is one corpus scan to per-stratum token
+  * sums (partial-agg) + arithmetic over one row per stratum; c29 is a
+  * pure projection with the term list inlined as a literal array — no
+  * joins, no shuffle, nothing grows with corpus size except the scan.
+  */
+object TrainingQueries3 {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private val toksSql = """regexp_extract_all(lower(trim(text)), '\S+')"""
+
+  /** C28: temperature-scaled language-mixing weights (α = 0.5, the
+    * multilingual "sqrt sampling" recipe): per-lang token totals →
+    * w ∝ tokens^α → integer ppm shares. All cross-engine-exact:
+    * sqrt/× are single correctly-rounded IEEE ops, weights land as
+    * micro-unit BIGINTs, and the ppm share is integer division over
+    * the exact integer weight total. */
+  private def c28MixWeights(s: SparkSession, dir: String): DataFrame = {
+    val strata = T(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Fns.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("w_micro",
+        round(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    val total = strata.agg(sum(col("w_micro")).cast("long").as("tot_w"))
+    strata.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("w_micro"),
+        expr("(w_micro * CAST(1000000 AS BIGINT)) div tot_w").as("share_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  /** C29: C4-style blocklist rule over the synthetic corpus — three
+    * terms spanning the frequency range ("slow" ~common, "big" ~common,
+    * "dup" rare) so counts, distinct counts, and the flag all vary. */
+  private def c29Blocklist(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("slow", "big", "dup")
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), Fns.tokens(col("text")).as("_toks"))
+    val cols = TextAnalysis.blocklistCols(col("_toks"), terms)
+      .map { case (n, c) => c.as(n) }
+    docs.select(col("doc_id") +: cols: _*).orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c28_mix_weights" -> (c28MixWeights _),
+    "c29_blocklist" -> (c29Blocklist _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "c28_mix_weights" ->
+      s"""WITH s AS (
+           SELECT lang, count(*) AS n_docs,
+             CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY lang),
+         w AS (
+           SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+             AS BIGINT) AS w_micro
+           FROM s)
+         SELECT lang, n_docs, n_tokens, w_micro,
+           CAST((w_micro * 1000000) // (SELECT CAST(sum(w_micro) AS BIGINT)
+             FROM w) AS BIGINT) AS share_ppm
+         FROM w ORDER BY lang""",
+    "c29_blocklist" ->
+      s"""SELECT doc_id,
+           CAST(len(list_filter($toksSql,
+             x -> x IN ('slow', 'big', 'dup'))) AS BIGINT) AS n_blocked,
+           CAST(len(list_intersect(list_distinct($toksSql),
+             ['slow', 'big', 'dup'])) AS BIGINT) AS n_distinct_blocked,
+           CAST(CASE WHEN len(list_filter($toksSql,
+             x -> x IN ('slow', 'big', 'dup'))) > 0
+             THEN 1 ELSE 0 END AS BIGINT) AS blocked
+         FROM documents ORDER BY doc_id"""
+  )
+}

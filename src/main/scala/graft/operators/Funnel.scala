@@ -115,6 +115,35 @@ object Funnel {
     base.select(col(key) +: flags: _*)
   }
 
+  /** `sequenceCount('(?1).*(?2)')` per key: how many NON-OVERLAPPING
+    * cond_1 … cond_2 matches the key's event stream contains, scanned
+    * left to right the way CH's FSM does (find cond_1, then the next
+    * cond_2 completes a match and the automaton restarts).
+    *
+    * Distributed formulation: restrict to events matching either
+    * condition, order per key, and count cond_2 events whose
+    * IMMEDIATELY PRECEDING restricted event matches cond_1. In the
+    * FSM the automaton is in "armed" state exactly when the previous
+    * restricted event was a cond_1 (extra cond_1s re-arm, a counted
+    * cond_2 disarms, uncounted cond_2s stay disarmed) — so match
+    * completions are exactly the cond_1→cond_2 run boundaries. One
+    * filter + one keyed window, no state machine materialized.
+    *
+    * Returns `(key, n_seq)` for keys with ≥1 restricted event;
+    * keys with zero cond_1/cond_2 events carry no information here
+    * (CH likewise only reports over rows it aggregates). */
+  def sequenceCount2(events: DataFrame, key: String, time: String,
+                     tieBreak: String, cond1: Column, cond2: Column): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col(tieBreak))
+    events.filter(cond1 || cond2)
+      .select(col(key), col(time), col(tieBreak),
+        cond1.cast("int").as("_is1"), cond2.cast("int").as("_is2"))
+      .withColumn("_prev1", lag(col("_is1"), 1).over(w))
+      .groupBy(col(key))
+      .agg(sum(when(col("_is2") === 1 && col("_prev1") === 1, 1L)
+        .otherwise(0L)).cast("long").as("n_seq"))
+  }
+
   /** `sequenceMatch('(?1).*(?2)')` per key: does a cond_1 event
     * precede (strictly, by time) a cond_2 event? min/max conditional
     * aggregation — no join, no window. */

@@ -165,6 +165,23 @@ object TextAnalysis {
       "flagged" -> (density >= flagMicro).cast("int"))
   }
 
+  /** C4-style blocklist ("bad words") quality rule: occurrence and
+    * distinct-term counts against a fixed term list, plus the drop
+    * flag. The list ships as a literal array (broadcast-by-value into
+    * every task — the real-world list is thousands of terms, still
+    * KBs); the scan is one projection, no shuffle, no join. */
+  def blocklistCols(toks: Column, terms: Seq[String]): Seq[(String, Column)] = {
+    require(terms.nonEmpty, "blocklist needs at least one term")
+    val termArr = array(terms.map(lit): _*)
+    val hits = filter(toks, t => array_contains(termArr, t))
+    val nHits = size(hits).cast("long")
+    Seq(
+      "n_blocked" -> nHits,
+      "n_distinct_blocked" ->
+        size(array_intersect(array_distinct(toks), termArr)).cast("long"),
+      "blocked" -> (nHits > 0).cast("long"))
+  }
+
   /** Document fingerprints: whole-text md5 over the canonical form, and
     * a min-shingle fingerprint (the 1-hash special case of MinHash —
     * robust to local edits the way winnowing selections are). */

@@ -61,6 +61,35 @@ class FunnelSpec extends SparkSpec {
       === Map(1L -> 3L))
   }
 
+  private def seqCount(rows: Seq[(Long, Long, Long, String)]): Map[Long, Long] = {
+    val df = rows.toDF("user_id", "event_id", "ts", "event_type")
+    Funnel.sequenceCount2(df, "user_id", "ts", "event_id",
+        cond1 = col("event_type") === "p", cond2 = col("event_type") === "e")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("sequenceCount: non-overlapping FSM matches") {
+    // p e p e -> 2; p p e e -> 1 (second e finds no new p);
+    // e p e -> 1 (leading e never arms); p alone -> 0
+    assert(seqCount(Seq(
+      (1L, 1L, 10L, "p"), (1L, 2L, 20L, "e"),
+      (1L, 3L, 30L, "p"), (1L, 4L, 40L, "e"))) === Map(1L -> 2L))
+    assert(seqCount(Seq(
+      (2L, 1L, 10L, "p"), (2L, 2L, 20L, "p"),
+      (2L, 3L, 30L, "e"), (2L, 4L, 40L, "e"))) === Map(2L -> 1L))
+    assert(seqCount(Seq(
+      (3L, 1L, 10L, "e"), (3L, 2L, 20L, "p"), (3L, 3L, 30L, "e")))
+      === Map(3L -> 1L))
+    assert(seqCount(Seq((4L, 1L, 10L, "p"))) === Map(4L -> 0L))
+  }
+
+  test("sequenceCount: other event types are transparent to .*") {
+    // p x x e matches once — the intervening x's are .* filler
+    assert(seqCount(Seq(
+      (1L, 1L, 10L, "p"), (1L, 2L, 20L, "x"),
+      (1L, 3L, 30L, "x"), (1L, 4L, 40L, "e"))) === Map(1L -> 1L))
+  }
+
   test("full chain within window reaches level 3") {
     assert(funnel(Seq((1L, 1L, 10L, "s"), (1L, 2L, 50L, "c"), (1L, 3L, 100L, "p")))
       === Map(1L -> 3L))

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IncrementalRollup, MapAgg}
+
+/** MapAgg (CH sumMap) and IncrementalRollup (SummingMergeTree /
+  * materialized-view merge) semantics on hand-built frames. */
+class MapAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mapDf(rows: Seq[(Long, Map[String, Long])]) =
+    rows.toDF("g", "m")
+
+  test("sumMap unions keys and sums values per group") {
+    val df = mapDf(Seq(
+      (1L, Map("a" -> 1L, "b" -> 2L)),
+      (1L, Map("b" -> 3L, "c" -> 4L)),
+      (2L, Map("a" -> 10L))))
+    val out = MapAgg.sumMapExploded(df, Seq("g"), col("m"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (1L, "a") -> 1L, (1L, "b") -> 5L, (1L, "c") -> 4L, (2L, "a") -> 10L))
+  }
+
+  test("sumMap map form is key-sorted and matches the exploded form") {
+    val df = mapDf(Seq(
+      (1L, Map("z" -> 1L, "a" -> 2L)),
+      (1L, Map("m" -> 3L, "z" -> 5L))))
+    val m = MapAgg.sumMap(df, Seq("g"), col("m"))
+      .select(col("summed_map")).as[Map[String, Long]].head()
+    assert(m === Map("a" -> 2L, "m" -> 3L, "z" -> 6L))
+    // reassembly is deterministic: keys ascend
+    assert(m.keys.toSeq === m.keys.toSeq.sorted)
+  }
+
+  test("null and empty maps contribute nothing") {
+    val df = Seq(
+      (1L, Map("a" -> 1L)),
+      (1L, Map.empty[String, Long]))
+      .toDF("g", "m")
+      .unionByName(Seq(1L).toDF("g")
+        .withColumn("m", lit(null).cast("map<string,bigint>")))
+    val out = MapAgg.sumMapExploded(df, Seq("g"), col("m"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map("a" -> 1L))
+  }
+
+  private def ev(rows: Seq[(String, Double)]) = rows.toDF("k", "v")
+
+  test("incremental rollup: merged states == direct rollup, any split") {
+    val all = Seq(("a", 1.5), ("a", 2.25), ("b", 3.0), ("a", 4.0), ("b", 0.5))
+    val direct = IncrementalRollup.finalize(
+      IncrementalRollup.partialStates(ev(all), Seq("k"), col("v")), Seq("k"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // split 2/2/1 and merge in a scrambled order
+    val parts = Seq(
+      IncrementalRollup.partialStates(ev(all.slice(3, 5)), Seq("k"), col("v")),
+      IncrementalRollup.partialStates(ev(all.slice(0, 2)), Seq("k"), col("v")),
+      IncrementalRollup.partialStates(ev(all.slice(2, 3)), Seq("k"), col("v")))
+    val merged = IncrementalRollup.finalize(
+      IncrementalRollup.merge(Seq("k"), parts), Seq("k"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(merged === direct)
+    assert(merged === Map("a" -> ((3L, 7.75)), "b" -> ((2L, 3.5))))
+  }
+
+  test("incremental rollup: merge of merges (re-mergeable states)") {
+    val a = IncrementalRollup.partialStates(ev(Seq(("a", 1.0))), Seq("k"), col("v"))
+    val b = IncrementalRollup.partialStates(ev(Seq(("a", 2.0))), Seq("k"), col("v"))
+    val c = IncrementalRollup.partialStates(ev(Seq(("a", 4.0))), Seq("k"), col("v"))
+    val ab = IncrementalRollup.merge(Seq("k"), Seq(a, b))
+    val abc = IncrementalRollup.merge(Seq("k"), Seq(ab, c))
+    val out = IncrementalRollup.finalize(abc, Seq("k"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    assert(out === ((3L, 7.0)))
+  }
+}

@@ -54,6 +54,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == (0L, 0)) // empty text: zero tokens, zero density
   }
 
+  test("blocklist counts occurrences vs distinct terms and flags") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "clean text with nothing on the list"),
+      (2L, "bad bad thing"),       // 2 hits, 1 distinct
+      (3L, "bad worse and worse"), // 3 hits, 2 distinct
+      (4L, "")
+    ).toDF("id", "text")
+    val toks = graft.functions.Fns.tokens(col("text"))
+    val cols = TextAnalysis.blocklistCols(toks, Seq("bad", "worse"))
+      .map { case (n, c) => c.as(n) }
+    val out = df.select(col("id") +: cols: _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((0L, 0L, 0L)))
+    assert(out(2L) === ((2L, 1L, 1L)))
+    assert(out(3L) === ((3L, 2L, 1L)))
+    assert(out(4L) === ((0L, 0L, 0L)))
+  }
+
   test("fingerprints are whitespace/case-insensitive and shingle-stable") {
     val docs = Seq(
       (1L, "The Quick  Brown Fox jumps over it"),
