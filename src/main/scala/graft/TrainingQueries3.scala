@@ -30,14 +30,19 @@ object TrainingQueries3 {
     * micro-unit BIGINTs, and the ppm share is integer division over
     * the exact integer weight total. */
   private def c28MixWeights(s: SparkSession, dir: String): DataFrame = {
+    // ONE corpus scan → per-lang token sums; the grand total is a
+    // window over the aggregated frame (one row per lang — a
+    // single-partition window over |langs| rows, never over the
+    // corpus; a second agg branch would rescan all of documents).
     val strata = T(s, dir, "documents")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(Fns.tokens(col("text"))).cast("long")).as("n_tokens"))
       .withColumn("w_micro",
         round(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
-    val total = strata.agg(sum(col("w_micro")).cast("long").as("tot_w"))
-    strata.crossJoin(broadcast(total))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    strata
+      .withColumn("tot_w", sum(col("w_micro")).over(all).cast("long"))
       .select(col("lang"), col("n_docs"), col("n_tokens"), col("w_micro"),
         expr("(w_micro * CAST(1000000 AS BIGINT)) div tot_w").as("share_ppm"))
       .orderBy(col("lang"))

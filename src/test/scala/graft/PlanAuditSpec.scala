@@ -93,6 +93,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"rank-1 filter not pruned:\n$p")
   }
 
+  test("b30: sumMap aggregates scalars, not maps — one hash exchange after explode") {
+    val p = plan("b30_sum_map")
+    val hashEx = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash exchange:\n$p")
+    // partial agg (map-side combine) must sit between explode and the exchange
+    assert(p.indexOf("Exchange hashpartitioning") <
+      p.indexOf("partial_sum") && p.indexOf("partial_sum") < p.indexOf("Generate explode"),
+      s"no map-side combine before the shuffle:\n$p")
+  }
+
+  test("b31: sequence count pushes the condition filter to the scan; per-user agg reuses the window partitioning") {
+    val p = plan("b31_sequence_count")
+    assert(p.contains("PushedFilters: [Or(EqualTo(event_type,purchase),EqualTo(event_type,error))]"),
+      s"condition filter not pushed to the parquet scan:\n$p")
+    // user_id window exchange + n_seq groupBy exchange; the per-user
+    // sum rides the window's partitioning with no third shuffle
+    val hashEx = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2, s"expected exactly 2 hash exchanges:\n$p")
+  }
+
+  test("c28: mixing weights scan the corpus exactly once") {
+    val p = plan("c28_mix_weights")
+    val scans = p.split("\n").count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"grand total re-scans the corpus:\n$p")
+  }
+
+  test("c29: blocklist is a pure projection — no shuffle, no join") {
+    val p = plan("c29_blocklist")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"),
+      s"blocklist should be row-local:\n$p")
+  }
+
   test("a12: the replay schedule is a shuffle-free generator") {
     val p = plan("a12_dlq_replay")
     // explode(sequence(...)) over the DLQ rows; the only exchange
