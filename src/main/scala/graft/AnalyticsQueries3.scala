@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
-import graft.operators.{Funnel, IncrementalRollup, MapAgg}
+import graft.operators.{Collapsing, Funnel, IncrementalRollup, MapAgg}
 import graft.sources.Tables
 
 /** B-series round 3 (SURVEY §2B, B29-B31): the remaining MergeTree
@@ -70,10 +71,39 @@ object AnalyticsQueries3 {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_seq"))
 
+  /** B32: CH CollapsingMergeTree — a signed write stream built from
+    * the events table (each event is a +1 state row; each superseded
+    * state gets a -1 cancel; every 7th user's final state gets a
+    * trailing -1 delete), collapsed back to current state. The oracle
+    * is the DIRECT latest-event-per-surviving-user query: green means
+    * collapse(writes with cancels and deletes) == current state — the
+    * engine's merge invariant, independent of part arrival order. */
+  private def b32Collapsing(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val verW = byUser.orderBy(col("ts"), col("event_id"))
+    val st = T(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("ver", row_number().over(verW))
+      .withColumn("maxver", max(col("ver")).over(byUser))
+    val plus = st.withColumn("sign", lit(1))
+    val cancels = st.filter(col("ver") < col("maxver"))
+      .withColumn("sign", lit(-1))
+    val deletes = st.filter(col("ver") === col("maxver") &&
+        pmod(col("user_id"), lit(7)) === 0)
+      .withColumn("sign", lit(-1))
+    val writes = plus.unionByName(cancels).unionByName(deletes)
+    Collapsing.collapse(writes, Seq("user_id"), Seq(col("ver")), col("sign"))
+      .select(col("user_id"), col("event_id").as("cur_event_id"),
+        Fns.nanosToEpochSec(col("ts")).as("cur_ts_s"),
+        col("value").as("cur_value"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b29_incremental_rollup" -> (b29IncrementalRollup _),
     "b30_sum_map" -> (b30SumMap _),
-    "b31_sequence_count" -> (b31SequenceCount _)
+    "b31_sequence_count" -> (b31SequenceCount _),
+    "b32_collapsing" -> (b32Collapsing _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -110,6 +140,18 @@ object AnalyticsQueries3 {
                AS BIGINT) AS n_seq
            FROM s GROUP BY user_id)
          SELECT n_seq, count(*) AS n_users
-         FROM c GROUP BY n_seq ORDER BY n_seq"""
+         FROM c GROUP BY n_seq ORDER BY n_seq""",
+    // Direct current-state query: latest event per user, minus the
+    // users whose state the write stream deleted.
+    "b32_collapsing" ->
+      """SELECT user_id, event_id AS cur_event_id,
+           epoch_ns(ts) // 1000000000 AS cur_ts_s,
+           value AS cur_value
+         FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rk
+           FROM events)
+         WHERE rk = 1 AND user_id % 7 <> 0
+         ORDER BY user_id"""
   )
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Collapsing
+
+/** CollapsingMergeTree collapse semantics on hand-built signed write
+  * streams: (key, ver, payload, sign). */
+class CollapsingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def collapse(rows: Seq[(Long, Int, String, Int)]): Map[Long, (Int, String)] = {
+    val df = rows.toDF("k", "ver", "payload", "sign")
+    Collapsing.collapse(df, Seq("k"), Seq(col("ver")), col("sign"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+  }
+
+  test("matched cancels collapse away; the latest +1 survives") {
+    // k=1: v1 written, cancelled, v2 written -> v2 survives
+    assert(collapse(Seq(
+      (1L, 1, "a", 1), (1L, 1, "a", -1), (1L, 2, "b", 1)))
+      === Map(1L -> ((2, "b"))))
+  }
+
+  test("a trailing uncancelled -1 deletes the key") {
+    // k=1 lives; k=2's final state is cancelled with nothing after
+    assert(collapse(Seq(
+      (1L, 1, "a", 1),
+      (2L, 1, "x", 1), (2L, 1, "x", -1)))
+      === Map(1L -> ((1, "a"))))
+  }
+
+  test("cancel-only garbage (net < 0) never surfaces") {
+    assert(collapse(Seq((3L, 1, "ghost", -1))) === Map.empty)
+  }
+
+  test("collapse is insensitive to part arrival order") {
+    val writes = Seq(
+      (1L, 1, "a", 1), (1L, 2, "b", 1), (1L, 1, "a", -1),
+      (2L, 1, "x", 1), (2L, 2, "y", 1), (2L, 1, "x", -1), (2L, 2, "y", -1))
+    val expected = Map(1L -> ((2, "b")))
+    // same multiset, three arrival orders
+    assert(collapse(writes) === expected)
+    assert(collapse(writes.reverse) === expected)
+    assert(collapse(scala.util.Random.shuffle(writes)) === expected)
+  }
+
+  test("net > 0 with interleaved cancels picks the max-version +1 row") {
+    // +1 at v3 arrives before the v2 cancel; survivor is still v3
+    assert(collapse(Seq(
+      (1L, 1, "a", 1), (1L, 3, "c", 1), (1L, 2, "b", 1),
+      (1L, 2, "b", -1), (1L, 1, "a", -1)))
+      === Map(1L -> ((3, "c"))))
+  }
+}
