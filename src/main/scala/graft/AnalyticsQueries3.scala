@@ -99,11 +99,36 @@ object AnalyticsQueries3 {
       .orderBy(col("user_id"))
   }
 
+  /** B34: CH uniqState/uniqMerge — mergeable distinct-count sketch
+    * states (AggregatingMergeTree's flagship aggregate). Each ingest
+    * part (event_id mod 3) holds one DataSketches-HLL state per
+    * event_type; the read merges states and estimates. The sketch is
+    * the whole point at 100 TB: states are KB-sized regardless of
+    * cardinality, merge is associative/commutative, and history is
+    * never rescanned — same shape as b29 but for a non-trivially
+    * mergeable aggregate. Sketch estimates are engine-specific →
+    * rows-only here; StreamingRollupSpec's twin (UniqMergeSpec)
+    * asserts merged == direct and ε-close to exact. */
+  private def b34UniqMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(
+      col("event_type"), col("user_id"), col("event_id"))
+    val parts = (0 to 2).map(i =>
+      ev.filter(pmod(col("event_id"), lit(3)) === i)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("uniq_state")))
+    parts.reduce(_.unionByName(_))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("uniq_state")))
+        .as("n_users_merged"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b29_incremental_rollup" -> (b29IncrementalRollup _),
     "b30_sum_map" -> (b30SumMap _),
     "b31_sequence_count" -> (b31SequenceCount _),
-    "b32_collapsing" -> (b32Collapsing _)
+    "b32_collapsing" -> (b32Collapsing _),
+    "b34_uniq_merge" -> (b34UniqMerge _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -29,13 +29,13 @@ object TrainingQueries {
 
   /** Near-dup corpus: every 10th doc reappears with a two-token tail
     * edit (id + 1,000,000) — high-jaccard true positives. */
-  private def corpusWithDups(docs: DataFrame): DataFrame =
+  private[graft] def corpusWithDups(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text")).unionAll(
       docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" zz tail")).as("text")))
 
-  private val corpusSql =
+  private[graft] val corpusSql =
     """corpus AS (
        SELECT doc_id, text FROM documents
        UNION ALL

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
-import graft.operators.TextAnalysis
+import graft.operators.{Dedup, TextAnalysis}
 import graft.sources.Tables
 
 /** C-series round 3 (SURVEY §2C, C28-C29): data-mixing weights and the
@@ -60,9 +60,20 @@ object TrainingQueries3 {
     docs.select(col("doc_id") +: cols: _*).orderBy(col("doc_id"))
   }
 
+  /** C30: exact-substring duplication signal (ES-dedup, Lee et al.
+    * 2021) over the planted-dup corpus — sliding 10-token windows,
+    * fraction duplicated anywhere in the corpus. The planted tails
+    * and verbatim copies give real signal at every SF. */
+  private def c30SubstringDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupStats(
+        TrainingQueries.corpusWithDups(T(s, dir, "documents")),
+        "doc_id", "text", windowTokens = 10)
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c28_mix_weights" -> (c28MixWeights _),
-    "c29_blocklist" -> (c29Blocklist _)
+    "c29_blocklist" -> (c29Blocklist _),
+    "c30_substring_dedup" -> (c30SubstringDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -88,6 +99,24 @@ object TrainingQueries3 {
            CAST(CASE WHEN len(list_filter($toksSql,
              x -> x IN ('slow', 'big', 'dup'))) > 0
              THEN 1 ELSE 0 END AS BIGINT) AS blocked
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "c30_substring_dedup" ->
+      s"""WITH ${TrainingQueries.corpusSql},
+           t AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+           l AS (
+             SELECT doc_id, md5(win) AS h
+             FROM (SELECT doc_id,
+                     unnest(${TrainingQueries.ngramsSql(10)}) AS win
+                   FROM t)),
+           occ AS (SELECT h, count(*) AS n_occ FROM l GROUP BY h),
+           d AS (
+             SELECT l.doc_id, count(*) AS n_windows,
+               CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_windows
+             FROM l JOIN occ USING (h) GROUP BY l.doc_id)
+         SELECT doc_id, n_windows, n_dup_windows,
+           CAST(floor(n_dup_windows * 1000000.0 / n_windows) AS BIGINT)
+             AS dup_window_ratio_micro
+         FROM d ORDER BY doc_id"""
   )
 }

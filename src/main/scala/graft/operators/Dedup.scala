@@ -249,6 +249,40 @@ object Dedup {
         floor(col("n_dup_lines") * lit(1000000.0) / col("n_lines")).cast("long"))
   }
 
+  /** Exact-substring duplication signal (the ES-dedup statistic of
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"): the fraction of a document's SLIDING
+    * `windowTokens`-token windows that occur again anywhere in the
+    * corpus. Where [[lineDupStats]] tiles the doc (stride = size),
+    * this slides (stride 1), so a duplicated span is caught at every
+    * alignment — the paper's suffix-array criterion restated as
+    * "window repeats somewhere".
+    *
+    * Scale shape: the explode is bounded (one row per token, ~n_tokens
+    * rows/doc), then ONE hash shuffle for the per-window occurrence
+    * count and a per-doc rollup — linear in corpus tokens, never
+    * corpus². (A suffix array answers the same question with lower
+    * constants but doesn't distribute as one relational pass; at
+    * 100 TB this is the shape you can actually run.) Docs shorter
+    * than one window carry no windows and drop from the output. */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+                        windowTokens: Int = 10): DataFrame = {
+    val wins = docs
+      .select(col(idCol),
+        explode(graft.functions.Fns.wordNGrams(
+          graft.functions.Fns.tokens(col(textCol)), windowTokens)).as("__w"))
+      .select(col(idCol), md5(col("__w")).as("__h"))
+    val occ = Window.partitionBy(col("__h"))
+    wins
+      .withColumn("__n_occ", count(lit(1)).over(occ))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("__n_occ") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_window_ratio_micro",
+        floor(col("n_dup_windows") * lit(1000000.0) / col("n_windows")).cast("long"))
+  }
+
   /** Embedding-cosine near-dup pairs over an explicit sample predicate.
     * Exact (audit) variant — the scale path is [[Similarity.lshBuckets]]
     * bucketing; this one cross-pairs only the sampled subset and is

@@ -93,6 +93,26 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == (2L, 1L))
   }
 
+  test("substringDupStats: sliding windows catch a shared span at every alignment") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      // docs 1 and 2 share a 12-token span embedded at DIFFERENT
+      // offsets — line-tiling misses misaligned copies, sliding must
+      // flag all 3 windows of the span (12 - 10 + 1) in both docs
+      (1L, "a b c d e f g h i j k l m n"),          // span at offset 0, 14 toks
+      (2L, "x y a b c d e f g h i j k l z"),        // same span at offset 2, 15 toks
+      (3L, "p q r s t u v w p2 q2 r2 s2"),          // unique, 12 toks
+      (4L, "short doc")                             // < 10 tokens: no windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(corpus, "doc_id", "text", windowTokens = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows")))).toMap
+    assert(out(1L) === ((5L, 3L))) // windows at 0,1,2 lie inside a..l
+    assert(out(2L) === ((6L, 3L))) // windows at 2,3,4 (0-indexed) match
+    assert(out(3L) === ((3L, 0L)))
+    assert(!out.contains(4L)) // no window, no row
+  }
+
   test("connected components: chain, triangle, isolated pair, min-id labels") {
     // chain 5-6-7-8 (min 5), triangle 1-2-3 (min 1), pair 10-11 (min 10)
     val pairs = Seq(
