@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Splitter, TextAnalysis}
 import graft.sources.Tables
 
 /** C-series round 3 (SURVEY §2C, C28-C29): data-mixing weights and the
@@ -70,10 +70,26 @@ object TrainingQueries3 {
         "doc_id", "text", windowTokens = 10)
       .orderBy(col("doc_id"))
 
+  /** C31: apply mixing factors (the "epochs" step c28's weights feed):
+    * de upsampled 2.5×, zh 1.75×, es 1.25×, en DOWNsampled to 0.5×
+    * (n_copies can be zero — the doc leaves the mix), fr rides the
+    * 1.0 default. Deterministic fractional replication — no RNG, the
+    * extra-copy decision is the stratum-salted id hash. */
+  private val mixFactors = Seq(
+    "de" -> 2.5, "zh" -> 1.75, "es" -> 1.25, "en" -> 0.5)
+
+  private def c31ApplyMix(s: SparkSession, dir: String): DataFrame =
+    Splitter.upsample(
+        T(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", mixFactors.toMap, default = 1.0)
+      .select(col("doc_id"), col("lang"), col("n_copies"), col("copy_id"))
+      .orderBy(col("doc_id"), col("copy_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c28_mix_weights" -> (c28MixWeights _),
     "c29_blocklist" -> (c29Blocklist _),
-    "c30_substring_dedup" -> (c30SubstringDedup _)
+    "c30_substring_dedup" -> (c30SubstringDedup _),
+    "c31_apply_mix" -> (c31ApplyMix _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -117,6 +133,26 @@ object TrainingQueries3 {
          SELECT doc_id, n_windows, n_dup_windows,
            CAST(floor(n_dup_windows * 1000000.0 / n_windows) AS BIGINT)
              AS dup_window_ratio_micro
-         FROM d ORDER BY doc_id"""
+         FROM d ORDER BY doc_id""",
+    "c31_apply_mix" -> {
+      // mirror of Splitter.upsample: per-lang CASE over precomputed
+      // hex thresholds — identical md5-space decisions on both engines
+      val cases = mixFactors.map { case (l, f) =>
+        val base = math.floor(f).toLong
+        val thr = Splitter.hexThreshold(f - math.floor(f))
+        s"""WHEN lang = '$l' THEN $base +
+             CASE WHEN substr(md5(lang || '#' || CAST(doc_id AS VARCHAR)), 1, 8)
+               < '$thr' THEN 1 ELSE 0 END"""
+      }.mkString("\n             ")
+      s"""WITH d AS (
+           SELECT doc_id, lang,
+             CASE $cases
+               ELSE 1 END AS n_copies
+           FROM documents)
+         SELECT doc_id, lang, CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_id
+         FROM d
+         ORDER BY doc_id, copy_id"""
+    }
   )
 }

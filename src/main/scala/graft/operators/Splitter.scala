@@ -49,4 +49,37 @@ object Splitter {
     df.filter(
       bucket(concat_ws("#", col(strataCol), col(idCol))) <
         lit(hexThreshold(fraction)))
+
+  /** Apply per-stratum mixing factors by deterministic fractional
+    * replication (the "epochs" step of a data-mixing recipe: factor
+    * 2.3 ≙ every doc twice, and a hash-chosen 30% a third time — in
+    * expectation the stratum is weighted by exactly 2.3). Emits one
+    * row per copy (`copy_id` 1..n) plus the row's `n_copies`.
+    *
+    * Same determinism story as the rest of the splitter: the extra
+    * copy is decided by the stratum-salted id hash against a
+    * precomputed hex threshold, so the mix is reproducible across
+    * runs, engines, and cluster layouts, and stable under corpus
+    * growth. The replication is a generator (`explode(sequence)`),
+    * no shuffle; downstream shuffles see at most ⌈max factor⌉× the
+    * rows. Strata absent from `factors` get `default`. */
+  def upsample(df: DataFrame, strataCol: String, idCol: String,
+               factors: Map[String, Double], default: Double = 1.0): DataFrame = {
+    require((factors.values ++ Seq(default)).forall(f => f >= 0 && f < 100),
+      "factors must be in [0, 100)")
+    def base(f: Double): Long = math.floor(f).toLong
+    def frac(f: Double): Double = f - math.floor(f)
+    val salted = bucket(concat_ws("#", col(strataCol), col(idCol)))
+    val nCopies = factors.foldRight(
+        lit(base(default)) + when(salted < lit(hexThreshold(frac(default))), 1L)
+          .otherwise(0L): Column) { case ((stratum, f), acc) =>
+      when(col(strataCol) === stratum,
+        lit(base(f)) + when(salted < lit(hexThreshold(frac(f))), 1L)
+          .otherwise(0L))
+        .otherwise(acc)
+    }
+    df.withColumn("n_copies", nCopies.cast("long"))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_id", explode(sequence(lit(1L), col("n_copies"))))
+  }
 }

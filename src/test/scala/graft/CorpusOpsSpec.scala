@@ -95,6 +95,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept.subsetOf(Set(("en", 1L), ("de", 1L), ("en", 2L), ("de", 2L))))
   }
 
+  test("upsample replicates by floor(f) + hash-decided extra; zero copies drop") {
+    val df = (1L to 400L).map(i => (if (i % 2 == 0) "de" else "en", i))
+      .toDF("lang", "doc_id")
+    val out = graft.operators.Splitter
+      .upsample(df, "lang", "doc_id", Map("de" -> 2.5, "en" -> 0.5))
+    val copies = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // de: 200 docs × ~2.5 -> copies in [2×200, 3×200], centered 500
+    assert(copies("de") >= 400L && copies("de") <= 600L)
+    assert(math.abs(copies("de") - 500L) < 60, s"de far off 2.5×: $copies")
+    // en: 200 docs × ~0.5 -> about 100 single copies
+    assert(math.abs(copies("en") - 100L) < 40, s"en far off 0.5×: $copies")
+    // copy_id enumerates 1..n_copies for every kept doc
+    val bad = out.filter(col("copy_id") > col("n_copies") || col("copy_id") < 1)
+    assert(bad.count() === 0L)
+    // determinism
+    val again = graft.operators.Splitter
+      .upsample(df, "lang", "doc_id", Map("de" -> 2.5, "en" -> 0.5))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(again === copies)
+  }
+
   test("corpus pipeline: exact dup, short doc, and near-dup copy all drop") {
     val good = (1 to 60).map(i => s"w$i").mkString(" ") // 60 tokens, clean
     val near = good + " zz"                             // near-dup of good
