@@ -123,12 +123,31 @@ object AnalyticsQueries3 {
       .orderBy(col("event_type"))
   }
 
+  /** B35: GraphiteMergeTree retention rules — events younger than 30
+    * days roll daily, 30-90 weekly, older monthly. The as-of clock is
+    * the corpus max ts (1-row broadcast) so every SF is reproducible;
+    * production passes the wall clock and skips that scan. */
+  private def b35TieredRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("event_type"), col("ts"), col("value"))
+    val asOf = ev.agg(max(col("ts")).as("max_ts"))
+    IncrementalRollup.tieredRollup(
+        ev.crossJoin(broadcast(asOf)),
+        keys = Seq("event_type"), tsNanos = col("ts"), value = col("value"),
+        asOfNanos = col("max_ts"),
+        tiers = Seq(IncrementalRollup.Tier(0, "day"),
+          IncrementalRollup.Tier(30, "week"),
+          IncrementalRollup.Tier(90, "month")))
+      .orderBy(col("event_type"), col("gran"), col("bucket_date"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b29_incremental_rollup" -> (b29IncrementalRollup _),
     "b30_sum_map" -> (b30SumMap _),
     "b31_sequence_count" -> (b31SequenceCount _),
     "b32_collapsing" -> (b32Collapsing _),
-    "b34_uniq_merge" -> (b34UniqMerge _)
+    "b34_uniq_merge" -> (b34UniqMerge _),
+    "b35_tiered_rollup" -> (b35TieredRollup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -177,6 +196,27 @@ object AnalyticsQueries3 {
              ORDER BY ts DESC, event_id DESC) AS rk
            FROM events)
          WHERE rk = 1 AND user_id % 7 <> 0
-         ORDER BY user_id"""
+         ORDER BY user_id""",
+    "b35_tiered_rollup" ->
+      """WITH m AS (SELECT max(epoch_ns(ts)) AS max_ts FROM events),
+         a AS (
+           SELECT event_type, ts, value,
+             (max_ts - epoch_ns(ts)) // 86400000000000 AS age_days
+           FROM events, m),
+         g AS (
+           SELECT event_type,
+             CASE WHEN age_days >= 90 THEN 'month'
+                  WHEN age_days >= 30 THEN 'week'
+                  ELSE 'day' END AS gran,
+             CASE WHEN age_days >= 90 THEN date_trunc('month', ts)
+                  WHEN age_days >= 30 THEN date_trunc('week', ts)
+                  ELSE date_trunc('day', ts) END AS b,
+             value
+           FROM a)
+         SELECT event_type, gran, strftime(b, '%Y-%m-%d') AS bucket_date,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM g GROUP BY event_type, gran, b
+         ORDER BY event_type, gran, bucket_date"""
   )
 }

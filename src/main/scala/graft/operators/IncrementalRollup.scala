@@ -50,4 +50,47 @@ object IncrementalRollup {
   def finalize(states: DataFrame, keys: Seq[String]): DataFrame =
     states.select(keys.map(col) :+ col("ps_n").as("n_rows") :+
       col("ps_sum").cast("double").as("sum_value"): _*)
+
+  /** One retention tier: rows at least `minAgeDays` old aggregate at
+    * `granularity` ("day" | "week" | "month" — date_trunc units). */
+  final case class Tier(minAgeDays: Long, granularity: String)
+
+  /** GraphiteMergeTree-style age-tiered retention rollup: recent rows
+    * keep fine granularity, older rows collapse to coarser buckets
+    * (the CH retention-rule pattern `age > N → precision P`). One
+    * projection assigns each row its tier + truncated bucket, then a
+    * single hash aggregate — tiering adds NO extra pass or shuffle
+    * over a plain rollup.
+    *
+    * `asOfNanos` is the clock the ages are measured against — pass
+    * `lit(nowNanos)` in production. The caller can derive it from the
+    * data (max ts via a 1-row broadcast) for reproducible tests; that
+    * adds one ts-column-only scan, which production avoids by passing
+    * the clock. Tiers must be given fine-to-coarse; the LAST tier
+    * whose `minAgeDays` the row reaches wins. */
+  def tieredRollup(events: DataFrame, keys: Seq[String], tsNanos: Column,
+                   value: Column, asOfNanos: Column, tiers: Seq[Tier],
+                   scale: Int = 2): DataFrame = {
+    require(tiers.nonEmpty && tiers.head.minAgeDays == 0,
+      "first tier must start at age 0")
+    require(tiers.map(_.minAgeDays) == tiers.map(_.minAgeDays).sorted,
+      "tiers must be ordered fine-to-coarse by minAgeDays")
+    val t = org.apache.spark.sql.functions.timestamp_micros(
+      (tsNanos / 1000L).cast("long"))
+    val age = ((asOfNanos - tsNanos) / lit(86400000000000L)).cast("long")
+    val gran = tiers.tail.foldLeft(lit(tiers.head.granularity): Column) {
+      case (acc, Tier(minAge, g)) => when(age >= minAge, g).otherwise(acc)
+    }
+    val bucket = tiers.tail.foldLeft(
+        date_trunc(tiers.head.granularity.toUpperCase, t): Column) {
+      case (acc, Tier(minAge, g)) =>
+        when(age >= minAge, date_trunc(g.toUpperCase, t)).otherwise(acc)
+    }
+    events
+      .withColumn("gran", gran)
+      .withColumn("bucket_date", date_format(bucket, "yyyy-MM-dd"))
+      .groupBy((keys.map(col) :+ col("gran") :+ col("bucket_date")): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(value.cast(dec(scale))).cast("double").as("sum_value"))
+  }
 }

@@ -64,6 +64,31 @@ class MapAggSpec extends SparkSpec {
     assert(merged === Map("a" -> ((3L, 7.75)), "b" -> ((2L, 3.5))))
   }
 
+  test("tiered rollup: tier boundaries, truncation, and totals preserved") {
+    val day = 86400000000000L
+    val asOf = 1767225600000000000L // 2026-01-01 00:00 UTC
+    // ages 0, 29 (both daily), 30, 89 (weekly), 90, 120 (monthly)
+    val rows = Seq(0L, 29L, 30L, 89L, 90L, 120L).map(a =>
+      ("t", asOf - a * day, 1.0)).toDF("k", "ts", "v")
+    val out = IncrementalRollup.tieredRollup(
+        rows.withColumn("as_of", lit(asOf)),
+        Seq("k"), col("ts"), col("v"), col("as_of"),
+        Seq(IncrementalRollup.Tier(0, "day"),
+          IncrementalRollup.Tier(30, "week"),
+          IncrementalRollup.Tier(90, "month")))
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    val grans = out.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(grans === Map("day" -> 2, "week" -> 2, "month" -> 2))
+    // daily buckets keep the exact date
+    assert(out.contains(("day", "2026-01-01")) && out.contains(("day", "2025-12-03")))
+    // weekly buckets are Monday-truncated: 2025-12-02 → 2025-12-01 (Mon)
+    assert(out.contains(("week", "2025-12-01")))
+    // monthly buckets are month-start
+    assert(out.keys.filter(_._1 == "month").forall(_._2.endsWith("-01")))
+    // no row lost or duplicated by tiering
+    assert(out.values.sum === 6L)
+  }
+
   test("incremental rollup: merge of merges (re-mergeable states)") {
     val a = IncrementalRollup.partialStates(ev(Seq(("a", 1.0))), Seq("k"), col("v"))
     val b = IncrementalRollup.partialStates(ev(Seq(("a", 2.0))), Seq("k"), col("v"))
