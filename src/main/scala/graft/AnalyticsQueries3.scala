@@ -141,13 +141,32 @@ object AnalyticsQueries3 {
       .orderBy(col("event_type"), col("gran"), col("bucket_date"))
   }
 
+  /** B36: audience overlap matrix — |users(A) ∩ users(B)| for every
+    * event-type pair (the CH segment-overlap dashboard, uniqExact of
+    * an intersect). Shape: dedup to distinct (user, type) memberships
+    * (ONE exact-distinct shuffle over the corpus), then a self-join on
+    * user_id whose fan-out is bounded by types-per-user squared (≤ 25
+    * here) — never corpus × corpus. The diagonal is each segment's
+    * size, so the matrix carries the Jaccard/affinity numerators and
+    * denominators together. */
+  private def b36Overlap(s: SparkSession, dir: String): DataFrame = {
+    val m = T(s, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    m.as("a").join(m.as("b"), Seq("user_id"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_users_both"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b29_incremental_rollup" -> (b29IncrementalRollup _),
     "b30_sum_map" -> (b30SumMap _),
     "b31_sequence_count" -> (b31SequenceCount _),
     "b32_collapsing" -> (b32Collapsing _),
     "b34_uniq_merge" -> (b34UniqMerge _),
-    "b35_tiered_rollup" -> (b35TieredRollup _)
+    "b35_tiered_rollup" -> (b35TieredRollup _),
+    "b36_overlap" -> (b36Overlap _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -217,6 +236,12 @@ object AnalyticsQueries3 {
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM g GROUP BY event_type, gran, b
-         ORDER BY event_type, gran, bucket_date"""
+         ORDER BY event_type, gran, bucket_date""",
+    "b36_overlap" ->
+      """WITH m AS (SELECT DISTINCT user_id, event_type FROM events)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_users_both
+         FROM m a JOIN m b USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

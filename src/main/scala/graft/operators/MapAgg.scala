@@ -26,9 +26,22 @@ object MapAgg {
     * the map reassembly entirely. Null/empty maps contribute nothing
     * (CH sumMap semantics). */
   def sumMapExploded(df: DataFrame, groupKeys: Seq[String], m: Column): DataFrame =
+    aggMapExploded(df, groupKeys, m, sum, "mval_sum")
+
+  /** CH minMap / maxMap — same explode-aggregate shape, key-wise
+    * min/max instead of sum (the "first/last seen per counter" and
+    * "peak value per counter" dashboard idioms). */
+  def minMapExploded(df: DataFrame, groupKeys: Seq[String], m: Column): DataFrame =
+    aggMapExploded(df, groupKeys, m, min, "mval_min")
+
+  def maxMapExploded(df: DataFrame, groupKeys: Seq[String], m: Column): DataFrame =
+    aggMapExploded(df, groupKeys, m, max, "mval_max")
+
+  private def aggMapExploded(df: DataFrame, groupKeys: Seq[String], m: Column,
+                             agg: Column => Column, outName: String): DataFrame =
     df.select(groupKeys.map(col) :+ explode(m).as(Seq("mkey", "mval")): _*)
       .groupBy((groupKeys :+ "mkey").map(col): _*)
-      .agg(sum(col("mval")).as("mval_sum"))
+      .agg(agg(col("mval")).as(outName))
 
   /** CH-shaped result: one row per group with the summed map,
     * key-sorted so downstream digests/compares are deterministic.

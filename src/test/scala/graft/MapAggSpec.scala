@@ -33,6 +33,18 @@ class MapAggSpec extends SparkSpec {
     assert(m.keys.toSeq === m.keys.toSeq.sorted)
   }
 
+  test("minMap/maxMap aggregate key-wise extremes") {
+    val df = mapDf(Seq(
+      (1L, Map("a" -> 5L, "b" -> 2L)),
+      (1L, Map("a" -> 3L, "c" -> 9L))))
+    val mn = MapAgg.minMapExploded(df, Seq("g"), col("m"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val mx = MapAgg.maxMapExploded(df, Seq("g"), col("m"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(mn === Map("a" -> 3L, "b" -> 2L, "c" -> 9L))
+    assert(mx === Map("a" -> 5L, "b" -> 2L, "c" -> 9L))
+  }
+
   test("null and empty maps contribute nothing") {
     val df = Seq(
       (1L, Map("a" -> 1L)),
