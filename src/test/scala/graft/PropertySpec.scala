@@ -102,6 +102,66 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Collapsing.collapse == per-key reference fold on random signed streams") {
+    import spark.implicits._
+    import graft.operators.Collapsing
+    val rnd = new scala.util.Random(7)
+    // 80 trials × 3 keys, random write streams incl. version ties,
+    // cancel-only garbage, and net-zero deletes; seq is the unique
+    // version tie-break and doubles as the payload
+    val rows = for {
+      trial <- 0 until 80
+      k <- 1 to 3
+      n = rnd.nextInt(7)
+      i <- 0 until n
+    } yield (trial.toLong, k.toLong, rnd.nextInt(4) + 1,
+      trial * 1000L + k * 100L + i,
+      if (rnd.nextBoolean()) 1 else -1)
+    val df = rows.toDF("trial", "k", "ver", "seq", "sign")
+    val got = Collapsing.collapse(df, Seq("trial", "k"),
+        Seq(col("ver"), col("seq")), col("sign"))
+      .select("trial", "k", "seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = rows.groupBy(r => (r._1, r._2)).flatMap { case (key, ws) =>
+      val net = ws.map(_._5).sum
+      if (net > 0)
+        Some(key -> ws.filter(_._5 == 1).maxBy(w => (w._3, w._4))._4)
+      else None
+    }
+    assert(got === expected)
+  }
+
+  test("Funnel.sequenceCount2 == the FSM on random event streams") {
+    import spark.implicits._
+    import graft.operators.Funnel
+    val rnd = new scala.util.Random(13)
+    // ts collides on purpose (nextInt(6)) — the tie-break must keep
+    // Spark's window order and the reference scan order identical
+    val rows = for {
+      trial <- 0 until 80
+      i <- 0 until rnd.nextInt(12)
+    } yield (trial.toLong, rnd.nextInt(6).toLong, trial * 100L + i,
+      Seq("p", "e", "x")(rnd.nextInt(3)))
+    val df = rows.toDF("trial", "ts", "seq", "et")
+    val got = Funnel.sequenceCount2(df, "trial", "ts", "seq",
+        col("et") === "p", col("et") === "e")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = rows.groupBy(_._1).flatMap { case (t, evs) =>
+      val restricted = evs.filter(e => e._4 == "p" || e._4 == "e")
+        .sortBy(e => (e._2, e._3))
+      if (restricted.isEmpty) None
+      else {
+        var armed = false; var cnt = 0L
+        restricted.foreach { e =>
+          if (e._4 == "p") armed = true
+          else if (armed) { cnt += 1; armed = false }
+        }
+        Some(t -> cnt)
+      }
+    }
+    assert(got === expected)
+  }
+
   test("non-overlapping chunks reassemble to exactly the token stream") {
     import spark.implicits._
     forAll1(tokens.suchThat(_.nonEmpty), trials = 20) { (toks: List[String]) =>
