@@ -150,11 +150,17 @@ object AnalyticsQueries3 {
     * size, so the matrix carries the Jaccard/affinity numerators and
     * denominators together. */
   private def b36Overlap(s: SparkSession, dir: String): DataFrame = {
-    val m = T(s, dir, "events")
-      .select(col("user_id"), col("event_type")).distinct()
-    m.as("a").join(m.as("b"), Seq("user_id"))
-      .groupBy(col("a.event_type").as("type_a"),
-        col("b.event_type").as("type_b"))
+    // ONE corpus scan: collect_set dedups and partial-aggregates
+    // map-side, so the user exchange carries ≤ |types| entries per
+    // user; the pair explode is a generator over those small sets
+    // (a relational self-join would scan and shuffle the memberships
+    // twice — Catalyst does not share the subtree across a self-join)
+    val sets = T(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("event_type")).as("tset"))
+    sets.select(explode(col("tset")).as("type_a"), col("tset"))
+      .select(col("type_a"), explode(col("tset")).as("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
       .agg(count(lit(1)).as("n_users_both"))
       .orderBy(col("type_a"), col("type_b"))
   }

@@ -75,9 +75,12 @@ object IncrementalRollup {
       "first tier must start at age 0")
     require(tiers.map(_.minAgeDays) == tiers.map(_.minAgeDays).sorted,
       "tiers must be ordered fine-to-coarse by minAgeDays")
-    val t = org.apache.spark.sql.functions.timestamp_micros(
-      (tsNanos / 1000L).cast("long"))
-    val age = ((asOfNanos - tsNanos) / lit(86400000000000L)).cast("long")
+    val t = graft.functions.Fns.nanosToTimestamp(tsNanos)
+    // decimal floor-division: (asOf - ts) can exceed 2^53 nanos
+    // (~104 days), where double division would round boundary rows
+    // into the wrong tier
+    val age = floor((asOfNanos - tsNanos).cast("decimal(25,0)") /
+      86400000000000L).cast("long")
     val gran = tiers.tail.foldLeft(lit(tiers.head.granularity): Column) {
       case (acc, Tier(minAge, g)) => when(age >= minAge, g).otherwise(acc)
     }

@@ -125,6 +125,34 @@ class PlanAuditSpec extends SparkSpec {
       s"blocklist should be row-local:\n$p")
   }
 
+  test("b32: collapse prunes the rank below the shuffle and adds no exchange of its own") {
+    val p = plan("b32_collapsing")
+    assert(p.contains("WindowGroupLimit"), s"rank-1 not pruned:\n$p")
+    // every hash exchange belongs to the write-stream construction
+    // (one per signed branch); the collapse windows ride them
+    val hashEx = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 3, s"collapse introduced extra shuffles:\n$p")
+  }
+
+  test("b35: tiering is one aggregate pass; the as-of side scans only ts") {
+    val p = plan("b35_tiered_rollup")
+    val hashEx = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"tiering should add no shuffle over a plain rollup:\n$p")
+    assert(p.contains("ReadSchema: struct<ts:bigint>"),
+      s"as-of max should scan only the ts column:\n$p")
+    // ages are decimal-exact: double division misrounds spans > 2^53 ns
+    assert(!p.contains("8.64E13"), s"age math fell back to double division:\n$p")
+  }
+
+  test("b36: overlap matrix scans the corpus once; sets dedup map-side") {
+    val p = plan("b36_overlap")
+    assert(p.split("\n").count(_.contains("FileScan parquet")) == 1,
+      s"self-join shape is back (duplicate membership scans):\n$p")
+    assert(p.contains("partial_collect_set"),
+      s"membership sets must partial-aggregate before the shuffle:\n$p")
+    assert(!p.contains("Join"), s"pairs should come from a generator, not a join:\n$p")
+  }
+
   test("a12: the replay schedule is a shuffle-free generator") {
     val p = plan("a12_dlq_replay")
     // explode(sequence(...)) over the DLQ rows; the only exchange
