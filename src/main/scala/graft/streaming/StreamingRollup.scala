@@ -49,4 +49,42 @@ object StreamingRollup {
       .drop("batch_id")
     IncrementalRollup.finalize(IncrementalRollup.merge(keys, Seq(parts)), keys)
   }
+
+  /** The same maintenance for a NON-trivially-mergeable aggregate:
+    * a streaming distinct-count view out of DataSketches-HLL states
+    * (CH uniqState per part + uniqMerge at read — b34's streaming
+    * half). Each micro-batch appends one KB-sized sketch per key;
+    * raw ids never land in the states table, so the view costs
+    * (keys × batches) sketches at ANY cardinality. */
+  def startUniq(spark: SparkSession, source: EventPipeline.EventSource,
+                statesDir: String, checkpointDir: String,
+                keys: Seq[String], idCol: Column,
+                availableNow: Boolean = true): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val writer = source.load(spark).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy(keys.map(col): _*)
+          .agg(hll_sketch_agg(idCol).as("uniq_state"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(statesDir)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** Merge the per-batch sketches and estimate. Replayed parts dedup
+    * on (keys, batch_id) exactly as in [[readFinal]]: one sketch row
+    * survives per (key, batch) whichever replay wrote it — replays
+    * summarize the same batch rows, so any surviving sketch carries
+    * the same id set. */
+  def readUniqFinal(spark: SparkSession, statesDir: String,
+                    keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(statesDir)
+      .dropDuplicates(keys :+ "batch_id")
+      .groupBy(keys.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("uniq_state")))
+        .as("n_distinct"))
+  }
 }

@@ -52,4 +52,28 @@ class StreamingRollupSpec extends SparkSpec {
       parts.count() * 2) // duplicates really landed
     assert(view === direct) // ...and the view is unchanged
   }
+
+  test("streaming HLL states: merged view == direct sketch over all ingested") {
+    val base = tmpDir("suniq")
+    val in = s"$base/in"; val states = s"$base/states"
+    // overlapping user ranges across batches: the union has real work
+    val all = (rows(0 until 50, "click") ++ rows(25 until 75, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    Seq(0 until 40, 40 until 100).foreach { r =>
+      all.filter(col("event_id").isin(r.map(_.toLong): _*))
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val src = EventPipeline.FileEventSource(all.schema, in, maxFilesPerTrigger = 1)
+    StreamingRollup.startUniq(spark, src, states, s"$base/ck",
+      keys = Seq("event_type"), idCol = col("user_id")).awaitTermination()
+
+    val view = StreamingRollup.readUniqFinal(spark, states, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = all.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(view === direct)
+    // tiny cardinalities estimate exactly
+    assert(view === Map("click" -> 5L, "purchase" -> 5L))
+  }
 }
