@@ -190,6 +190,33 @@ object SparkEntry {
       .orderBy(col("event_id"), col("attempt"))
   }
 
+  /** A13: legacy-queue migration shim (main.ts:422-460,
+    * RE_ENQUEUE_OLD_BULL_EVENTS): every 13th event is planted as a
+    * legacy job — second-precision timestamp (ms stamps are ≥ 13
+    * digits, legacy ≤ 10) and no received_at. Normalization must
+    * upscale exactly those rows to nanos, tag provenance, and
+    * backfill received_at on first touch, leaving modern rows
+    * byte-unchanged. */
+  private def a13LegacyNormalize(s: SparkSession, dir: String): DataFrame = {
+    val planted = T(s, dir, "events").select(
+      col("event_id"),
+      when(col("event_id") % 13 === 0,
+        floor(col("ts").cast("decimal(25,0)") / 1000000000L).cast("long"))
+        .otherwise(col("ts")).as("ts"),
+      when(col("event_id") % 13 === 0, lit(null).cast("long"))
+        .otherwise(col("ts")).as("received_at"))
+    EventRouter.normalizeLegacy(planted, "ts", Some("received_at"))
+      .select(col("event_id"),
+        // surfaced at micro precision: DuckDB reads the nanos parquet
+        // as TIMESTAMP(µs), so raw nanos can't round-trip the oracle
+        floor(col("ts").cast("decimal(25,0)") / 1000L).cast("long")
+          .as("ts_us"),
+        floor(col("received_at").cast("decimal(25,0)") / 1000L).cast("long")
+          .as("received_at_us"),
+        col("is_from_legacy").cast("long").as("is_from_legacy"))
+      .orderBy(col("event_id"))
+  }
+
   /** A11 (batch form): the whole ingest path through a REAL routed
     * parquet write — flatten props, enrich metadata, default transform,
     * one-shuffle routed write, read the tables back. The oracle checks
@@ -258,6 +285,7 @@ object SparkEntry {
     "a10_dlq_retry" -> (a10Dlq _),
     "a11_pipeline_e2e" -> (a11PipelineE2e _),
     "a12_dlq_replay" -> (a12DlqReplay _),
+    "a13_legacy_normalize" -> (a13LegacyNormalize _),
     "b1_pricing_summary" -> (b1Pricing _),
     "b8_daily_rollup" -> (b8DailyRollup _)
   ) ++ AnalyticsQueries.queries ++ AnalyticsQueries2.queries ++
@@ -318,6 +346,17 @@ object SparkEntry {
          FROM events
          WHERE event_type IS NOT NULL AND len(event_type) > 0
          GROUP BY event_type ORDER BY event_type""",
+    "a13_legacy_normalize" ->
+      """SELECT event_id,
+           CASE WHEN event_id % 13 = 0
+             THEN (epoch_us(ts) // 1000000) * 1000000
+             ELSE epoch_us(ts) END AS ts_us,
+           CASE WHEN event_id % 13 = 0
+             THEN (epoch_us(ts) // 1000000) * 1000000
+             ELSE epoch_us(ts) END AS received_at_us,
+           CAST(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_from_legacy
+         FROM events ORDER BY event_id""",
     "a12_dlq_replay" ->
       """WITH ev AS (
            SELECT event_id,

@@ -115,6 +115,31 @@ object EventRouter {
       .drop("recover_attempt")
   }
 
+  /** Legacy-queue migration shim (reference: src/main.ts:422-460,
+    * `RE_ENQUEUE_OLD_BULL_EVENTS` — jobs from the pre-migration queue
+    * carry SECOND-precision timestamps, detected by digit length ≤ 10
+    * while ms stamps have ≥ 13; they re-enqueue tagged
+    * `__is_from_old_queue` with `__received_at` backfilled on first
+    * touch). Spark-first: one projection — detect, upscale to the
+    * pipeline's nanosecond domain, tag provenance, backfill. No
+    * shuffle; modern rows pass through byte-unchanged. (The nanos
+    * domain itself caps at 2262-04-11; second stamps beyond ~2.9e9
+    * can't be represented in it, same as everywhere else in the
+    * pipeline.) */
+  def normalizeLegacy(events: DataFrame, tsCol: String,
+                      receivedAtCol: Option[String] = None): DataFrame = {
+    val legacy = col(tsCol) > 0 && col(tsCol) <= 9999999999L // ≤ 10 digits
+    val normTs = when(legacy, col(tsCol) * 1000000000L).otherwise(col(tsCol))
+    val base = events
+      .withColumn("is_from_legacy", legacy.cast("int"))
+      .withColumn(tsCol, normTs)
+    receivedAtCol match {
+      case Some(r) =>
+        base.withColumn(r, coalesce(col(r), normTs)) // first-touch backfill
+      case None => base
+    }
+  }
+
   /** DLQ split (reference: src/main.ts:463-514 — failed batch rows
     * become single-retry jobs with attempt counters). Valid rows go to
     * the route; invalid rows (no routing key / unparseable body) go to

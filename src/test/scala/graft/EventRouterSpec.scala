@@ -101,6 +101,22 @@ class EventRouterSpec extends SparkSpec {
     assert(out.length == 5 && out.last == "parked")
   }
 
+  test("normalizeLegacy upscales second-precision rows, tags, backfills") {
+    val df = Seq(
+      (1L, 1700000000L, null.asInstanceOf[java.lang.Long]), // legacy: seconds, no received_at
+      (2L, 1700000000123456789L, java.lang.Long.valueOf(1700000000123456789L)), // modern
+      (3L, 4102444800L, null.asInstanceOf[java.lang.Long]), // legacy, year 2100
+      (4L, 10000000000L, java.lang.Long.valueOf(7L))        // 11 digits: NOT legacy
+    ).toDF("event_id", "ts", "received_at")
+    val out = EventRouter.normalizeLegacy(df, "ts", Some("received_at"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(1L) === ((1700000000000000000L, 1700000000000000000L, 1)))
+    assert(out(2L) === ((1700000000123456789L, 1700000000123456789L, 0))) // untouched
+    assert(out(3L) === ((4102444800000000000L, 4102444800000000000L, 1)))
+    assert(out(4L) === ((10000000000L, 7L, 0))) // 11-digit value passes through
+  }
+
   test("withBatchId chunks each route into perBatch-sized batches") {
     val batched = EventRouter.withBatchId(events(300), perBatch = 40,
       Seq(col("ts"), col("event_id")))
