@@ -153,6 +153,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"pairs should come from a generator, not a join:\n$p")
   }
 
+  test("a13: legacy normalization is one shuffle-free projection") {
+    val p = plan("a13_legacy_normalize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"legacy shim must not shuffle:\n$p")
+  }
+
   test("a12: the replay schedule is a shuffle-free generator") {
     val p = plan("a12_dlq_replay")
     // explode(sequence(...)) over the DLQ rows; the only exchange
