@@ -85,11 +85,36 @@ object TrainingQueries3 {
       .select(col("doc_id"), col("lang"), col("n_copies"), col("copy_id"))
       .orderBy(col("doc_id"), col("copy_id"))
 
+  /** C33: contiguous sequence packing — assign each document to the
+    * fixed-token-budget bin its START offset falls in (per-stratum
+    * running sum over a deterministic doc order). The packing step
+    * that kills padding waste in training loaders: bins fill to
+    * ~budget (the last doc may straddle the boundary — contiguous
+    * packing semantics, no reordering). ONE exchange: the lang window
+    * partitioning also satisfies the (lang, bin) rollup. */
+  private def c33PackSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(Fns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin_id", expr(s"(cum - n_tokens) div ${budget}L"))
+      .groupBy(col("lang"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("bin_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c28_mix_weights" -> (c28MixWeights _),
     "c29_blocklist" -> (c29Blocklist _),
     "c30_substring_dedup" -> (c30SubstringDedup _),
-    "c31_apply_mix" -> (c31ApplyMix _)
+    "c31_apply_mix" -> (c31ApplyMix _),
+    "c33_pack_sequences" -> (c33PackSequences _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -153,6 +178,21 @@ object TrainingQueries3 {
            CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_id
          FROM d
          ORDER BY doc_id, copy_id"""
-    }
+    },
+    "c33_pack_sequences" ->
+      s"""WITH d AS (
+           SELECT doc_id, lang,
+             CAST(len($toksSql) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum
+           FROM d)
+         SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY lang, bin_id ORDER BY lang, bin_id"""
   )
 }

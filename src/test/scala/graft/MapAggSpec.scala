@@ -101,6 +101,19 @@ class MapAggSpec extends SparkSpec {
     assert(out.values.sum === 6L)
   }
 
+  test("tiered rollup: rows newer than the as-of clock stay in the finest tier") {
+    val day = 86400000000000L
+    val asOf = 1767225600000000000L
+    val rows = Seq(-3L, 0L).map(a => ("t", asOf - a * day, 1.0))
+      .toDF("k", "ts", "v") // one row 3 days in the FUTURE (negative age)
+    val out = IncrementalRollup.tieredRollup(
+        rows.withColumn("as_of", lit(asOf)),
+        Seq("k"), col("ts"), col("v"), col("as_of"),
+        Seq(IncrementalRollup.Tier(0, "day"), IncrementalRollup.Tier(30, "week")))
+      .collect().map(r => r.getString(1)).toSeq
+    assert(out === Seq("day", "day")) // clock skew never coarsens fresh data
+  }
+
   test("incremental rollup: merge of merges (re-mergeable states)") {
     val a = IncrementalRollup.partialStates(ev(Seq(("a", 1.0))), Seq("k"), col("v"))
     val b = IncrementalRollup.partialStates(ev(Seq(("a", 2.0))), Seq("k"), col("v"))

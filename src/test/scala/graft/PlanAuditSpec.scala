@@ -119,6 +119,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"grand total re-scans the corpus:\n$p")
   }
 
+  test("c33: packing is one exchange — the bin rollup rides the stratum window") {
+    val p = plan("c33_pack_sequences")
+    val hashEx = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash exchange:\n$p")
+  }
+
   test("c29: blocklist is a pure projection — no shuffle, no join") {
     val p = plan("c29_blocklist")
     assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"),
