@@ -162,6 +162,41 @@ class PropertySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("flatten survives arbitrary nested JSON bodies: no loss, snake_case columns") {
+    import spark.implicits._
+    val key = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString.take(8))
+    val scalarJson: Gen[String] = Gen.oneOf(
+      Gen.choose(-1000, 1000).map(_.toString),
+      Gen.choose(-10.0, 10.0).map(_.toString),
+      Gen.oneOf("true", "false", "null"),
+      Gen.alphaNumStr.map(s => "\"" + s.take(10) + "\""))
+    def objJson(depth: Int): Gen[String] =
+      Gen.choose(0, 4).flatMap { n =>
+        Gen.listOfN(n, key.flatMap { k =>
+          val v = if (depth <= 0) scalarJson
+            else Gen.frequency(
+              4 -> scalarJson,
+              1 -> objJson(depth - 1),
+              1 -> Gen.listOfN(2, scalarJson).map(_.mkString("[", ",", "]")))
+          v.map(vv => "\"" + k + "\":" + vv)
+        }).map(_.distinct.mkString("{", ",", "}"))
+      }
+    forAll1(Gen.listOfN(12, objJson(2)), trials = 5) { (bodies: List[String]) =>
+      val df = bodies.zipWithIndex
+        .map { case (b, i) => (i.toLong, b) }.toDF("event_id", "props")
+      val flat = graft.operators.EventFlattener.flatten(df, "props",
+        keep = Seq("event_id"),
+        opts = graft.operators.EventFlattener.Options(sampleFraction = 1.0))
+      assert(flat.count() === bodies.length.toLong) // no row lost
+      // every derived column is lower snake_case, no collisions
+      val derived = flat.columns.filterNot(_ == "event_id")
+      derived.foreach { c =>
+        assert(c.matches("[a-z0-9_]+"), s"non-snake column: $c")
+      }
+      assert(derived.distinct.length === derived.length)
+    }
+  }
+
   test("non-overlapping chunks reassemble to exactly the token stream") {
     import spark.implicits._
     forAll1(tokens.suchThat(_.nonEmpty), trials = 20) { (toks: List[String]) =>
