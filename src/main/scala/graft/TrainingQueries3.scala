@@ -109,7 +109,25 @@ object TrainingQueries3 {
       .orderBy(col("lang"), col("bin_id"))
   }
 
+  /** C22b: Bloom-prefiltered decontamination — same planted
+    * contamination and the same oracle as c22 (output is identical by
+    * construction: the exact confirm join removes Bloom false
+    * positives), but the per-task payload is Bloom bits (~1.2
+    * bytes/gram) instead of gram strings, the shape that survives an
+    * eval union too big to broadcast. */
+  private def c22bDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Decontaminate
+    val docs = T(s, dir, "documents")
+    val eval = docs.filter(col("doc_id") % 13 === 0)
+      .select(concat_ws(" ",
+        slice(Fns.tokens(col("text")), 11, 16)).as("text"))
+    Decontaminate.flaggedBloom(docs, "doc_id", "text", eval, "text",
+        n = 8, minHits = 1)
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c22b_decontaminate_bloom" -> (c22bDecontaminateBloom _),
     "c28_mix_weights" -> (c28MixWeights _),
     "c29_blocklist" -> (c29Blocklist _),
     "c30_substring_dedup" -> (c30SubstringDedup _),
@@ -118,6 +136,8 @@ object TrainingQueries3 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical result set to c22 — the Bloom pass is a pure prefilter
+    "c22b_decontaminate_bloom" -> TrainingQueries2.oracleSql("c22_decontaminate"),
     "c28_mix_weights" ->
       s"""WITH s AS (
            SELECT lang, count(*) AS n_docs,

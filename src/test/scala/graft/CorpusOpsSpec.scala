@@ -164,6 +164,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$plan")
   }
 
+  test("bloom decontaminate matches the exact path and plans the prefilter") {
+    // planted overlap (doc 1), a near-miss (doc 2), and bulk clean docs
+    val corpus = ((1L, "a b c d e f g h i j") ::
+      (2L, "a b c d e f g x y z") ::
+      (3L to 60L).map(i => (i, s"doc $i filler text row ${i * 7} " * 3)).toList)
+      .toDF("doc_id", "text")
+    val eval = Seq("a b c d e f g h").toDF("text")
+    val exact = graft.operators.Decontaminate
+      .flagged(corpus, "doc_id", "text", eval, "text", n = 8)
+      .as[(Long, Long)].collect().toMap
+    val bloomed = graft.operators.Decontaminate
+      .flaggedBloom(corpus, "doc_id", "text", eval, "text", n = 8)
+    assert(bloomed.as[(Long, Long)].collect().toMap === exact)
+    assert(exact === Map(1L -> 1L))
+    // the Bloom membership test must sit below the exact-confirm join
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom prefilter:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"confirm join not broadcast:\n$plan")
+  }
+
   test("centroid sums are exact micro-unit integers per (label, dim)") {
     val emb = Seq(
       ("a", Array(0.5f, -1.25f)),
