@@ -123,6 +123,32 @@ object AnalyticsQueries3 {
       .orderBy(col("event_type"))
   }
 
+  /** B37: CH quantileState/quantileMerge — mergeable quantile-sketch
+    * states (AggregatingMergeTree's order-statistics aggregate, the
+    * b34-HLL pattern for percentiles). Each ingest part (event_id
+    * mod 3) holds one GK summary per event_type; the read merges
+    * states and projects p50/p90/p99 as scalars. States are
+    * O(1/ε·log εn) regardless of part size and merge associatively —
+    * reads never rescan history. GK estimates are merge-order
+    * dependent within the ε rank guarantee → rows-only here;
+    * QuantileMergeSpec pins merged-vs-exact rank error ≤ ε·n. */
+  private def b37QuantileMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(
+      col("event_type"), col("value").cast("double").as("v"), col("event_id"))
+    val parts = (0 to 2).map(i =>
+      ev.filter(pmod(col("event_id"), lit(3)) === i)
+        .groupBy(col("event_type"))
+        .agg(Fns.quantileState(col("v")).as("q_state")))
+    parts.reduce(_.unionByName(_))
+      .groupBy(col("event_type"))
+      .agg(Fns.quantileMerge(col("q_state"), Seq(0.5, 0.9, 0.99)).as("qs"))
+      .select(col("event_type"),
+        round(col("qs").getItem(0), 2).as("p50"),
+        round(col("qs").getItem(1), 2).as("p90"),
+        round(col("qs").getItem(2), 2).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
   /** B35: GraphiteMergeTree retention rules — events younger than 30
     * days roll daily, 30-90 weekly, older monthly. The as-of clock is
     * the corpus max ts (1-row broadcast) so every SF is reproducible;
@@ -172,7 +198,8 @@ object AnalyticsQueries3 {
     "b32_collapsing" -> (b32Collapsing _),
     "b34_uniq_merge" -> (b34UniqMerge _),
     "b35_tiered_rollup" -> (b35TieredRollup _),
-    "b36_overlap" -> (b36Overlap _)
+    "b36_overlap" -> (b36Overlap _),
+    "b37_quantile_merge" -> (b37QuantileMerge _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -83,6 +83,25 @@ object Fns {
       graft.plans.HeavyHitters(graft.plans.Cols.expression(c), capacity)
         .toAggregateExpression())
 
+  /** CH quantileState: mergeable Greenwald-Khanna quantile summary of
+    * a DOUBLE column, serialized to BINARY ([[graft.plans.QuantileState]]).
+    * `accuracy` is percentile_approx's 1/ε knob (10000 → ε=1e-4). */
+  def quantileState(c: Column, accuracy: Int = 10000): Column =
+    graft.plans.Cols.column(
+      graft.plans.QuantileState(graft.plans.Cols.expression(c), accuracy)
+        .toAggregateExpression())
+
+  /** CH quantileMerge: union serialized quantile states and read the
+    * given percentiles — array<double> aligned with `percentages`
+    * ([[graft.plans.QuantileMerge]]). Estimates are merge-order
+    * dependent within the ε rank guarantee: rows-only w.r.t. the
+    * oracle. */
+  def quantileMerge(state: Column, percentages: Seq[Double],
+                    accuracy: Int = 10000): Column =
+    graft.plans.Cols.column(
+      graft.plans.QuantileMerge(graft.plans.Cols.expression(state),
+        percentages, accuracy).toAggregateExpression())
+
   /** Exact decimal sum surfaced as DOUBLE (order-insensitive, so the
     * shuffle-order-dependent float sum never breaks the oracle). */
   def sumExact(c: Column, scale: Int = 2): Column =
