@@ -46,10 +46,14 @@ object Bench {
       System.err.println(f"[bench] $name%-24s ${sec}%7.2f s  gc=${gcMillis - g0}%5d ms")
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness that collects this line keeps only the LAST ~2000
+    // characters of output. Put the headline metric/value fields AFTER
+    // the (long) per-query map so they always survive that window, and
+    // round per-query seconds to ms so more of the map fits too.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }
