@@ -289,7 +289,8 @@ object SparkEntry {
     "b1_pricing_summary" -> (b1Pricing _),
     "b8_daily_rollup" -> (b8DailyRollup _)
   ) ++ AnalyticsQueries.queries ++ AnalyticsQueries2.queries ++
-    AnalyticsQueries3.queries ++ TrainingQueries.queries ++
+    AnalyticsQueries3.queries ++ AnalyticsQueries4.queries ++
+    TrainingQueries.queries ++
     TrainingQueries2.queries ++ TrainingQueries3.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -411,7 +412,8 @@ object SparkEntry {
          FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
          ORDER BY event_type, event_date"""
   ) ++ AnalyticsQueries.oracleSql ++ AnalyticsQueries2.oracleSql ++
-    AnalyticsQueries3.oracleSql ++ TrainingQueries.oracleSql ++
+    AnalyticsQueries3.oracleSql ++ AnalyticsQueries4.oracleSql ++
+    TrainingQueries.oracleSql ++
     TrainingQueries2.oracleSql ++ TrainingQueries3.oracleSql
 
   /** DuckDB mirror of ChTypes.inferFromStrings over the same 5 keys. */

@@ -126,8 +126,23 @@ object TrainingQueries3 {
       .orderBy(col("doc_id"))
   }
 
+  /** C34: the composed Gopher/MassiveText quality GATE (Rae et al.
+    * 2021 §A1.1) — the five-rule keep/drop decision (word count, mean
+    * token length, alphabetic ratio, symbol ratio, stopword presence),
+    * each rule surfaced as an integer metric plus a failure bit in
+    * `reasons`. One projection over the token array — no shuffle; at
+    * 100 TB this rides the ingest scan for free. */
+  private def c34GopherGate(s: SparkSession, dir: String): DataFrame = {
+    val cols = TextAnalysis.gopherGateCols(col("text"))
+      .map { case (n, c) => c.as(n) }
+    T(s, dir, "documents")
+      .select(col("doc_id") +: cols: _*)
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c22b_decontaminate_bloom" -> (c22bDecontaminateBloom _),
+    "c34_gopher_gate" -> (c34GopherGate _),
     "c28_mix_weights" -> (c28MixWeights _),
     "c29_blocklist" -> (c29Blocklist _),
     "c30_substring_dedup" -> (c30SubstringDedup _),
@@ -138,6 +153,51 @@ object TrainingQueries3 {
   def oracleSql: Map[String, String] = Map(
     // identical result set to c22 — the Bloom pass is a pure prefilter
     "c22b_decontaminate_bloom" -> TrainingQueries2.oracleSql("c22_decontaminate"),
+    // mirror of TextAnalysis.gopherGateCols: every metric is integer
+    // micro-units (exact in a double, one IEEE divide, tie-free floor
+    // except mean-token-len's round — half-away-from-zero on both
+    // engines over an exactly-representable quotient)
+    "c34_gopher_gate" ->
+      s"""WITH t AS (
+           SELECT doc_id, $toksSql AS tk,
+             CAST(length(regexp_replace(coalesce(text, ''), '\\s', '', 'g'))
+               AS BIGINT) AS nonws
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             CASE WHEN len(tk) > 0
+               THEN CAST(round(nonws * 10000.0 / len(tk)) AS BIGINT)
+               ELSE 0 END AS mean_token_len_x4,
+             CASE WHEN len(tk) > 0
+               THEN CAST(floor(len(list_filter(tk,
+                 x -> regexp_matches(x, '[a-z]'))) * 1000000.0 / len(tk))
+                 AS BIGINT)
+               ELSE 0 END AS alpha_micro,
+             CASE WHEN len(tk) > 0
+               THEN CAST(floor(len(list_filter(tk,
+                 x -> NOT regexp_matches(x, '[a-z0-9]'))) * 1000000.0
+                 / len(tk)) AS BIGINT)
+               ELSE 0 END AS sym_micro,
+             CAST(len(list_intersect(list_distinct(tk),
+               ['the','be','to','of','and','that','have','with']))
+               AS BIGINT) AS n_stopwords
+           FROM t),
+         r AS (
+           SELECT *,
+             CAST(CASE WHEN n_tokens < 30 OR n_tokens > 100000
+                  THEN 1 ELSE 0 END
+               + CASE WHEN mean_token_len_x4 < 30000
+                      OR mean_token_len_x4 > 100000 THEN 2 ELSE 0 END
+               + CASE WHEN alpha_micro < 800000 THEN 4 ELSE 0 END
+               + CASE WHEN sym_micro > 100000 THEN 8 ELSE 0 END
+               + CASE WHEN n_stopwords < 2 THEN 16 ELSE 0 END
+               AS BIGINT) AS reasons
+           FROM m)
+         SELECT doc_id, n_tokens, mean_token_len_x4, alpha_micro,
+           sym_micro, n_stopwords, reasons,
+           CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM r ORDER BY doc_id""",
     "c28_mix_weights" ->
       s"""WITH s AS (
            SELECT lang, count(*) AS n_docs,

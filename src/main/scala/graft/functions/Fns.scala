@@ -107,9 +107,21 @@ object Fns {
   def sumExact(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** Exact floor(a / d) over LONG columns (d > 0): subtract the pmod
+    * remainder first so the decimal divide lands on an exact multiple.
+    * Plain decimal floor-division is NOT safe for day-sized divisors:
+    * the result precision overflows 38, Spark reduces the scale to
+    * ~13 and rounds HALF_UP there, so a value within ~5 µs under a
+    * day boundary rounds UP across it before floor() runs. Double
+    * division is worse still (a exceeds 2^53 past ~104 days). */
+  def floorDivLong(a: Column, d: Long): Column =
+    ((a - pmod(a, lit(d))).cast("decimal(25,0)") / d).cast("long")
+
   /** Epoch seconds from a nanosecond-epoch long column. Decimal floor
     * division — nanos exceed double-precision exactness, and Spark's
-    * decimal division at this precision is exact (scale 11 > 9 needed). */
+    * decimal division at this precision is exact (scale 11 > 9 needed,
+    * no precision overflow for a 10-digit divisor — unlike the
+    * day-sized divisors floorDivLong exists for). */
   def nanosToEpochSec(tsNanos: Column): Column =
     floor(tsNanos.cast("decimal(25,0)") / 1000000000L).cast("bigint")
 

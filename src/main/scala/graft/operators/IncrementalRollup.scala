@@ -76,11 +76,13 @@ object IncrementalRollup {
     require(tiers.map(_.minAgeDays) == tiers.map(_.minAgeDays).sorted,
       "tiers must be ordered fine-to-coarse by minAgeDays")
     val t = graft.functions.Fns.nanosToTimestamp(tsNanos)
-    // decimal floor-division: (asOf - ts) can exceed 2^53 nanos
-    // (~104 days), where double division would round boundary rows
-    // into the wrong tier
-    val age = floor((asOfNanos - tsNanos).cast("decimal(25,0)") /
-      86400000000000L).cast("long")
+    // exact integer floor-division (see Fns.floorDivLong): double
+    // division rounds boundary rows into the wrong tier past 2^53
+    // nanos (~104 days), and plain decimal division HALF_UP-rounds at
+    // reduced scale for day-sized divisors — rows within ~5 µs of a
+    // tier edge crossed it
+    val age = graft.functions.Fns.floorDivLong(
+      asOfNanos - tsNanos, 86400000000000L)
     val gran = tiers.tail.foldLeft(lit(tiers.head.granularity): Column) {
       case (acc, Tier(minAge, g)) => when(age >= minAge, g).otherwise(acc)
     }

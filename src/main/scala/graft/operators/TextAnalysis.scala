@@ -182,6 +182,63 @@ object TextAnalysis {
       "blocked" -> (nHits > 0).cast("long"))
   }
 
+  /** Gopher's exact stopword-presence list (Rae et al. 2021, table A1:
+    * "contains at least 2 of: the, be, to, of, and, that, have, with"). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The composed Gopher/MassiveText quality GATE (Rae et al. 2021
+    * §A1.1): the rule set that decides keep/drop, not just a score.
+    * Five rules, each surfaced as an integer metric plus a failure bit
+    * in `reasons` (bit i set = rule i failed); `keep` = no bits set.
+    *
+    *   bit 0 — word count outside [minTokens, maxTokens]
+    *   bit 1 — mean token length outside [3, 10] chars
+    *   bit 2 — alphabetic-word ratio < 80% (tokens containing a letter)
+    *   bit 3 — symbol-token ratio > 10% (tokens with no alphanumerics)
+    *   bit 4 — fewer than 2 distinct Gopher stopwords
+    *
+    * All metrics are integer micro-units (exact in a double, one IEEE
+    * divide, tie-free floor) so the gate decision is bit-identical
+    * cross-engine. One projection over the token array — no shuffle;
+    * at 100 TB this rides the ingest scan for free. */
+  def gopherGateCols(text: Column,
+                     minTokens: Long = 30L,
+                     maxTokens: Long = 100000L): Seq[(String, Column)] = {
+    val t = coalesce(text, lit(""))
+    val toks = Fns.tokens(t)
+    val nToks = size(toks).cast("long")
+    val nonWs = length(regexp_replace(t, "\\s", "")).cast("long")
+    // mean token length in 1e-4 chars (same micro form as qualityCols)
+    val mtl4 = when(nToks > 0, round(nonWs * lit(10000.0) / nToks).cast("long"))
+      .otherwise(0L)
+    val alphaN = size(filter(toks, tk => tk.rlike("[a-z]"))).cast("long")
+    val symN = size(filter(toks, tk => !tk.rlike("[a-z0-9]"))).cast("long")
+    val alphaMicro = when(nToks > 0,
+      floor(alphaN * lit(1000000.0) / nToks).cast("long")).otherwise(0L)
+    val symMicro = when(nToks > 0,
+      floor(symN * lit(1000000.0) / nToks).cast("long")).otherwise(0L)
+    val stopArr = array(gopherStopwords.map(lit): _*)
+    val nStop = size(array_intersect(array_distinct(toks), stopArr)).cast("long")
+    val fails = Seq(
+      nToks < minTokens || nToks > maxTokens,
+      mtl4 < 30000L || mtl4 > 100000L,
+      alphaMicro < 800000L,
+      symMicro > 100000L,
+      nStop < 2L)
+    val reasons = fails.zipWithIndex
+      .map { case (f, i) => when(f, lit(1L << i)).otherwise(0L) }
+      .reduce(_ + _)
+    Seq(
+      "n_tokens" -> nToks,
+      "mean_token_len_x4" -> mtl4,
+      "alpha_micro" -> alphaMicro,
+      "sym_micro" -> symMicro,
+      "n_stopwords" -> nStop,
+      "reasons" -> reasons,
+      "keep" -> (reasons === 0L).cast("long"))
+  }
+
   /** Document fingerprints: whole-text md5 over the canonical form, and
     * a min-shingle fingerprint (the 1-hash special case of MinHash —
     * robust to local edits the way winnowing selections are). */

@@ -173,4 +173,40 @@ class PlanAuditSpec extends SparkSpec {
       s"replay schedule should never hash-shuffle:\n$p")
     assert(p.contains("Generate explode"), s"expected the attempt generator:\n$p")
   }
+
+  test("b38: deltaSum shuffles once on the series key; rollup rides the window sort") {
+    val p = plan("b38_delta_sum")
+    val userExchanges = p.split("\n")
+      .count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1, s"expected exactly 1 user_id exchange:\n$p")
+    // the per-key aggregate must partial-combine on the window output,
+    // not re-shuffle (partitioning is already user_id)
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+      s"the rollup re-shuffled after the window:\n$p")
+  }
+
+  test("b39: fill spine broadcasts the key dim; fill is one window per key") {
+    val p = plan("b39_fill_interpolate")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"calendar × keys spine should broadcast the key dim:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"spine fell back to a partitioned cartesian product:\n$p")
+  }
+
+  test("b40: TTL is shuffle-free; the as-of side scans only ts") {
+    val p = plan("b40_ttl_expire")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"TTL expiry must not shuffle (filter + projection only):\n$p")
+    assert(p.contains("ReadSchema: struct<ts:bigint>"),
+      s"as-of max should scan only the ts column:\n$p")
+  }
+
+  test("c34: the gopher gate is a single scan with no shuffle") {
+    val p = plan("c34_gopher_gate")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"row-local gate rules should not shuffle:\n$p")
+    assert(p.split("\n").count(_.contains("FileScan parquet")) == 1,
+      s"gate should scan the corpus exactly once:\n$p")
+  }
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Series, TextAnalysis, Ttl}
+
+/** Unit coverage for the round-5 series/TTL/gate operators on
+  * hand-built edge cases the synthetic tables don't pin down:
+  * counter resets, gap carry vs pre-first-observation nulls, exact
+  * day-boundary expiry, and each Gopher gate rule bit in isolation. */
+class SeriesTtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deltaSum counts only positive deltas; resets contribute nothing") {
+    // series a: 10 -> 12 -> 5 (reset) -> 9   => +2 +4 = 6
+    // series b: 3 -> 3 -> 4                  => +1 (flat step adds 0)
+    // series c: single point                 => 0
+    val ev = Seq(
+      ("a", 1L, 1L, 10.0), ("a", 2L, 2L, 12.0),
+      ("a", 3L, 3L, 5.0), ("a", 4L, 4L, 9.0),
+      ("b", 1L, 5L, 3.0), ("b", 2L, 6L, 3.0), ("b", 3L, 7L, 4.0),
+      ("c", 9L, 8L, 7.0)).toDF("k", "t", "id", "v")
+    val out = Series.deltaSum(ev, "k", "t", "id", col("v"))
+      .select(col("k"), col("n_points"), col("delta_sum").cast("double"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out === Map("a" -> ((4L, 6.0)), "b" -> ((3L, 1.0)),
+      "c" -> ((1L, 0.0))))
+  }
+
+  test("deltaSum orders by time with tie-break, not input order") {
+    // rows arrive shuffled; (t, id) order is 1,2,3 -> values 1, 5, 2
+    val ev = Seq(
+      ("a", 2L, 2L, 5.0), ("a", 1L, 1L, 1.0), ("a", 2L, 3L, 2.0))
+      .toDF("k", "t", "id", "v")
+    val out = Series.deltaSum(ev, "k", "t", "id", col("v"))
+      .select(col("delta_sum").cast("double")).as[Double].head()
+    assert(out === 4.0) // +4 (1->5), then 5->2 ignored
+  }
+
+  test("ffill carries last observation across gaps, null before first") {
+    val sparse = Seq(
+      ("a", "2024-01-02", 10.0), ("a", "2024-01-04", 20.0),
+      ("b", "2024-01-01", 5.0))
+      .toDF("k", "ds", "v").select(col("k"), to_date(col("ds")).as("d"), col("v"))
+    val spine = Seq(("2024-01-01", "2024-01-05")).toDF("s0", "s1")
+      .select(to_date(col("s0")).as("d0"), to_date(col("s1")).as("d1"))
+    val out = Series.ffillDaily(sparse, "k", "d", Seq("v"), spine)
+      .select(col("k"), date_format(col("d"), "yyyy-MM-dd"), col("v_ffill"))
+      .as[(String, String, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.size === 10) // 2 keys x 5 days
+    assert(out(("a", "2024-01-01")) === None)     // before first obs
+    assert(out(("a", "2024-01-02")) === Some(10.0))
+    assert(out(("a", "2024-01-03")) === Some(10.0)) // gap carried
+    assert(out(("a", "2024-01-04")) === Some(20.0))
+    assert(out(("a", "2024-01-05")) === Some(20.0))
+    assert(out(("b", "2024-01-05")) === Some(5.0))  // long carry
+  }
+
+  test("ttl drops rows at the row boundary and resets cells at the column boundary") {
+    val day = 86400000000000L
+    val asOf = 100L * day
+    // ages: 0, 6.999.., 7 (exact boundary), 20.999.., 21 (exact boundary)
+    val ev = Seq(
+      (1L, asOf, 1.0), (2L, asOf - 7L * day + 1L, 2.0),
+      (3L, asOf - 7L * day, 3.0), (4L, asOf - 21L * day + 1L, 4.0),
+      (5L, asOf - 21L * day, 5.0))
+      .toDF("event_id", "ts", "value")
+    val out = Ttl.expire(ev.withColumn("as_of", lit(asOf)),
+        col("ts"), col("as_of"), rowTtlDays = 21,
+        colTtls = Seq(Ttl.ColTtl("value", 7, lit(0.0))))
+      .select(col("event_id"), col("age_days"), col("value"),
+        col("value_expired"))
+      .as[(Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(5L))                 // age 21 >= rowTtl: dropped
+    assert(out(4L) === ((4L, 20L, 0.0, 1L)))  // kept, cell expired
+    assert(out(3L) === ((3L, 7L, 0.0, 1L)))   // exact column boundary
+    assert(out(2L) === ((2L, 6L, 2.0, 0L)))   // one ns inside
+    assert(out(1L) === ((1L, 0L, 1.0, 0L)))
+  }
+
+  test("gopher gate sets each failure bit independently") {
+    def gate(text: String, minTokens: Long = 3L): (Long, Long) = {
+      val df = Seq(Tuple1(text)).toDF("text")
+      val cols = TextAnalysis.gopherGateCols(col("text"), minTokens = minTokens)
+        .map { case (n, c) => c.as(n) }
+      val r = df.select(cols: _*).select("reasons", "keep")
+        .as[(Long, Long)].head()
+      r
+    }
+    // clean doc: enough tokens, normal lengths, >= 2 stopwords
+    assert(gate("the cat sat with the dog and that hat") === ((0L, 1L)))
+    // bit 0: too few tokens (still has stopwords + sane lengths)
+    assert(gate("the with")._1 === 1L)
+    // bit 1: mean token length out of range (all 1-char tokens)
+    assert((gate("a b c d e f g h i j the of with")._1 & 2L) === 2L)
+    // bit 2: alphabetic ratio < 80% (numbers dominate)
+    assert((gate("1 2 3 4 5 6 7 8 the of 11 12 13 14 15")._1 & 4L) === 4L)
+    // bit 3: symbol ratio > 10%
+    assert((gate("the of cat dog :: == ++ !! ?? ~~")._1 & 8L) === 8L)
+    // bit 4: fewer than 2 distinct stopwords
+    assert((gate("cat dog fish bird mouse wolf")._1 & 16L) === 16L)
+  }
+}
