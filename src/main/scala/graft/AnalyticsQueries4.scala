@@ -84,10 +84,28 @@ object AnalyticsQueries4 {
       .orderBy(col("event_id"))
   }
 
+  /** B41: CH `TTL ts + INTERVAL 7 DAY GROUP BY event_type SET value =
+    * sum(value)` — the age-triggered ROLLUP variant of TTL: rows older
+    * than 7 days collapse to one aggregated row per (type, day);
+    * recent rows pass through raw (event_id preserved, -1 marks rolled
+    * rows). The two branches carry complementary age predicates, so a
+    * date-partitioned table reads each byte once. */
+  private def b41TtlRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+    val asOf = ev.agg(max(col("ts")).as("as_of"))
+    Ttl.rollupExpired(ev.crossJoin(broadcast(asOf)),
+        tsNanos = col("ts"), asOfNanos = col("as_of"), days = 7,
+        keys = Seq("event_type"), idCol = "event_id", value = col("value"))
+      .orderBy(col("event_type"), col("bucket_date"), col("is_rolled"),
+        col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b38_delta_sum" -> (b38DeltaSum _),
     "b39_fill_interpolate" -> (b39FillInterpolate _),
-    "b40_ttl_expire" -> (b40TtlExpire _)
+    "b40_ttl_expire" -> (b40TtlExpire _),
+    "b41_ttl_rollup" -> (b41TtlRollup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -128,6 +146,24 @@ object AnalyticsQueries4 {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
              AS v_ffill
          FROM j ORDER BY event_type, event_date""",
+    "b41_ttl_rollup" ->
+      """WITH m AS (SELECT max(epoch_ns(ts)) AS mx FROM events),
+         a AS (
+           SELECT event_type, event_id, ts, value,
+             (mx - epoch_ns(ts)) // 86400000000000 AS age_days
+           FROM events, m)
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS bucket_date,
+           CAST(1 AS BIGINT) AS is_rolled, CAST(-1 AS BIGINT) AS event_id,
+           count(*) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM a WHERE age_days >= 7
+         GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+         UNION ALL
+         SELECT event_type, strftime(ts, '%Y-%m-%d'),
+           CAST(0 AS BIGINT), event_id, CAST(1 AS BIGINT),
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)
+         FROM a WHERE age_days < 7
+         ORDER BY event_type, bucket_date, is_rolled, event_id""",
     "b40_ttl_expire" ->
       """WITH m AS (SELECT max(epoch_ns(ts)) AS mx FROM events),
          a AS (

@@ -542,10 +542,12 @@ object TrainingQueries {
           FROM d ORDER BY doc_id"""
   )
 
-  /** Recursive-CTE fixpoint of min-label reachability over the same
-    * LSH-chain pairs c2 emits (band candidates ∩ jaccard-verified). */
-  private def c19OracleSql: String =
-    s"""WITH RECURSIVE $corpusSql,
+  /** The shared recursive-CTE chain: LSH-chain pairs (band candidates
+    * ∩ jaccard-verified, same definition c2 emits) → min-label
+    * reachability fixpoint → `cl(doc_id, cluster)`. Docs with no
+    * near-dup don't appear in `cl` (callers left-join + coalesce). */
+  private[graft] def clusterCteSql: String =
+    s"""$corpusSql,
         toks AS (SELECT doc_id, $toksSql AS tk FROM corpus),
         shd AS (SELECT doc_id, list_distinct(${ngramsSql(5)}) AS shs FROM toks),
         ${minhashSigSql(8)},
@@ -564,7 +566,12 @@ object TrainingQueries {
         reach(n, m) AS (
           SELECT a, a FROM edges
           UNION
-          SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
-        SELECT n AS doc_id, min(m) AS cluster
-        FROM reach GROUP BY n ORDER BY doc_id"""
+          SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+        cl AS (SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n)"""
+
+  /** Recursive-CTE fixpoint of min-label reachability over the same
+    * LSH-chain pairs c2 emits (band candidates ∩ jaccard-verified). */
+  private def c19OracleSql: String =
+    s"""WITH RECURSIVE $clusterCteSql
+        SELECT doc_id, cluster FROM cl ORDER BY doc_id"""
 }

@@ -140,9 +140,34 @@ object TrainingQueries3 {
       .orderBy(col("doc_id"))
   }
 
+  /** C35: dedup-AWARE train/valid/test split — the leakage fix for
+    * c20's per-document hash split: near-duplicate documents must land
+    * in the SAME split (a test doc whose near-copy sits in train leaks
+    * the answer), so the split hash is taken over the near-dup CLUSTER
+    * id (LSH pairs → connected components; singletons are their own
+    * cluster), not the doc id. Composes c2's LSH chain + c19's
+    * clustering + c20's hash assignment — no new shuffle shape; the
+    * cluster join is the only addition over c20. */
+  private def c35ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val corpus = TrainingQueries.corpusWithDups(T(s, dir, "documents"))
+    val pairs = Dedup.minHashLsh(corpus, "doc_id", "text",
+      n = 5, k = 8, bands = 4, threshold = 0.5)
+    val cc = Dedup.connectedComponents(pairs, "id1", "id2")
+      .select(col("node").as("doc_id"), col("component"))
+    val withCluster = corpus.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    Splitter.hashSplit(withCluster, "cluster",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("cluster"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c22b_decontaminate_bloom" -> (c22bDecontaminateBloom _),
     "c34_gopher_gate" -> (c34GopherGate _),
+    "c35_cluster_split" -> (c35ClusterSplit _),
     "c28_mix_weights" -> (c28MixWeights _),
     "c29_blocklist" -> (c29Blocklist _),
     "c30_substring_dedup" -> (c30SubstringDedup _),
@@ -198,6 +223,24 @@ object TrainingQueries3 {
            sym_micro, n_stopwords, reasons,
            CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
          FROM r ORDER BY doc_id""",
+    // same recursive-CTE cluster fixpoint as c19, then c20's hash
+    // assignment taken over the cluster id (cumulative thresholds
+    // mirror Splitter.hashSplit exactly)
+    "c35_cluster_split" -> {
+      val t80 = Splitter.hexThreshold(0.8)
+      val t90 = Splitter.hexThreshold(0.9)
+      s"""WITH RECURSIVE ${TrainingQueries.clusterCteSql},
+          wc AS (
+            SELECT c.doc_id, coalesce(cl.cluster, c.doc_id) AS cluster
+            FROM corpus c LEFT JOIN cl ON c.doc_id = cl.doc_id)
+          SELECT doc_id, cluster,
+            CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 8) < '$t80'
+                 THEN 'train'
+                 WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 8) < '$t90'
+                 THEN 'valid'
+                 ELSE 'test' END AS split
+          FROM wc ORDER BY doc_id"""
+    },
     "c28_mix_weights" ->
       s"""WITH s AS (
            SELECT lang, count(*) AS n_docs,

