@@ -101,11 +101,36 @@ object AnalyticsQueries4 {
         col("event_id"))
   }
 
+  /** B42: cohort retention matrix — users bucketed by first-touch
+    * week, distinct-counted at each week offset since (the CH cohort
+    * dashboard: uniqExact over a first-touch window). ONE exchange on
+    * user_id serves the first-touch window; the matrix rollup is the
+    * second, unavoidable, shuffle. Week truncation is ISO-Monday on
+    * both engines; the offset is exact (day diffs are multiples of 7,
+    * and IEEE division of small exact ints is exact). */
+  private def b42Cohort(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    val t = Fns.nanosToTimestamp(col("ts"))
+    val ev = T(s, dir, "events").select(col("user_id"), col("ts"))
+      .withColumn("first_ts", min(col("ts")).over(w))
+    ev.select(col("user_id"),
+        date_trunc("WEEK", Fns.nanosToTimestamp(col("first_ts"))).as("cw"),
+        date_trunc("WEEK", t).as("ew"))
+      .groupBy(col("cw"),
+        (datediff(col("ew"), col("cw")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b38_delta_sum" -> (b38DeltaSum _),
     "b39_fill_interpolate" -> (b39FillInterpolate _),
     "b40_ttl_expire" -> (b40TtlExpire _),
-    "b41_ttl_rollup" -> (b41TtlRollup _)
+    "b41_ttl_rollup" -> (b41TtlRollup _),
+    "b42_cohort" -> (b42Cohort _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -164,6 +189,21 @@ object AnalyticsQueries4 {
            CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)
          FROM a WHERE age_days < 7
          ORDER BY event_type, bucket_date, is_rolled, event_id""",
+    "b42_cohort" ->
+      """WITH f AS (
+           SELECT user_id, ts,
+             min(ts) OVER (PARTITION BY user_id) AS first_ts
+           FROM events),
+         c AS (
+           SELECT user_id,
+             date_trunc('week', first_ts) AS cw,
+             date_trunc('week', ts) AS ew
+           FROM f)
+         SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cw, ew) // 7 AS BIGINT) AS week_offset,
+           count(DISTINCT user_id) AS n_users
+         FROM c GROUP BY cw, week_offset
+         ORDER BY cohort_week, week_offset""",
     "b40_ttl_expire" ->
       """WITH m AS (SELECT max(epoch_ns(ts)) AS mx FROM events),
          a AS (

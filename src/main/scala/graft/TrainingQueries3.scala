@@ -164,10 +164,46 @@ object TrainingQueries3 {
       .orderBy(col("doc_id"))
   }
 
+  /** C36: URL-level dedup (the Common-Crawl first pass: one document
+    * per canonical URL, before any content dedup runs). The synthetic
+    * corpus carries no URLs, so each doc gains one planted link in a
+    * scheme/www/case/query/fragment/trailing-slash VARIANT form by
+    * doc_id mod 3, over 40 shared (host, page) identities — the
+    * canonicalizer must collapse all variant spellings to one key.
+    * Keep rule: min doc_id per canonical URL. One shuffle on the
+    * canonical key; at 100 TB this is the cheapest dedup pass there
+    * is (the key is ~60 bytes, the rest of the row never moves —
+    * rank-1 window, WindowGroupLimit-prunable). */
+  private def c36UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val host = concat(lit("Site"), (col("doc_id") % 40).cast("string"))
+    val page = concat(lit("Page"), (col("doc_id") % 20).cast("string"))
+    val url = when(col("doc_id") % 3 === 0,
+        concat(lit("https://"), host, lit(".com/"), page, lit("/?utm=x")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("http://www."), lower(host), lit(".com/"), lower(page),
+          lit("#sec")))
+      .otherwise(concat(lit("www."), host, lit(".com/"), page, lit("/")))
+    val planted = T(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" ref "), url).as("text"))
+    val withUrl = planted.select(col("doc_id"),
+      TextAnalysis.canonicalUrl(
+        regexp_extract(col("text"), """https?://\S+|www\.\S+""", 0))
+        .as("canonical_url"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_url"))
+    withUrl
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .withColumn("keep",
+        (col("doc_id") === min(col("doc_id")).over(w)).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c22b_decontaminate_bloom" -> (c22bDecontaminateBloom _),
     "c34_gopher_gate" -> (c34GopherGate _),
     "c35_cluster_split" -> (c35ClusterSplit _),
+    "c36_url_dedup" -> (c36UrlDedup _),
     "c28_mix_weights" -> (c28MixWeights _),
     "c29_blocklist" -> (c29Blocklist _),
     "c30_substring_dedup" -> (c30SubstringDedup _),
@@ -223,6 +259,36 @@ object TrainingQueries3 {
            sym_micro, n_stopwords, reasons,
            CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
          FROM r ORDER BY doc_id""",
+    // mirror of the plant + extract + canonicalize + keyed-window
+    // chain; canonicalization is the same 4 anchored replaces
+    "c36_url_dedup" ->
+      """WITH p AS (
+           SELECT doc_id,
+             text || ' ref ' ||
+               CASE WHEN doc_id % 3 = 0 THEN
+                 'https://Site' || CAST(doc_id % 40 AS VARCHAR) || '.com/Page'
+                   || CAST(doc_id % 20 AS VARCHAR) || '/?utm=x'
+               WHEN doc_id % 3 = 1 THEN
+                 'http://www.site' || CAST(doc_id % 40 AS VARCHAR)
+                   || '.com/page' || CAST(doc_id % 20 AS VARCHAR) || '#sec'
+               ELSE
+                 'www.Site' || CAST(doc_id % 40 AS VARCHAR) || '.com/Page'
+                   || CAST(doc_id % 20 AS VARCHAR) || '/'
+               END AS text
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(regexp_extract(text, 'https?://\S+|www\.\S+')),
+               '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/$', '')
+               AS canonical_url
+           FROM p)
+         SELECT doc_id, canonical_url,
+           count(*) OVER (PARTITION BY canonical_url) AS n_dups,
+           CAST(CASE WHEN doc_id = min(doc_id)
+             OVER (PARTITION BY canonical_url) THEN 1 ELSE 0 END AS BIGINT)
+             AS keep
+         FROM u ORDER BY doc_id""",
     // same recursive-CTE cluster fixpoint as c19, then c20's hash
     // assignment taken over the cluster id (cumulative thresholds
     // mirror Splitter.hashSplit exactly)

@@ -165,6 +165,14 @@ object TextAnalysis {
       "flagged" -> (density >= flagMicro).cast("int"))
   }
 
+  /** Canonical form of a URL — the crawl-dedup key (Common-Crawl-style
+    * URL-level dedup): lowercase, scheme and `www.` stripped, query
+    * string / fragment / trailing slash dropped. A pure expression
+    * chain (4 anchored regexp_replace over one value), codegen'd. */
+  def canonicalUrl(url: Column): Column =
+    Seq("^https?://" -> "", "^www\\." -> "", "[?#].*$" -> "", "/$" -> "")
+      .foldLeft(lower(url)) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
   /** C4-style blocklist ("bad words") quality rule: occurrence and
     * distinct-term counts against a fixed term list, plus the drop
     * flag. The list ships as a literal array (broadcast-by-value into

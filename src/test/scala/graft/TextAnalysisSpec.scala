@@ -18,6 +18,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "unknown"))
   }
 
+  test("canonicalUrl collapses scheme/www/case/query/fragment/slash variants") {
+    val urls = Seq(
+      "https://Site7.com/Page3/?utm=x",
+      "http://www.site7.com/page3#sec",
+      "www.Site7.com/Page3/",
+      "HTTPS://WWW.SITE7.COM/PAGE3").toDF("u")
+    val out = urls.select(TextAnalysis.canonicalUrl(col("u")).as("c"))
+      .as[String].collect().toSet
+    assert(out === Set("site7.com/page3"))
+    // www elsewhere in the path survives; only the leading one strips
+    val keep = Seq("https://a.com/www.b").toDF("u")
+      .select(TextAnalysis.canonicalUrl(col("u"))).as[String].head()
+    assert(keep === "a.com/www.b")
+  }
+
   test("token counts: whitespace vs BPE-ish regex") {
     val docs = Seq((1L, "Hello, world! v2.0 costs $15")).toDF("doc_id", "text")
     val out = docs.select(
