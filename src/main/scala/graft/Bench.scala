@@ -72,7 +72,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"queries":$qs,"metric":"total","value":${ms3(total)},"unit":"sec","sf":"$sfDir"}""")
+    val line = s"""{"queries":$qs,"metric":"total","value":${ms3(total)},"unit":"sec","sf":"$sfDir"}"""
+    println(line)
+    // sbt prints "[success] ..." AFTER this line, so a collector that
+    // parses the last stdout line gets sbt noise (BENCH_r03/r04 both
+    // recorded parsed: null). Drop the same JSON in a file too.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_local_latest.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
