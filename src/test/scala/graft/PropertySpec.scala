@@ -131,6 +131,70 @@ class PropertySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("Series.deltaSum == per-series sequential fold on random series") {
+    import spark.implicits._
+    import graft.operators.Series
+    val rnd = new scala.util.Random(11)
+    // 60 series, random lengths incl. empty-ish and single-point,
+    // values spanning sign changes and exact repeats (zero deltas),
+    // shuffled input order (the operator must sort, not trust arrival)
+    val rows = rnd.shuffle(for {
+      series <- 0 until 60
+      n = rnd.nextInt(8) + 1
+      i <- 0 until n
+    } yield (series.toLong, rnd.nextInt(5).toLong, // tied times happen
+      series * 100L + i, // unique tie-break
+      math.round(rnd.nextGaussian() * 500) / 100.0))
+    val df = rows.toDF("k", "t", "id", "v")
+    val got = Series.deltaSum(df, "k", "t", "id", col("v"))
+      .select(col("k"), col("n_points"), col("delta_sum").cast("double"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val expected = rows.groupBy(_._1).map { case (k, rs) =>
+      val vs = rs.sortBy(r => (r._2, r._3))
+        .map(r => BigDecimal(r._4).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      val ds = vs.zip(vs.drop(1)).map { case (a, b) => b - a }.filter(_ > 0)
+      k -> ((rs.size.toLong, ds.sum.toDouble))
+    }
+    assert(got === expected)
+  }
+
+  test("Ttl.rollupExpired conserves rows and sums on random ages") {
+    import spark.implicits._
+    import graft.operators.Ttl
+    val rnd = new scala.util.Random(13)
+    val day = 86400000000000L
+    val asOf = 400L * day
+    val rows = (0 until 400).map { i =>
+      // ages spread across the boundary, incl. exact multiples of a day
+      val ts = asOf - (rnd.nextInt(30) * day + rnd.nextInt(3) *
+        (day / 2)) - (if (rnd.nextBoolean()) 0L else rnd.nextInt(1000).toLong)
+      ("t" + rnd.nextInt(3), i.toLong, ts,
+        math.round(rnd.nextGaussian() * 500) / 100.0)
+    }
+    val df = rows.toDF("event_type", "event_id", "ts", "value")
+    val out = Ttl.rollupExpired(df.withColumn("as_of", lit(asOf)),
+        col("ts"), col("as_of"), days = 7,
+        keys = Seq("event_type"), idCol = "event_id", value = col("value"))
+      .collect()
+    // conservation: every input row is accounted for exactly once
+    assert(out.map(_.getAs[Long]("n_rows")).sum === 400L)
+    // raw rows keep their ids; rolled rows are the aged remainder
+    val rawIds = out.filter(_.getAs[Long]("is_rolled") == 0L)
+      .map(_.getAs[Long]("event_id")).toSet
+    val expectedRaw = rows.filter { r =>
+      (asOf - r._3) / day < 7 // ages are < 30 days: double-exact here
+    }.map(_._2).toSet
+    assert(rawIds === expectedRaw)
+    // value conservation through the decimal cast (exact: inputs are
+    // 2-dp already, so the cast is identity and sums commute)
+    val gotSum = BigDecimal(out.map(_.getAs[Double]("sum_value")).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expSum = BigDecimal(rows.map(_._4).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert((gotSum - expSum).abs <= BigDecimal(0.000001))
+  }
+
   test("Funnel.sequenceCount2 == the FSM on random event streams") {
     import spark.implicits._
     import graft.operators.Funnel
