@@ -125,12 +125,41 @@ object AnalyticsQueries4 {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Each event opens an interval of `value` seconds (decimal-exact
+    * nanos: double→long casts round on DuckDB but truncate on Spark,
+    * so the duration goes through DECIMAL on both engines). */
+  private def intervals(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events").select(
+      col("event_type"), col("event_id"), col("ts").as("s_ns"),
+      (col("ts") + (col("value").cast("decimal(18,2)") * 1000000000L)
+        .cast("long")).as("e_ns"))
+
+  /** B43: CH maxIntersections — peak concurrent open intervals per
+    * type (each event held open `value` seconds). Sweep-line as one
+    * keyed sort window: 2 points per interval, never a self-join. */
+  private def b43MaxIntersections(s: SparkSession, dir: String): DataFrame =
+    Series.maxIntersections(intervals(s, dir), "event_type",
+        col("s_ns"), col("e_ns"), col("event_id"))
+      .orderBy(col("event_type"))
+
+  /** B44: CH intervalLengthSum — union length of the open intervals
+    * per type (overlaps merged), surfaced in integer milliseconds
+    * (exact: nanos are longs end to end; ms = floorDiv). */
+  private def b44IntervalLength(s: SparkSession, dir: String): DataFrame =
+    Series.intervalLengthSum(intervals(s, dir), "event_type",
+        col("s_ns"), col("e_ns"), col("event_id"))
+      .select(col("event_type"),
+        Fns.floorDivLong(col("covered_ns"), 1000000L).as("covered_ms"))
+      .orderBy(col("event_type"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b38_delta_sum" -> (b38DeltaSum _),
     "b39_fill_interpolate" -> (b39FillInterpolate _),
     "b40_ttl_expire" -> (b40TtlExpire _),
     "b41_ttl_rollup" -> (b41TtlRollup _),
-    "b42_cohort" -> (b42Cohort _)
+    "b42_cohort" -> (b42Cohort _),
+    "b43_max_intersections" -> (b43MaxIntersections _),
+    "b44_interval_length" -> (b44IntervalLength _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -189,6 +218,48 @@ object AnalyticsQueries4 {
            CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)
          FROM a WHERE age_days < 7
          ORDER BY event_type, bucket_date, is_rolled, event_id""",
+    "b43_max_intersections" ->
+      """WITH iv AS (
+           SELECT event_type, event_id, epoch_ns(ts) AS s_ns,
+             epoch_ns(ts) + CAST(CAST(value AS DECIMAL(18,2))
+               * 1000000000 AS BIGINT) AS e_ns
+           FROM events),
+         pts AS (
+           SELECT event_type, s_ns AS t, CAST(1 AS BIGINT) AS delta,
+             event_id FROM iv
+           UNION ALL
+           SELECT event_type, e_ns, CAST(-1 AS BIGINT), event_id FROM iv),
+         r AS (
+           SELECT event_type,
+             sum(delta) OVER (PARTITION BY event_type
+               ORDER BY t, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+           FROM pts)
+         SELECT event_type, CAST(max(running) AS BIGINT) AS peak_concurrency
+         FROM r GROUP BY event_type ORDER BY event_type""",
+    "b44_interval_length" ->
+      """WITH iv AS (
+           SELECT event_type, event_id, epoch_ns(ts) AS s_ns,
+             epoch_ns(ts) + CAST(CAST(value AS DECIMAL(18,2))
+               * 1000000000 AS BIGINT) AS e_ns
+           FROM events),
+         pts AS (
+           SELECT event_type, s_ns AS t, CAST(1 AS BIGINT) AS delta,
+             event_id FROM iv
+           UNION ALL
+           SELECT event_type, e_ns, CAST(-1 AS BIGINT), event_id FROM iv),
+         r AS (
+           SELECT event_type, t,
+             sum(delta) OVER (PARTITION BY event_type
+               ORDER BY t, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+             lead(t) OVER (PARTITION BY event_type
+               ORDER BY t, delta, event_id) AS next_t
+           FROM pts)
+         SELECT event_type,
+           CAST(sum(next_t - t) // 1000000 AS BIGINT) AS covered_ms
+         FROM r WHERE running > 0 AND next_t IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
     "b42_cohort" ->
       """WITH f AS (
            SELECT user_id, ts,

@@ -37,6 +37,54 @@ object Series {
           lit(0).cast(s"decimal(29,$scale)")).as("delta_sum"))
   }
 
+  /** Interval sweep-line, the shared kernel of CH `maxIntersections`
+    * and `intervalLengthSum`: each [start, end) interval explodes to a
+    * +1 point at start and a -1 at end; one keyed sort window computes
+    * the running concurrency at every sweep point. Ends sort BEFORE
+    * starts at equal t (delta asc = closed-start, open-end: an
+    * interval ending exactly where another begins does not overlap
+    * it). `id` makes the order total so the running sum is
+    * deterministic. ONE exchange on the series key and ONE source
+    * scan (the two points come from a generator, not a union of two
+    * scans — Catalyst does not share a subtree across a union);
+    * 2 rows per interval — linear, never an interval self-join. */
+  private def sweep(iv: DataFrame, key: String, startNs: Column,
+                    endNs: Column, id: Column): DataFrame = {
+    val pts = iv.select(col(key), id.as("__id"),
+        explode(array(
+          struct(startNs.as("t"), lit(1L).as("delta")),
+          struct(endNs.as("t"), lit(-1L).as("delta")))).as("p"))
+      .select(col(key), col("p.t").as("t"), col("p.delta").as("delta"),
+        col("__id"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("t"), col("delta"), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("running", sum(col("delta")).over(w))
+  }
+
+  /** CH `maxIntersections` — the peak number of simultaneously open
+    * intervals per key (peak concurrency). */
+  def maxIntersections(iv: DataFrame, key: String, startNs: Column,
+                       endNs: Column, id: Column): DataFrame =
+    sweep(iv, key, startNs, endNs, id)
+      .groupBy(col(key))
+      .agg(max(col("running")).as("peak_concurrency"))
+
+  /** CH `intervalLengthSum` — total length of the UNION of the
+    * intervals per key (overlaps merged, gaps excluded): sum of
+    * sweep segments whose running concurrency is positive. Exact —
+    * segment bounds and sums stay integer nanos end to end. */
+  def intervalLengthSum(iv: DataFrame, key: String, startNs: Column,
+                        endNs: Column, id: Column): DataFrame = {
+    val ord = Window.partitionBy(col(key))
+      .orderBy(col("t"), col("delta"), col("__id"))
+    sweep(iv, key, startNs, endNs, id)
+      .withColumn("next_t", lead(col("t"), 1).over(ord))
+      .filter(col("running") > 0 && col("next_t").isNotNull)
+      .groupBy(col(key))
+      .agg(sum(col("next_t") - col("t")).as("covered_ns"))
+  }
+
   /** ClickHouse `ORDER BY … WITH FILL INTERPOLATE (col AS <carry>)` —
     * densify a sparse keyed daily series onto a full calendar spine and
     * carry the last observed value forward across the filled gaps

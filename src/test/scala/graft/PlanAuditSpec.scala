@@ -211,6 +211,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Union"), s"expected the two-branch union:\n$p")
   }
 
+  test("b43/b44: sweep line scans the source once, one keyed exchange") {
+    for (q <- Seq("b43_max_intersections", "b44_interval_length")) {
+      val p = plan(q)
+      assert(p.split("\n").count(_.contains("FileScan parquet")) == 1,
+        s"$q: sweep points must come from a generator, not two scans:\n$p")
+      assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+        s"$q: expected exactly one keyed exchange:\n$p")
+      assert(p.contains("Generate explode"), s"$q: expected the point generator:\n$p")
+    }
+  }
+
   test("c34: the gopher gate is a single scan with no shuffle") {
     val p = plan("c34_gopher_gate")
     assert(!p.contains("Exchange hashpartitioning"),

@@ -128,6 +128,24 @@ class SeriesTtlSpec extends SparkSpec {
     assert(multi.count() > 0L)
   }
 
+  test("interval sweep: peak concurrency and union length with touch/nest/gap") {
+    // key a: [0,10) [5,20) [20,30)  — overlap 5-10 (peak 2), 20 touches
+    //        20 (open end: NOT concurrent), union = [0,30) = 30
+    // key b: [0,100) [10,20) [40,50) — nested (peak 2), union = 100
+    // key c: [0,5) [10,15)           — gap, peak 1, union = 10
+    val iv = Seq(
+      ("a", 1L, 0L, 10L), ("a", 2L, 5L, 20L), ("a", 3L, 20L, 30L),
+      ("b", 4L, 0L, 100L), ("b", 5L, 10L, 20L), ("b", 6L, 40L, 50L),
+      ("c", 7L, 0L, 5L), ("c", 8L, 10L, 15L))
+      .toDF("k", "id", "s", "e")
+    val peak = Series.maxIntersections(iv, "k", col("s"), col("e"), col("id"))
+      .as[(String, Long)].collect().toMap
+    assert(peak === Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    val cov = Series.intervalLengthSum(iv, "k", col("s"), col("e"), col("id"))
+      .as[(String, Long)].collect().toMap
+    assert(cov === Map("a" -> 30L, "b" -> 100L, "c" -> 10L))
+  }
+
   test("gopher gate sets each failure bit independently") {
     def gate(text: String, minTokens: Long = 3L): (Long, Long) = {
       val df = Seq(Tuple1(text)).toDF("text")
