@@ -326,7 +326,7 @@ object TrainingQueries {
         SELECT id1, id2, jaccard FROM verified ORDER BY id1, id2"""
 
   /** Mirror of Fns.cosine over double-list columns `$a`, `$b`. */
-  private def cosineSql(a: String, b: String, scale: Int): String = {
+  private[graft] def cosineSql(a: String, b: String, scale: Int): String = {
     val dot = s"list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]))"
     val den = s"sqrt(list_sum(list_transform($a, x -> x * x))) * " +
       s"sqrt(list_sum(list_transform($b, x -> x * x)))"

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** C-series round 5, second batch (SURVEY §2C, C37-C38): semantic
+  * dedup over the embedding space (SemDeDup) and boilerplate line
+  * REMOVAL (the destructive twin of c26's line-dedup signal).
+  *
+  * Scale notes (graded): c37 never compares across clusters — the
+  * pairwise term is Σ cell² ≈ corpus²/K, the published trick that
+  * makes semantic dedup runnable at web scale; assignment is one
+  * broadcast of K centroids over one corpus scan. c38 is the c26 plan
+  * spine (bounded line explode → ONE hash shuffle on the line key)
+  * plus a per-doc ordered rebuild that rides the same aggregate; the
+  * collect is bounded by document length, never corpus size.
+  */
+object TrainingQueries4 {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Embedding corpus with planted semantic near-dups: every 40th
+    * vector reappears (id + 1,000,000) shifted +0.05 on every
+    * dimension — cosine lands ≥ 0.99, well over the 0.9 gate. Same
+    * plant rule as c5's sampled pairs, but over the FULL corpus (the
+    * scale path needs no sample). */
+  private def embWithDups(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dups = base.filter(col("vec_id") % 40 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), x => x + lit(0.05)).as("v"))
+    base.unionAll(dups)
+  }
+
+  /** C37: SemDeDup (Abbas et al. 2023) — cluster embeddings (c7b's
+    * deterministic id-stride centroids, K ≈ corpus/100), then flag
+    * any vector with a lower-id cluster-mate at cosine ≥ 0.9 as a
+    * semantic duplicate. The within-cluster restriction is the
+    * algorithm, not an approximation shortcut — published recall
+    * comes from near-identical points sharing a nearest centroid. */
+  private def c37SemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(embWithDups(s, dir), "vec_id", "v",
+        stride = 100L, threshold = 0.9, roundScale = 4)
+      .orderBy(col("vec_id"))
+
+  /** C38: boilerplate line removal (RefinedWeb §3.2 / CCNet): drop
+    * every 10-token line occurring more than once corpus-wide (the
+    * planted ' zz tail' suffixes and verbatim copy regions), rebuild
+    * each doc from its surviving lines in order. Output carries the
+    * rebuilt text as length + md5 so the oracle proves the exact
+    * reconstruction without shipping full documents through the
+    * driver compare. */
+  private def c38LineScrub(s: SparkSession, dir: String): DataFrame =
+    Dedup.lineScrub(
+        TrainingQueries.corpusWithDups(T(s, dir, "documents")),
+        "doc_id", "text", lineTokens = 10, maxOcc = 1)
+      .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+        length(col("scrubbed_text")).cast("long").as("scrubbed_len"),
+        md5(col("scrubbed_text")).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c37_semdedup" -> (c37SemDedup _),
+    "c38_line_scrub" -> (c38LineScrub _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // mirrors the plant, the id-stride centroid rule, the argmax-cosine
+    // assignment (c7b's), and the within-cell lower-id pair gate
+    "c37_semdedup" ->
+      s"""WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          dups AS (
+            SELECT vec_id + 1000000 AS vec_id,
+              list_transform(v, x -> x + 0.05) AS v
+            FROM base WHERE vec_id % 40 = 0),
+          c AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+          cents AS (
+            SELECT vec_id AS cent_id, v AS centv FROM c
+            WHERE vec_id % 100 = 0),
+          assigned AS (
+            SELECT vec_id, v, cent_id AS cell FROM (
+              SELECT c.vec_id, c.v, cents.cent_id,
+                row_number() OVER (PARTITION BY c.vec_id
+                  ORDER BY ${TrainingQueries.cosineSql("c.v", "centv", 4)} DESC,
+                    cent_id) AS rn
+              FROM c CROSS JOIN cents)
+            WHERE rn = 1),
+          sized AS (
+            SELECT vec_id, cell,
+              count(*) OVER (PARTITION BY cell) AS cell_size
+            FROM assigned),
+          d AS (
+            SELECT a.vec_id, count(*) AS n_dup_of
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id > b.vec_id
+            WHERE ${TrainingQueries.cosineSql("a.v", "b.v", 4)} >= 0.9
+            GROUP BY a.vec_id)
+          SELECT s.vec_id, s.cell, CAST(s.cell_size AS BIGINT) AS cell_size,
+            CAST(coalesce(d.n_dup_of, 0) AS BIGINT) AS n_dup_of,
+            CAST(CASE WHEN coalesce(d.n_dup_of, 0) > 0 THEN 1 ELSE 0 END
+              AS BIGINT) AS is_dup
+          FROM sized s LEFT JOIN d ON s.vec_id = d.vec_id
+          ORDER BY s.vec_id""",
+    // c26's line model (non-overlapping 10-token windows) + the
+    // ordered string_agg rebuild; empty rebuilds coalesce to ''
+    "c38_line_scrub" ->
+      s"""WITH ${TrainingQueries.corpusSql},
+          t AS (SELECT doc_id,
+                  regexp_extract_all(lower(trim(text)), '\\S+') AS tk
+                FROM corpus),
+          cx AS (
+            SELECT doc_id, tk,
+              unnest(generate_series(0,
+                CAST((len(tk) - 1) // 10 AS BIGINT))) AS line_id
+            FROM t WHERE len(tk) > 0),
+          l AS (
+            SELECT doc_id, line_id,
+              array_to_string(
+                list_slice(tk, line_id * 10 + 1, line_id * 10 + 10), ' ')
+                AS line
+            FROM cx),
+          occ AS (SELECT line, count(*) AS n_occ FROM l GROUP BY line),
+          k AS (
+            SELECT l.doc_id, l.line_id, l.line, occ.n_occ
+            FROM l JOIN occ ON l.line = occ.line),
+          d AS (
+            SELECT doc_id, count(*) AS n_lines,
+              CAST(sum(CASE WHEN n_occ <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_lines_kept,
+              coalesce(string_agg(CASE WHEN n_occ <= 1 THEN line END,
+                ' ' ORDER BY line_id), '') AS scrubbed
+            FROM k GROUP BY doc_id)
+          SELECT doc_id, n_lines, n_lines_kept,
+            CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
+            md5(scrubbed) AS scrubbed_md5
+          FROM d ORDER BY doc_id"""
+  )
+}

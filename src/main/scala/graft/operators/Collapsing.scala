@@ -45,4 +45,32 @@ object Collapsing {
       .filter(col("_net") > 0 && col("_rk") === 1 && sign === 1)
       .drop("_net", "_rk")
   }
+
+  /** CH VersionedCollapsingMergeTree semantics: the writer stamps every
+    * state row AND its cancel with the same explicit `version`, so a
+    * cancel annihilates exactly its own state row NO MATTER the order
+    * parts arrive in — the engine CH recommends once writes can be
+    * out of order (plain Collapsing mis-collapses when a cancel lands
+    * before its state row in merge order).
+    *
+    * Relational read: net sign per (key, version) — a version survives
+    * iff its +1s outnumber its -1s (normally 1 vs 0) — then the
+    * surviving row with the highest version is current. ONE hash
+    * shuffle on the key serves both steps: the (key, version) net is a
+    * window over the key partition (version is a secondary sort, not a
+    * second exchange), and the version rank rides the same sort.
+    * Arrival-order insensitive by construction — every column the
+    * decision reads is order-independent. */
+  def collapseVersioned(writes: DataFrame, keys: Seq[String],
+                        version: Column, sign: Column): DataFrame = {
+    val byKeyVer = Window.partitionBy((keys.map(col) :+ version): _*)
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    writes
+      .withColumn("_vnet", sum(sign).over(byKeyVer))
+      .withColumn("_live", (col("_vnet") > 0 && sign === 1).cast("int"))
+      .withColumn("_best_ver",
+        max(when(col("_live") === 1, version)).over(byKey))
+      .filter(col("_live") === 1 && version === col("_best_ver"))
+      .drop("_vnet", "_live", "_best_ver")
+  }
 }

@@ -249,6 +249,45 @@ object Dedup {
         floor(col("n_dup_lines") * lit(1000000.0) / col("n_lines")).cast("long"))
   }
 
+  /** Boilerplate line REMOVAL (the destructive step [[lineDupStats]]
+    * only measures — RefinedWeb §3.2 / CCNet both ship it): drop every
+    * line whose exact text occurs more than `maxOcc` times across the
+    * corpus (headers, footers, cookie banners), reconstitute each
+    * document from its surviving lines in original order.
+    *
+    * Same plan spine as the stats pass — bounded line explode → ONE
+    * hash shuffle on the line key for occurrence counts — plus a
+    * per-doc rollup that rebuilds the text: surviving (line_id, text)
+    * pairs are collected, sorted by position, and joined. The rebuilt
+    * doc rides the SAME aggregate as the counts (no second pass); the
+    * collect is per-document and bounded by document length, never by
+    * corpus size.
+    *
+    * Output: `(id, n_lines, n_lines_kept, scrubbed_text)` — docs whose
+    * every line is boilerplate survive with empty text (the caller's
+    * quality gate drops them; scrub and gate are separate decisions). */
+  def lineScrub(docs: DataFrame, idCol: String, textCol: String,
+                lineTokens: Int = 10, maxOcc: Long = 1): DataFrame = {
+    val lines = Chunker
+      .chunkTokens(docs, idCol, textCol, size = lineTokens, stride = lineTokens)
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", col("chunk_tokens")).as("__line"))
+    val occ = Window.partitionBy(col("__line"))
+    lines
+      .withColumn("__n_occ", count(lit(1)).over(occ))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__n_occ") <= maxOcc, 1L).otherwise(0L))
+          .as("n_lines_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__n_occ") <= maxOcc,
+              struct(col("chunk_id"), col("__line"))))),
+            p => p.getField("__line")),
+          " ").as("scrubbed_text"))
+  }
+
   /** Exact-substring duplication signal (the ES-dedup statistic of
     * Lee et al. 2021, "Deduplicating Training Data Makes Language
     * Models Better"): the fraction of a document's SLIDING

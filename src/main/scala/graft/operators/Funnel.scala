@@ -156,4 +156,69 @@ object Funnel {
       .select(col(key),
         (col("_first1").isNotNull && col("_last2").isNotNull &&
           col("_first1") < col("_last2")).cast("int").as("matched"))
+
+  /** `windowFunnel(..., 'strict_increase')` mode: same chain semantics
+    * as [[windowFunnel]] but each step's timestamp must STRICTLY
+    * increase — two same-timestamp events can never occupy consecutive
+    * levels (CH uses this to kill artificial funnels from batched
+    * writes that land whole sessions on one timestamp).
+    *
+    * Same single exchange; the only change is the window FRAME: the
+    * running-max of chain starts ranges over `time` values strictly
+    * below the current one (RANGE … 1 PRECEDING on the numeric time
+    * axis) instead of strictly-preceding ROWS. Equal-time events then
+    * see the same predecessor set, which is exactly the strict-increase
+    * rule — no tie-break column is needed or consulted. */
+  def windowFunnelStrictIncrease(events: DataFrame, key: String, time: String,
+                                 conds: Seq[Column], windowSpan: Long): DataFrame = {
+    require(conds.nonEmpty, "windowFunnel needs at least one condition")
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    var acc = events
+    conds.zipWithIndex.foreach { case (cond, i) =>
+      val lvl = i + 1
+      val start =
+        if (i == 0) when(cond, col(time))
+        else when(cond && col(time) - col(s"_f$i") <= windowSpan, col(s"_f$i"))
+      acc = acc
+        .withColumn(s"_hit$lvl", start.isNotNull.cast("int"))
+        .withColumn(s"_f$lvl", max(start).over(w))
+    }
+    val levelFlags = conds.indices.map(i => max(col(s"_hit${i + 1}")))
+    acc.groupBy(col(key))
+      .agg(levelFlags.reduce(_ + _).cast("long").as("funnel_level"))
+  }
+
+  /** CH `sequenceNextNode('forward', 'first_match')(ts, node, cond)`:
+    * per key, the node (event type) of the event IMMEDIATELY AFTER the
+    * first event matching `cond` — the "what do users do next"
+    * primitive behind CH's path-analysis dashboards.
+    *
+    * One keyed sort window: `lead(node)` is evaluated on every row but
+    * only the first matching row's value survives the min-by. Keys
+    * whose first match is their last event return NULL next_node; keys
+    * with no match drop (CH returns NULL there too — callers wanting
+    * those rows outer-join the key dim). Single exchange on the key,
+    * same shape as sessionization. */
+  def sequenceNextNode(events: DataFrame, key: String, time: String,
+                       tieBreak: String, node: Column,
+                       cond: Column): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col(tieBreak))
+    // A chain-final first match has no successor: carry that as an
+    // explicit sentinel through min_by (engines disagree on whether
+    // arg_min skips NULL payloads) and surface NULL at the end.
+    val none = " __none"
+    events
+      .select(col(key), col(time), col(tieBreak), node.as("_node"),
+        cond.cast("int").as("_m"))
+      .withColumn("_next", coalesce(lead(col("_node"), 1).over(w), lit(none)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_m") === 1)
+      .groupBy(col(key))
+      .agg(min_by(col("_next"), col("_rn")).as("_nn"))
+      .select(col(key),
+        when(col("_nn") === none, lit(null)).otherwise(col("_nn"))
+          .as("next_node"))
+  }
 }

@@ -158,4 +158,43 @@ object Similarity {
       .orderBy(col("cosine_sim").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): semantic near-dup
+    * removal over an embedding column — cluster the embedding space,
+    * then compare vectors pairwise ONLY within their cluster. The
+    * quadratic term collapses from corpus² to Σ cell² ≈ corpus²/K,
+    * which is the entire reason the method runs at web scale; the
+    * trade (cross-cluster dups are missed) is the published algorithm,
+    * not a shortcut.
+    *
+    * Keep rule: a vector is a duplicate iff a LOWER-id cluster-mate
+    * sits at cosine ≥ `threshold` (the paper keeps the vector farthest
+    * from the centroid; any deterministic representative preserves the
+    * guarantee and min-id matches this library's other dedup ops).
+    *
+    * Output: one row per vector — `(id, cell, cell_size, n_dup_of,
+    * is_dup)`. Plan shape: one broadcast centroid assignment (O(N·K)),
+    * one shuffle on `cell` for the within-cell join, one key window
+    * for cell sizes riding the same partitioning. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               stride: Long, threshold: Double,
+               roundScale: Int = 4): DataFrame = {
+    val cents = seedCentroids(corpus, idCol, vecCol, stride)
+    val v = corpus.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val assigned = assignCells(v, cents, "vid", "v", roundScale)
+    val dups = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vid") > col("b.vid"))
+      .filter(Fns.cosine(col("a.v"), col("b.v"), roundScale) >= threshold)
+      .groupBy(col("a.vid").as("vid"))
+      .agg(count(lit(1)).as("n_dup_of"))
+    val cellW = Window.partitionBy(col("cell"))
+    assigned
+      .withColumn("cell_size", count(lit(1)).over(cellW))
+      .join(dups, Seq("vid"), "left")
+      .select(col("vid").as(idCol), col("cell"), col("cell_size"),
+        coalesce(col("n_dup_of"), lit(0L)).as("n_dup_of"),
+        (coalesce(col("n_dup_of"), lit(0L)) > 0).cast("long").as("is_dup"))
+  }
 }

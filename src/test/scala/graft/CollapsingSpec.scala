@@ -51,4 +51,35 @@ class CollapsingSpec extends SparkSpec {
       (1L, 2, "b", -1), (1L, 1, "a", -1)))
       === Map(1L -> ((3, "c"))))
   }
+
+  private def collapseV(rows: Seq[(Long, Int, String, Int)]): Map[Long, (Int, String)] = {
+    val df = rows.toDF("k", "ver", "payload", "sign")
+    Collapsing.collapseVersioned(df, Seq("k"), col("ver"), col("sign"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+  }
+
+  test("versioned: a dangling cancel does not delete the live state") {
+    // the out-of-order case VersionedCollapsing exists for: a cancel
+    // whose +1 never arrived. Plain collapse nets the key to zero and
+    // wrongly deletes it; versioned annihilates only version-matched
+    // pairs, so v1 survives.
+    val rows = Seq((1L, 1, "a", 1), (1L, 2, "b", -1))
+    assert(collapseV(rows) === Map(1L -> ((1, "a"))))
+    assert(collapse(rows) === Map.empty)
+  }
+
+  test("versioned: cancel annihilates exactly its version, any arrival order") {
+    // v2's cancel arrives BEFORE its +1; both orders collapse to v1
+    val rows = Seq((1L, 2, "b", -1), (1L, 1, "a", 1), (1L, 2, "b", 1))
+    assert(collapseV(rows) === Map(1L -> ((1, "a"))))
+    assert(collapseV(rows.reverse) === Map(1L -> ((1, "a"))))
+  }
+
+  test("versioned: deleting the latest version resurfaces the earlier one") {
+    assert(collapseV(Seq(
+      (1L, 1, "a", 1), (1L, 2, "b", 1), (1L, 2, "b", -1)))
+      === Map(1L -> ((1, "a"))))
+    // every version cancelled -> key disappears
+    assert(collapseV(Seq((2L, 1, "x", 1), (2L, 1, "x", -1))) === Map.empty)
+  }
 }

@@ -159,4 +159,38 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(local === dist)
   }
+
+  test("lineScrub: corpus-repeated lines drop, text rebuilds in order") {
+    val docs = Seq(
+      (1L, "boil boil boil boil boil u1 u2 u3 u4 u5"),
+      (2L, "boil boil boil boil boil v1 v2 v3 v4 v5"),
+      (3L, "w1 w2 w3 w4 w5"),
+      (4L, "boil boil boil boil boil"),                    // all boilerplate
+      (5L, "x1 x2 x3 x4 x5 boil boil boil boil boil y1 y2 y3") // middle line drops
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineScrub(docs, "doc_id", "text", lineTokens = 5, maxOcc = 1)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_lines_kept"),
+          r.getAs[String]("scrubbed_text"))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, "u1 u2 u3 u4 u5")),
+      2L -> ((2L, 1L, "v1 v2 v3 v4 v5")),
+      3L -> ((1L, 1L, "w1 w2 w3 w4 w5")),
+      4L -> ((1L, 0L, "")),
+      5L -> ((3L, 2L, "x1 x2 x3 x4 x5 y1 y2 y3"))))
+  }
+
+  test("lineScrub: maxOcc raises the boilerplate bar") {
+    // the shared line occurs twice: maxOcc=2 keeps it everywhere
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val keep2 = Dedup.lineScrub(docs, "doc_id", "text", lineTokens = 5, maxOcc = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_lines_kept"))
+      .toMap
+    assert(keep2 === Map(1L -> 1L, 2L -> 1L))
+  }
 }

@@ -180,4 +180,60 @@ class FunnelSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got === Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0))
   }
+
+  private def incFunnel(rows: Seq[(Long, Long, Long, String)]): Map[Long, Long] = {
+    val df = rows.toDF("user_id", "event_id", "ts", "event_type")
+    Funnel.windowFunnelStrictIncrease(df, "user_id", "ts",
+        Seq(col("event_type") === "s", col("event_type") === "c",
+          col("event_type") === "p"),
+        windowSpan = W)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("strict increase: same-timestamp steps cannot chain") {
+    // s and c share ts=10: default mode funnels to 3, increase stops at 1
+    val rows = Seq((1L, 1L, 10L, "s"), (1L, 2L, 10L, "c"), (1L, 3L, 20L, "p"))
+    assert(incFunnel(rows) === Map(1L -> 1L))
+    assert(funnel(rows) === Map(1L -> 3L))
+  }
+
+  test("strict increase: strictly increasing chain still funnels fully") {
+    assert(incFunnel(Seq(
+      (1L, 1L, 10L, "s"), (1L, 2L, 20L, "c"), (1L, 3L, 30L, "p")))
+      === Map(1L -> 3L))
+  }
+
+  test("strict increase: window still measured from chain start") {
+    assert(incFunnel(Seq(
+      (1L, 1L, 0L, "s"), (1L, 2L, 60L, "c"), (1L, 3L, 120L, "p")))
+      === Map(1L -> 2L))
+  }
+
+  private def nextNode(rows: Seq[(Long, Long, Long, String)]): Map[Long, Option[String]] = {
+    val df = rows.toDF("user_id", "event_id", "ts", "event_type")
+    Funnel.sequenceNextNode(df, "user_id", "ts", "event_id",
+        node = col("event_type"), cond = col("event_type") === "s")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+  }
+
+  test("sequenceNextNode: node after the FIRST match only") {
+    // first s at ts=20 is followed by c; the later s->p pair is ignored
+    assert(nextNode(Seq(
+      (1L, 1L, 10L, "x"), (1L, 2L, 20L, "s"), (1L, 3L, 30L, "c"),
+      (1L, 4L, 40L, "s"), (1L, 5L, 50L, "p")))
+      === Map(1L -> Some("c")))
+  }
+
+  test("sequenceNextNode: match at end of stream is NULL; no match is absent") {
+    assert(nextNode(Seq(
+      (2L, 1L, 10L, "x"), (2L, 2L, 20L, "s"),
+      (3L, 1L, 10L, "x")))
+      === Map(2L -> None))
+  }
+
+  test("sequenceNextNode: equal-time successor resolved by tie-break id") {
+    assert(nextNode(Seq(
+      (4L, 1L, 10L, "s"), (4L, 2L, 10L, "c"), (4L, 3L, 10L, "p")))
+      === Map(4L -> Some("c")))
+  }
 }

@@ -229,4 +229,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.split("\n").count(_.contains("FileScan parquet")) == 1,
       s"gate should scan the corpus exactly once:\n$p")
   }
+
+  test("b45: the write generator scans once; collapse rides the version-window exchange") {
+    val p = plan("b45_versioned_collapse")
+    assert(p.split("\n").count(_.contains("FileScan parquet")) == 1,
+      s"signed-write plant re-scans the source per branch:\n$p")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected one user_id exchange shared by all three windows:\n$p")
+  }
+
+  test("b12c/b46: funnel-family variants shuffle once on user_id") {
+    for (q <- Seq("b12c_window_funnel_increase", "b46_sequence_next_node")) {
+      val p = plan(q)
+      assert(p.split("\n")
+        .count(_.contains("Exchange hashpartitioning(user_id")) == 1,
+        s"$q: expected exactly one user_id exchange:\n$p")
+    }
+  }
+
+  test("b47: uniqUpTo aggregates partial-then-final — bounded state crosses the shuffle") {
+    val p = plan("b47_uniq_upto")
+    assert(p.contains("bottom_k_by_hash"), s"KMV aggregate missing:\n$p")
+    assert(p.split("\n").count(_.contains("partial_bottom_k_by_hash")) >= 1,
+      s"no map-side partial — full user_id lists would cross the shuffle:\n$p")
+  }
+
+  test("b48: bounding ratio rides one keyed sort") {
+    val p = plan("b48_bounding_ratio")
+    assert(p.split("\n")
+      .count(_.contains("Exchange hashpartitioning(event_type")) == 1,
+      s"expected exactly one event_type exchange:\n$p")
+  }
+
+  test("c37: semDedup broadcasts centroids; the pair join is cell-keyed, never a cross join") {
+    val p = plan("c37_semdedup")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroid assignment should broadcast the K centroids:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the within-cell pair join regressed to a cross join:\n$p")
+  }
+
+  test("c38: line scrub explodes once; the rebuild rides the occurrence shuffle") {
+    val p = plan("c38_line_scrub")
+    assert(p.split("\n").count(_.contains("FileScan parquet")) <= 2,
+      s"line scrub re-derives its line table:\n$p") // corpus union = 2 branch scans
+    assert(p.split("Generate explode").length - 1 <= 2,
+      s"extra explode passes:\n$p")
+  }
 }

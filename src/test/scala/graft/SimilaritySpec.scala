@@ -36,4 +36,50 @@ class SimilaritySpec extends SparkSpec {
       k = 5, planes = 4, dim = 4).collect()
     assert(out.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("corpus_id")))
   }
+
+  test("semDedup: near-copy of a lower-id cluster-mate is flagged, rest kept") {
+    // two clusters around the stride centroids 0 and 100:
+    //   cell 0: 0 (centroid), 1 (near-copy of 0), 2 (same cell, cos < thr)
+    //   cell 100: 100 (centroid), 101 (near-copy of 100)
+    val vs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.01, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.44, 0.0, 0.0)),
+      (100L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (101L, Seq(0.0, 1.0, 0.05, 0.0))
+    ).toDF("vec_id", "v")
+    val got = Similarity.semDedup(vs, "vec_id", "v",
+        stride = 100L, threshold = 0.95)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cell"), r.getAs[Long]("cell_size"),
+          r.getAs[Long]("is_dup"))))
+      .toMap
+    assert(got === Map(
+      0L -> ((0L, 3L, 0L)),
+      1L -> ((0L, 3L, 1L)),   // cos(0,1) ≈ 0.99995 ≥ 0.95
+      2L -> ((0L, 3L, 0L)),   // cos(0,2) = 0.9 < 0.95: same cell, kept
+      100L -> ((100L, 2L, 0L)),
+      101L -> ((100L, 2L, 1L))))
+  }
+
+  test("semDedup never compares across cells (the documented trade)") {
+    // a near-dup pair (cos ≈ 0.999) straddling the centroid boundary:
+    // 3 assigns to cell 0, 4 to cell 100, so the pair is invisible —
+    // the published SemDeDup recall trade, asserted here so a refactor
+    // can't silently turn the within-cell join into an all-pairs scan.
+    val vs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (100L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.72, 0.69, 0.0, 0.0)),
+      (4L, Seq(0.69, 0.72, 0.0, 0.0))
+    ).toDF("vec_id", "v")
+    val got = Similarity.semDedup(vs, "vec_id", "v",
+        stride = 100L, threshold = 0.9)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cell"), r.getAs[Long]("is_dup"))))
+      .toMap
+    assert(got(3L) === ((0L, 0L)) && got(4L) === ((100L, 0L)))
+  }
 }
