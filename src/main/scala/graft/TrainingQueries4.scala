@@ -63,9 +63,26 @@ object TrainingQueries4 {
         md5(col("scrubbed_text")).as("scrubbed_md5"))
       .orderBy(col("doc_id"))
 
+  /** C39: exact-substring duplication REMOVAL (ES-dedup, Lee et al.
+    * 2021 — the destructive step c30 only measures): every token
+    * covered by a sliding 10-token window that repeats anywhere in
+    * the corpus is cut; the doc is rebuilt from survivors in order.
+    * Catches misaligned copies line-tiling misses — the planted
+    * verbatim copies and repetitive tails are excised, not just
+    * flagged. */
+  private def c39SubstringScrub(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringScrub(
+        TrainingQueries.corpusWithDups(T(s, dir, "documents")),
+        "doc_id", "text", windowTokens = 10)
+      .select(col("doc_id"), col("n_tokens"), col("n_tokens_kept"),
+        length(col("scrubbed_text")).cast("long").as("scrubbed_len"),
+        md5(col("scrubbed_text")).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c37_semdedup" -> (c37SemDedup _),
-    "c38_line_scrub" -> (c38LineScrub _)
+    "c38_line_scrub" -> (c38LineScrub _),
+    "c39_substring_scrub" -> (c39SubstringScrub _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -136,6 +153,51 @@ object TrainingQueries4 {
                 ' ' ORDER BY line_id), '') AS scrubbed
             FROM k GROUP BY doc_id)
           SELECT doc_id, n_lines, n_lines_kept,
+            CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
+            md5(scrubbed) AS scrubbed_md5
+          FROM d ORDER BY doc_id""",
+    // sliding-window mirror: 0-based window starts and token
+    // positions on both engines; the rebuild is the ordered
+    // string_agg of uncovered tokens
+    "c39_substring_scrub" ->
+      s"""WITH ${TrainingQueries.corpusSql},
+          t AS (SELECT doc_id,
+                  regexp_extract_all(lower(trim(text)), '\\S+') AS tk
+                FROM corpus),
+          w AS (
+            SELECT doc_id, tk,
+              unnest(generate_series(0, len(tk) - 10)) AS wpos
+            FROM t WHERE len(tk) >= 10),
+          wt AS (
+            SELECT doc_id, wpos,
+              array_to_string(list_slice(tk, wpos + 1, wpos + 10), ' ')
+                AS win
+            FROM w),
+          occ AS (SELECT win, count(*) AS n_occ FROM wt GROUP BY win),
+          cov AS (
+            SELECT DISTINCT doc_id, pos FROM (
+              SELECT doc_id,
+                unnest(generate_series(wpos, wpos + 9)) AS pos
+              FROM wt JOIN occ ON wt.win = occ.win
+              WHERE occ.n_occ > 1)),
+          tok AS (
+            SELECT doc_id, tk,
+              unnest(generate_series(0, len(tk) - 1)) AS pos
+            FROM t WHERE len(tk) > 0),
+          tp AS (SELECT doc_id, pos, tk[pos + 1] AS tok FROM tok),
+          j AS (
+            SELECT tp.doc_id, tp.pos, tp.tok,
+              cov.doc_id IS NOT NULL AS dup
+            FROM tp LEFT JOIN cov
+              ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos),
+          d AS (
+            SELECT doc_id, count(*) AS n_tokens,
+              CAST(sum(CASE WHEN NOT dup THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_tokens_kept,
+              coalesce(string_agg(CASE WHEN NOT dup THEN tok END,
+                ' ' ORDER BY pos), '') AS scrubbed
+            FROM j GROUP BY doc_id)
+          SELECT doc_id, n_tokens, n_tokens_kept,
             CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
             md5(scrubbed) AS scrubbed_md5
           FROM d ORDER BY doc_id"""

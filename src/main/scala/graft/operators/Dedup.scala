@@ -322,6 +322,56 @@ object Dedup {
         floor(col("n_dup_windows") * lit(1000000.0) / col("n_windows")).cast("long"))
   }
 
+  /** Exact-substring duplication REMOVAL — the destructive step of
+    * ES-dedup (Lee et al. 2021) that [[substringDupStats]] only
+    * measures, at sliding-window granularity: every token covered by
+    * a `windowTokens`-token window that occurs more than once in the
+    * corpus is CUT, and the document is rebuilt from the surviving
+    * tokens in order. The paper removes the duplicated spans
+    * themselves (suffix-array spans); the union of duplicated windows
+    * is the same span set restated window-wise, so misaligned copies
+    * are cut at every alignment.
+    *
+    * Plan shape: the c30 spine (bounded window explode → ONE hash
+    * shuffle on the window text for occurrence counts), an explode of
+    * duplicated windows into covered positions (≤ windowTokens rows
+    * per duplicated window, then distinct), one (id, pos) join
+    * against the token list, and the same ordered in-aggregate
+    * rebuild as [[lineScrub]]. Linear in corpus tokens ×
+    * windowTokens; nothing is corpus².
+    *
+    * Docs shorter than one window carry no duplicated windows — every
+    * token survives. Empty docs drop (no token rows). */
+  def substringScrub(docs: DataFrame, idCol: String, textCol: String,
+                     windowTokens: Int = 10): DataFrame = {
+    val toks = docs.select(col(idCol),
+      graft.functions.Fns.tokens(col(textCol)).as("__tk"))
+    val wins = toks.select(col(idCol),
+      posexplode(graft.functions.Fns.wordNGrams(col("__tk"), windowTokens))
+        .as(Seq("__wpos", "__w")))
+    val occ = Window.partitionBy(col("__w"))
+    val covered = wins
+      .withColumn("__n_occ", count(lit(1)).over(occ))
+      .filter(col("__n_occ") > 1)
+      .select(col(idCol),
+        explode(sequence(col("__wpos"),
+          col("__wpos") + lit(windowTokens - 1))).as("__pos"))
+      .distinct()
+      .withColumn("__dup", lit(1))
+    toks.select(col(idCol), posexplode(col("__tk")).as(Seq("__pos", "__tok")))
+      .join(covered, Seq(idCol, "__pos"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__dup").isNull, 1L).otherwise(0L)).as("n_tokens_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__dup").isNull,
+              struct(col("__pos"), col("__tok"))))),
+            p => p.getField("__tok")),
+          " ").as("scrubbed_text"))
+  }
+
   /** Embedding-cosine near-dup pairs over an explicit sample predicate.
     * Exact (audit) variant — the scale path is [[Similarity.lshBuckets]]
     * bucketing; this one cross-pairs only the sampled subset and is

@@ -182,6 +182,29 @@ class DedupSpec extends SparkSpec {
       5L -> ((3L, 2L, "x1 x2 x3 x4 x5 y1 y2 y3"))))
   }
 
+  test("substringScrub: tokens under any repeated window are cut, misaligned") {
+    // docs 1 and 2 share the 3-token span "a b c" at DIFFERENT offsets
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c y"),
+      (3L, "p q r"),                 // unique window: untouched
+      (4L, "m n o m n o m n"),      // self-repeating: fully excised
+      (5L, "s t")                   // shorter than a window: untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringScrub(docs, "doc_id", "text", windowTokens = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_tokens_kept"),
+          r.getAs[String]("scrubbed_text"))))
+      .toMap
+    assert(got === Map(
+      1L -> ((5L, 2L, "d e")),      // pos 0-2 covered by "a b c"
+      2L -> ((5L, 2L, "x y")),      // pos 1-3 covered by the same span
+      3L -> ((3L, 3L, "p q r")),
+      4L -> ((8L, 0L, "")),         // every window repeats in-doc
+      5L -> ((2L, 2L, "s t"))))
+  }
+
   test("lineScrub: maxOcc raises the boilerplate bar") {
     // the shared line occurs twice: maxOcc=2 keeps it everywhere
     val docs = Seq(

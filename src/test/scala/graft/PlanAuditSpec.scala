@@ -269,6 +269,14 @@ class PlanAuditSpec extends SparkSpec {
       s"the within-cell pair join regressed to a cross join:\n$p")
   }
 
+  test("c39: substring scrub is generator + keyed joins — no cross join, codegen'd ngrams") {
+    val p = plan("c39_substring_scrub")
+    assert(!p.contains("CartesianProduct"),
+      s"coverage join regressed to a cross join:\n$p")
+    assert(p.contains("word_ngrams"),
+      s"windows should come from the codegen'd ngram generator:\n$p")
+  }
+
   test("c38: line scrub explodes once; the rebuild rides the occurrence shuffle") {
     val p = plan("c38_line_scrub")
     assert(p.split("\n").count(_.contains("FileScan parquet")) <= 2,
