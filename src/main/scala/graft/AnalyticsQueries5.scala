@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
-import graft.operators.{Collapsing, Funnel}
+import graft.operators.{Collapsing, Funnel, Series}
 import graft.sources.Tables
 
 /** B-series round 5, second batch (SURVEY §2B, B45-B48 + B12c): the
@@ -148,12 +148,27 @@ object AnalyticsQueries5 {
       .orderBy(col("event_type"))
   }
 
+  /** B49: CH largestTriangleThreeBuckets(20) — downsample each type's
+    * value series to 20 visually-representative points (the
+    * time-series dashboard primitive). Bucket-average LTTB variant;
+    * x in exact ms (µs is DuckDB's timestamp floor, ms floors
+    * identically on both engines), y in exact cents; the area argmax
+    * decides on bit-identical doubles, and the OUTPUT is all-integer
+    * (type, bucket, n, picked id, x, y). */
+  private def b49Lttb(s: SparkSession, dir: String): DataFrame =
+    Series.lttb(T(s, dir, "events"), "event_type",
+        xMs = Fns.floorDivLong(col("ts"), 1000000L),
+        yUnits = (col("value").cast("decimal(18,2)") * 100).cast("long"),
+        tieBreak = col("event_id"), buckets = 20)
+      .orderBy(col("event_type"), col("bucket"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b45_versioned_collapse" -> (b45VersionedCollapse _),
     "b12c_window_funnel_increase" -> (b12cWindowFunnelIncrease _),
     "b46_sequence_next_node" -> (b46SequenceNextNode _),
     "b47_uniq_upto" -> (b47UniqUpTo _),
-    "b48_bounding_ratio" -> (b48BoundingRatio _)
+    "b48_bounding_ratio" -> (b48BoundingRatio _),
+    "b49_lttb" -> (b49Lttb _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -254,6 +269,58 @@ object AnalyticsQueries5 {
            CAST(max(CASE WHEN rn = n THEN v END)
              - max(CASE WHEN rn = 1 THEN v END) AS DOUBLE) AS delta_value,
            CAST(max(tu) - min(tu) AS BIGINT) AS delta_us
-         FROM o GROUP BY event_type ORDER BY event_type"""
+         FROM o GROUP BY event_type ORDER BY event_type""",
+    // mirror of Series.lttb: long sums, then the SAME double operation
+    // tree for the area score — each op is one correctly-rounded IEEE
+    // step over identical operands, so the argmax matches bit-for-bit
+    "b49_lttb" ->
+      """WITH base AS (
+           SELECT event_type, event_id, epoch_ms(ts) AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events
+           WINDOW w AS (PARTITION BY event_type
+             ORDER BY epoch_ms(ts), event_id)),
+         b AS (SELECT *, ((rn - 1) * 20) // n AS bk FROM base),
+         bs AS (
+           SELECT event_type, bk, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy, count(*) AS c
+           FROM b GROUP BY event_type, bk),
+         nb AS (
+           SELECT event_type, bk, sx, sy, c,
+             lag(sx) OVER v AS sxp, lag(sy) OVER v AS syp,
+             lag(c) OVER v AS cp,
+             lead(sx) OVER v AS sxn, lead(sy) OVER v AS syn,
+             lead(c) OVER v AS cn
+           FROM bs WINDOW v AS (PARTITION BY event_type ORDER BY bk)),
+         p AS (
+           SELECT b.event_type, b.event_id, b.x, b.y, b.rn, b.n, b.bk,
+             nb.c, nb.sxp, nb.syp, nb.cp, nb.sxn, nb.syn, nb.cn,
+             ((b.n - 1) * 20) // b.n AS lastb
+           FROM b JOIN nb
+             ON b.event_type = nb.event_type AND b.bk = nb.bk),
+         sc AS (
+           SELECT *,
+             CASE WHEN bk = 0 THEN -CAST(rn AS DOUBLE)
+                  WHEN bk = lastb THEN CAST(rn AS DOUBLE)
+                  ELSE coalesce(abs(
+                    (CAST(sxp AS DOUBLE) * CAST(cn AS DOUBLE)
+                      - CAST(sxn AS DOUBLE) * CAST(cp AS DOUBLE))
+                    * (CAST(y AS DOUBLE) * CAST(cp AS DOUBLE)
+                      - CAST(syp AS DOUBLE))
+                    - (CAST(sxp AS DOUBLE)
+                      - CAST(x AS DOUBLE) * CAST(cp AS DOUBLE))
+                    * (CAST(syn AS DOUBLE) * CAST(cp AS DOUBLE)
+                      - CAST(syp AS DOUBLE) * CAST(cn AS DOUBLE))), -1.0)
+             END AS score
+           FROM p),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type, bk
+             ORDER BY score DESC, event_id) AS pick
+           FROM sc)
+         SELECT event_type, CAST(bk AS BIGINT) AS bucket,
+           c AS n_points, event_id AS pick_id, x AS x_ms, y AS y_units
+         FROM r WHERE pick = 1 ORDER BY event_type, bucket"""
   )
 }

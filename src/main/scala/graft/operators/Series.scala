@@ -108,4 +108,72 @@ object Series {
       df.withColumn(s"${c}_ffill", last(col(c), ignoreNulls = true).over(w))
     }
   }
+
+  /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013;
+    * ClickHouse `largestTriangleThreeBuckets`, 23.10) — keep ONE
+    * visually-representative point per bucket: the point forming the
+    * largest triangle with its neighbor buckets. This is the one-pass
+    * BUCKET-AVERAGE variant: the reference recurrence scores against
+    * the previously SELECTED point, which is inherently sequential;
+    * scoring against the neighbor buckets' averages is the standard
+    * parallel relaxation (CH's mergeable aggregate states accept the
+    * same one — merged sub-states don't see each other's picks). The
+    * global first and last points are pinned (buckets 0 and last), as
+    * in the paper.
+    *
+    * Cross-engine exactness: inputs are integer-valued (`xMs` long
+    * milliseconds, `yUnits` long integer units), bucket sums reduce as
+    * LONGs (order-independent), and the triangle area is evaluated in
+    * DOUBLE over an IDENTICAL operation tree on both engines — each
+    * multiply/subtract is a single correctly-rounded IEEE op over
+    * identical operands, so the scores (and therefore the argmax picks)
+    * match bit-for-bit. Denominators are cleared by scaling: area ×
+    * cp²·cn replaces the neighbor-average divisions.
+    *
+    * Plan shape: two passes over the source (bucket-sum pass, pick
+    * pass), each ONE exchange on the series key; the per-bucket
+    * neighbor table is keys × buckets rows and broadcasts. Output is
+    * one row per (key, bucket) — the downsample. */
+  def lttb(ev: DataFrame, key: String, xMs: Column, yUnits: Column,
+           tieBreak: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2, "need at least the pinned first+last buckets")
+    val byKey = Window.partitionBy(col(key))
+    val ord = byKey.orderBy(col("__x"), col("__tie"))
+    val base = ev
+      .select(col(key), xMs.as("__x"), yUnits.as("__y"), tieBreak.as("__tie"))
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__n", count(lit(1)).over(byKey))
+      .withColumn("__b", expr(s"((__rn - 1) * $buckets) div __n"))
+    val bs = base.groupBy(col(key), col("__b"))
+      .agg(sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        count(lit(1)).as("__c"))
+    val v = Window.partitionBy(col(key)).orderBy(col("__b"))
+    val nb = bs
+      .withColumn("__sxp", lag(col("__sx"), 1).over(v))
+      .withColumn("__syp", lag(col("__sy"), 1).over(v))
+      .withColumn("__cp", lag(col("__c"), 1).over(v))
+      .withColumn("__sxn", lead(col("__sx"), 1).over(v))
+      .withColumn("__syn", lead(col("__sy"), 1).over(v))
+      .withColumn("__cn", lead(col("__c"), 1).over(v))
+    def d(c: Column): Column = c.cast("double")
+    // 2·area·cp²·cn, denominators cleared; tree mirrored in the oracle
+    val a1 = d(col("__sxp")) * d(col("__cn")) - d(col("__sxn")) * d(col("__cp"))
+    val b1 = d(col("__y")) * d(col("__cp")) - d(col("__syp"))
+    val a2 = d(col("__sxp")) - d(col("__x")) * d(col("__cp"))
+    val b2 = d(col("__syn")) * d(col("__cp")) - d(col("__syp")) * d(col("__cn"))
+    val area = abs(a1 * b1 - a2 * b2)
+    val lastb = expr(s"((__n - 1) * $buckets) div __n")
+    val score = when(col("__b") === 0, -d(col("__rn")))     // pin first point
+      .when(col("__b") === lastb, d(col("__rn")))           // pin last point
+      .otherwise(coalesce(area, lit(-1.0)))                 // missing neighbor
+    val pick = Window.partitionBy(col(key), col("__b"))
+      .orderBy(col("__score").desc, col("__tie"))
+    base.join(broadcast(nb), Seq(key, "__b"))
+      .withColumn("__score", score)
+      .withColumn("__pick", row_number().over(pick))
+      .filter(col("__pick") === 1)
+      .select(col(key), col("__b").cast("long").as("bucket"),
+        col("__c").as("n_points"), col("__tie").as("pick_id"),
+        col("__x").as("x_ms"), col("__y").as("y_units"))
+  }
 }

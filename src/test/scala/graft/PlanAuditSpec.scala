@@ -261,6 +261,14 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one event_type exchange:\n$p")
   }
 
+  test("b49: LTTB broadcasts the bucket table; both passes key-partition") {
+    val p = plan("b49_lttb")
+    assert(p.contains("BroadcastHashJoin"),
+      s"neighbor-bucket table should broadcast:\n$p")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"expected at most two keyed exchanges (sum pass + pick pass):\n$p")
+  }
+
   test("c37: semDedup broadcasts centroids; the pair join is cell-keyed, never a cross join") {
     val p = plan("c37_semdedup")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

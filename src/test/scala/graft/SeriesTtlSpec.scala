@@ -168,4 +168,34 @@ class SeriesTtlSpec extends SparkSpec {
     // bit 4: fewer than 2 distinct stopwords
     assert((gate("cat dog fish bird mouse wolf")._1 & 16L) === 16L)
   }
+
+  test("lttb pins first/last points and keeps the spike in a middle bucket") {
+    // 6 points, 3 buckets of 2: bucket 0 -> first point, bucket 2 ->
+    // last point, bucket 1 -> the visual extreme (y=100 spike at x=20
+    // forms a far larger triangle with the flat neighbor-bucket
+    // averages than y=10 at x=30 does).
+    val ev = Seq(
+      ("a", 1L, 0L, 0L), ("a", 2L, 10L, 0L),
+      ("a", 3L, 20L, 100L), ("a", 4L, 30L, 10L),
+      ("a", 5L, 40L, 0L), ("a", 6L, 50L, 0L)
+    ).toDF("k", "id", "x", "y")
+    val got = Series.lttb(ev, "k", xMs = col("x"), yUnits = col("y"),
+        tieBreak = col("id"), buckets = 3)
+      .select(col("bucket"), col("n_points"), col("pick_id"),
+        col("x_ms"), col("y_units"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (0L, 2L, 1L, 0L, 0L),
+      (1L, 2L, 3L, 20L, 100L),
+      (2L, 2L, 6L, 50L, 0L)))
+  }
+
+  test("lttb with fewer points than buckets still pins first and last") {
+    val ev = Seq(("k", 1L, 0L, 5L), ("k", 2L, 100L, 7L))
+      .toDF("k", "id", "x", "y")
+    val got = Series.lttb(ev, "k", col("x"), col("y"), col("id"), buckets = 3)
+      .select(col("bucket"), col("pick_id"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((0L, 1L), (1L, 2L)))
+  }
 }
