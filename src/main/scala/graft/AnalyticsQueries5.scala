@@ -162,7 +162,25 @@ object AnalyticsQueries5 {
         tieBreak = col("event_id"), buckets = 20)
       .orderBy(col("event_type"), col("bucket"))
 
+  /** B50: CH avgWeighted(value, w) — weight is the `k` prop (absent →
+    * row carries no weight, exactly CH's NULL-skipping). Numerator
+    * decimal-exact, denominator an integer sum; the division is the
+    * reader's (b22/b48 lesson — cross-engine decimal division rounds
+    * differently, so the exact num/den pair IS the answer). Plain
+    * partial-agg'd one-shuffle aggregate. */
+  private def b50AvgWeighted(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").try_cast("bigint").as("w"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(col("w")).as("n_weighted"),
+        sum(col("v") * col("w")).cast("double").as("num"),
+        sum(col("w")).as("den"))
+      .orderBy(col("event_type"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b50_avg_weighted" -> (b50AvgWeighted _),
     "b45_versioned_collapse" -> (b45VersionedCollapse _),
     "b12c_window_funnel_increase" -> (b12cWindowFunnelIncrease _),
     "b46_sequence_next_node" -> (b46SequenceNextNode _),
@@ -172,6 +190,16 @@ object AnalyticsQueries5 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b50_avg_weighted" ->
+      """WITH e AS (
+           SELECT event_type,
+             try_cast(json_extract_string(props, '$.k') AS BIGINT) AS w,
+             CAST(value AS DECIMAL(18,2)) AS v
+           FROM events)
+         SELECT event_type, count(w) AS n_weighted,
+           CAST(sum(v * w) AS DOUBLE) AS num,
+           CAST(sum(w) AS BIGINT) AS den
+         FROM e GROUP BY event_type ORDER BY event_type""",
     "b45_versioned_collapse" ->
       """WITH st AS (
            SELECT user_id, ts, event_id, value,

@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** C-series round 5, second batch (SURVEY §2C, C37-C38): semantic
@@ -79,10 +80,37 @@ object TrainingQueries4 {
         md5(col("scrubbed_text")).as("scrubbed_md5"))
       .orderBy(col("doc_id"))
 
+  /** C40: per-language quality calibration (CCNet, Wenzek et al.
+    * 2020): raw quality scores aren't comparable across languages, so
+    * thresholds are set per language — each doc gets its within-lang
+    * percentile and its CCNet head/middle/tail tercile (CCNet buckets
+    * by per-language perplexity terciles; same recipe, our integer
+    * quality score in place of the LM). ONE exchange on lang: the
+    * rank window and the count ride the same partitioning; everything
+    * stays in exact integers (score micro-units, ppm percentile,
+    * integer tercile). */
+  private def c40QualityCalibrate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score_micro"), col("doc_id"))
+    val byLang = Window.partitionBy(col("lang"))
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScoreMicro(col("text")).as("score_micro"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .select(col("doc_id"), col("lang"), col("score_micro"),
+        expr("((rk - 1) * CAST(1000000 AS BIGINT)) div n").as("pct_ppm"),
+        when(expr("(3 * (rk - 1)) div n") === 0, "tail")
+          .when(expr("(3 * (rk - 1)) div n") === 1, "middle")
+          .otherwise("head").as("ccnet_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c37_semdedup" -> (c37SemDedup _),
     "c38_line_scrub" -> (c38LineScrub _),
-    "c39_substring_scrub" -> (c39SubstringScrub _)
+    "c39_substring_scrub" -> (c39SubstringScrub _),
+    "c40_quality_calibrate" -> (c40QualityCalibrate _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -200,6 +228,51 @@ object TrainingQueries4 {
           SELECT doc_id, n_tokens, n_tokens_kept,
             CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
             md5(scrubbed) AS scrubbed_md5
-          FROM d ORDER BY doc_id"""
+          FROM d ORDER BY doc_id""",
+    // c9's score formula in integer micro-units, then per-lang rank →
+    // ppm percentile and CCNet tercile
+    "c40_quality_calibrate" -> {
+      val stopSet = TrainingQueries.markersIn(
+        TextAnalysis.langMarkers.flatMap(_._2).distinct)
+      s"""WITH t AS (
+            SELECT doc_id, lang, coalesce(text, '') AS text,
+              regexp_extract_all(lower(trim(coalesce(text, ''))), '\\S+')
+                AS tk
+            FROM documents),
+          m AS (
+            SELECT doc_id, lang,
+              length(text) AS n_chars, len(tk) AS n_tokens,
+              length(text) - length(regexp_replace(text,
+                '[^A-Za-z0-9\\s]', '', 'g')) AS punct_n,
+              len(list_filter(tk, x -> x IN $stopSet)) AS stop_hits
+            FROM t),
+          r AS (
+            SELECT doc_id, lang,
+              CASE WHEN n_chars > 0
+                THEN CAST(round(punct_n * 1000000.0 / n_chars) AS BIGINT)
+                ELSE 0 END AS pr6,
+              CASE WHEN n_tokens > 0
+                THEN CAST(round(stop_hits * 1000000.0 / n_tokens) AS BIGINT)
+                ELSE 0 END AS sr6,
+              least(CAST(n_tokens AS BIGINT) * 10000, 1000000) AS ls6
+            FROM m),
+          s AS (
+            SELECT doc_id, lang,
+              CAST(((2 * ls6 + (1000000 - pr6) + least(5 * sr6, 1000000))
+                + 2) // 4 AS BIGINT) AS score_micro
+            FROM r),
+          k AS (
+            SELECT *,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY score_micro, doc_id) AS rk,
+              count(*) OVER (PARTITION BY lang) AS n
+            FROM s)
+          SELECT doc_id, lang, score_micro,
+            CAST((rk - 1) * 1000000 // n AS BIGINT) AS pct_ppm,
+            CASE CAST(3 * (rk - 1) // n AS BIGINT)
+              WHEN 0 THEN 'tail' WHEN 1 THEN 'middle' ELSE 'head' END
+              AS ccnet_bucket
+          FROM k ORDER BY doc_id"""
+    }
   )
 }

@@ -84,6 +84,28 @@ object TextAnalysis {
       "quality_score" -> (score6 / lit(1000000.0)))
   }
 
+  /** The integer micro-unit quality score — exactly what
+    * [[qualityCols]] surfaces as `quality_score` × 10⁶, kept as a
+    * LONG for consumers that rank or threshold on it (a double
+    * round-trip through /10⁶ is not guaranteed to recover the
+    * integer). Same formula, same null-text behavior. */
+  def qualityScoreMicro(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val toks = Fns.tokens(t)
+    val nChars = length(t)
+    val nToks = size(toks)
+    val punctN = nChars - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
+    val stopHits = markerHits(toks, langMarkers.flatMap(_._2).distinct)
+    val pr6 = when(nChars > 0,
+      round(punctN * lit(1000000.0) / nChars)).otherwise(0L)
+    val sr6 = when(nToks > 0,
+      round(stopHits * lit(1000000.0) / nToks)).otherwise(0L)
+    val ls6 = least(nToks.cast("bigint") * 10000L, lit(1000000L))
+    val scoreX4 = lit(2L) * ls6 + (lit(1000000L) - pr6) +
+      least(lit(5L) * sr6, lit(1000000L))
+    floor((scoreX4 + lit(2L)) / lit(4L)).cast("long")
+  }
+
   /** Quality metrics as a layered plan: raw counts → ratios → score.
     * Each layer references the previous one's columns more than once,
     * so CollapseProject keeps them materialized per row instead of

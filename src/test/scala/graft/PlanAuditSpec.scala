@@ -269,6 +269,12 @@ class PlanAuditSpec extends SparkSpec {
       s"expected at most two keyed exchanges (sum pass + pick pass):\n$p")
   }
 
+  test("c40: calibration is one lang exchange; rank and count share it") {
+    val p = plan("c40_quality_calibrate")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected exactly one lang exchange:\n$p")
+  }
+
   test("c37: semDedup broadcasts centroids; the pair join is cell-keyed, never a cross join") {
     val p = plan("c37_semdedup")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
