@@ -54,23 +54,28 @@ object Collapsing {
     * before its state row in merge order).
     *
     * Relational read: net sign per (key, version) — a version survives
-    * iff its +1s outnumber its -1s (normally 1 vs 0) — then the
-    * surviving row with the highest version is current. ONE hash
-    * shuffle on the key serves both steps: the (key, version) net is a
-    * window over the key partition (version is a secondary sort, not a
-    * second exchange), and the version rank rides the same sort.
-    * Arrival-order insensitive by construction — every column the
-    * decision reads is order-independent. */
+    * iff its +1s outnumber its -1s (normally 1 vs 0) — then ONE
+    * surviving +1 row of the highest live version is current (if a
+    * writer double-wrote the same version, `tieBreak` picks the later
+    * copy deterministically — without it duplicate same-version states
+    * would all pass the filter). ONE hash shuffle on the key serves
+    * every step: the (key, version) net is a window over the key
+    * partition (version is a secondary sort, not a second exchange)
+    * and the rank rides the same sort. Arrival-order insensitive by
+    * construction — every column the decision reads is
+    * order-independent. */
   def collapseVersioned(writes: DataFrame, keys: Seq[String],
-                        version: Column, sign: Column): DataFrame = {
+                        version: Column, sign: Column,
+                        tieBreak: Seq[Column] = Nil): DataFrame = {
     val byKeyVer = Window.partitionBy((keys.map(col) :+ version): _*)
     val byKey = Window.partitionBy(keys.map(col): _*)
+    val ordered = byKey.orderBy(
+      (col("_live").desc +: version.desc +: tieBreak.map(_.desc)): _*)
     writes
       .withColumn("_vnet", sum(sign).over(byKeyVer))
       .withColumn("_live", (col("_vnet") > 0 && sign === 1).cast("int"))
-      .withColumn("_best_ver",
-        max(when(col("_live") === 1, version)).over(byKey))
-      .filter(col("_live") === 1 && version === col("_best_ver"))
-      .drop("_vnet", "_live", "_best_ver")
+      .withColumn("_rk", row_number().over(ordered))
+      .filter(col("_live") === 1 && col("_rk") === 1)
+      .drop("_vnet", "_live", "_rk")
   }
 }

@@ -131,6 +131,89 @@ class PropertySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("Collapsing.collapseVersioned == reference fold incl. dangling cancels and double-writes") {
+    import spark.implicits._
+    import graft.operators.Collapsing
+    val rnd = new scala.util.Random(13)
+    // random version-stamped streams: matched pairs, dangling cancels,
+    // double-written versions (two +1 one -1), cancel-only garbage
+    val rows = for {
+      trial <- 0 until 80
+      k <- 1 to 3
+      n = rnd.nextInt(8)
+      i <- 0 until n
+    } yield (trial.toLong, k.toLong, (rnd.nextInt(4) + 1).toLong,
+      trial * 1000L + k * 100L + i,
+      if (rnd.nextBoolean()) 1 else -1)
+    val df = rows.toDF("trial", "k", "ver", "seq", "sign")
+    val arr = Collapsing.collapseVersioned(df, Seq("trial", "k"),
+        col("ver"), col("sign"), tieBreak = Seq(col("seq")))
+      .select("trial", "k", "seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+    assert(arr.length === arr.map(_._1).distinct.length,
+      "collapse must emit at most one current row per key")
+    val got = arr.toMap
+    val expected = rows.groupBy(r => (r._1, r._2)).flatMap { case (key, ws) =>
+      // a version is live iff its net sign is positive; the current
+      // row is the latest live version's latest +1 copy
+      val live = ws.groupBy(_._3).filter(_._2.map(_._5).sum > 0).keys
+      if (live.isEmpty) None
+      else {
+        val bv = live.max
+        Some(key -> ws.filter(w => w._3 == bv && w._5 == 1).map(_._4).max)
+      }
+    }
+    assert(got === expected)
+  }
+
+  test("Series.lttb == reference bucket-average fold on random series") {
+    import spark.implicits._
+    import graft.operators.Series
+    val rnd = new scala.util.Random(17)
+    // random series incl. x ties (id tie-break) and tiny n < buckets
+    val rows = for {
+      trial <- 0 until 40
+      n = rnd.nextInt(12) + 1
+      i <- 0 until n
+    } yield (trial.toLong, i.toLong + 1,
+      rnd.nextInt(20).toLong, rnd.nextInt(200).toLong - 100)
+    val B = 4
+    val df = rows.toDF("k", "id", "x", "y")
+    val got = Series.lttb(df, "k", col("x"), col("y"), col("id"), buckets = B)
+      .select("k", "bucket", "pick_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // reference: same spec in plain Scala — JVM doubles, same op tree
+    val expected = rows.groupBy(_._1).flatMap { case (k, pts) =>
+      val sorted = pts.sortBy(p => (p._3, p._2)) // (x, id)
+      val n = sorted.size
+      val withRn = sorted.zipWithIndex.map { case (p, i) => (p, i + 1) }
+      val bucketOf = (rn: Int) => ((rn - 1).toLong * B) / n
+      val lastb = ((n - 1).toLong * B) / n
+      val sums = withRn.groupBy { case (_, rn) => bucketOf(rn) }
+        .map { case (b, ps) =>
+          b -> ((ps.map(_._1._3).sum, ps.map(_._1._4).sum, ps.size.toLong)) }
+      withRn.groupBy { case (_, rn) => bucketOf(rn) }.map { case (b, ps) =>
+        val pick = ps.maxBy { case ((_, id, x, y), rn) =>
+          val score =
+            if (b == 0) -rn.toDouble
+            else if (b == lastb) rn.toDouble
+            else (sums.get(b - 1), sums.get(b + 1)) match {
+              case (Some((sxp, syp, cp)), Some((sxn, syn, cn))) =>
+                val a1 = sxp.toDouble * cn.toDouble - sxn.toDouble * cp.toDouble
+                val b1 = y.toDouble * cp.toDouble - syp.toDouble
+                val a2 = sxp.toDouble - x.toDouble * cp.toDouble
+                val b2 = syn.toDouble * cp.toDouble - syp.toDouble * cn.toDouble
+                math.abs(a1 * b1 - a2 * b2)
+              case _ => -1.0
+            }
+          (score, -id) // score desc, id asc
+        }
+        (k, b) -> pick._1._2
+      }
+    }
+    assert(got === expected)
+  }
+
   test("Series.deltaSum == per-series sequential fold on random series") {
     import spark.implicits._
     import graft.operators.Series
