@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
-import graft.operators.{Collapsing, Funnel, Series}
+import graft.operators.{AsOf, Collapsing, Funnel, Series}
 import graft.sources.Tables
 
 /** B-series round 5, second batch (SURVEY §2B, B45-B48 + B12c): the
@@ -179,7 +179,33 @@ object AnalyticsQueries5 {
         sum(col("w")).as("den"))
       .orderBy(col("event_type"))
 
+  /** B51: forward as-of with tolerance — for every purchase, the NEXT
+    * click by the same user within one hour (pandas merge_asof
+    * 'forward'; CH ASOF JOIN's `<=` comparator). The time axis is µs
+    * on BOTH engines (DuckDB surfaces nanos timestamps at µs, and a
+    * tolerance compared across different clock precisions can flip at
+    * the boundary). Unmatched/out-of-tolerance land on sentinels so
+    * the output stays NULL-free integer/double. */
+  private def b51AsofNext(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .withColumn("ts_us", Fns.floorDivLong(col("ts"), 1000L))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    AsOf.joinAsOf(purchases, clicks, "user_id", "user_id", "ts_us", "ts_us",
+        rightVals = Seq("event_id" -> "next_click_id",
+          "value" -> "next_click_value"),
+        tieBreakR = Some("event_id"), direction = "forward",
+        tolerance = Some(3600L * 1000000L))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("next_click_id"), lit(-1L)).as("next_click_id"),
+        coalesce(col("next_click_value"), lit(0.0)).as("next_click_value"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b51_asof_next" -> (b51AsofNext _),
     "b50_avg_weighted" -> (b50AvgWeighted _),
     "b45_versioned_collapse" -> (b45VersionedCollapse _),
     "b12c_window_funnel_increase" -> (b12cWindowFunnelIncrease _),
@@ -190,6 +216,34 @@ object AnalyticsQueries5 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b51_asof_next" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+           WHERE event_type = 'purchase'),
+         c AS (
+           SELECT event_id, user_id, epoch_us(ts) AS tu, value FROM events
+           WHERE event_type = 'click'),
+         u AS (
+           SELECT user_id, tu, 0 AS side, event_id AS p_id,
+             CAST(NULL AS BIGINT) AS c_id, CAST(NULL AS DOUBLE) AS c_value,
+             CAST(NULL AS BIGINT) AS ctu, CAST(NULL AS BIGINT) AS tie
+           FROM p
+           UNION ALL
+           SELECT user_id, tu, 1, NULL, event_id, value, tu, event_id FROM c),
+         w AS (
+           SELECT *,
+             first_value(c_id IGNORE NULLS) OVER win AS nc_id,
+             first_value(c_value IGNORE NULLS) OVER win AS nc_value,
+             first_value(ctu IGNORE NULLS) OVER win AS nc_tu
+           FROM u
+           WINDOW win AS (PARTITION BY user_id ORDER BY tu, side, tie
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT p_id AS event_id, user_id,
+           coalesce(CASE WHEN nc_tu - tu <= 3600000000 THEN nc_id END, -1)
+             AS next_click_id,
+           coalesce(CASE WHEN nc_tu - tu <= 3600000000 THEN nc_value END,
+             0.0) AS next_click_value
+         FROM w WHERE side = 0 ORDER BY event_id""",
     "b50_avg_weighted" ->
       """WITH e AS (
            SELECT event_type,

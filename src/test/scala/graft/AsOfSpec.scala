@@ -54,4 +54,33 @@ class AsOfSpec extends SparkSpec {
     assert(out(0).getAs[Long]("asof_rid") == 9L) // highest tie-break wins
     assert(out(0).getAs[Double]("asof_v") == 2.0)
   }
+
+  test("forward as-of picks the earliest right at or after; tolerance voids stale matches") {
+    val trades = Seq((1L, "A", 100L), (2L, "A", 140L), (3L, "A", 300L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 90L, 1L, 9.0), ("A", 150L, 2L, 15.0),
+        ("A", 200L, 3L, 20.0))
+      .toDF("sym", "t", "qid", "px")
+    def run(tol: Option[Long]) =
+      AsOf.joinAsOf(trades, quotes, "sym", "sym", "t", "t",
+          rightVals = Seq("qid" -> "next_qid"), tieBreakR = Some("qid"),
+          direction = "forward", tolerance = tol)
+        .orderBy("trade_id").collect()
+    val noTol = run(None)
+    assert(noTol(0).getAs[Long]("next_qid") == 2L) // 150 is first ≥ 100
+    assert(noTol(1).getAs[Long]("next_qid") == 2L)
+    assert(noTol(2).isNullAt(noTol(2).fieldIndex("next_qid"))) // nothing ≥ 300
+    val tol = run(Some(40L))
+    assert(tol(0).isNullAt(tol(0).fieldIndex("next_qid"))) // 150−100 > 40
+    assert(tol(1).getAs[Long]("next_qid") == 2L)           // 150−140 ≤ 40
+  }
+
+  test("forward as-of matches an equal-time right row") {
+    val trades = Seq((1L, "A", 150L)).toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 150L, 7L, 1.5)).toDF("sym", "t", "qid", "px")
+    val out = AsOf.joinAsOf(trades, quotes, "sym", "sym", "t", "t",
+        rightVals = Seq("qid" -> "next_qid"), tieBreakR = Some("qid"),
+        direction = "forward").collect()
+    assert(out(0).getAs[Long]("next_qid") == 7L)
+  }
 }
