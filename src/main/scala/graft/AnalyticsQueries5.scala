@@ -204,7 +204,36 @@ object AnalyticsQueries5 {
       .orderBy(col("event_id"))
   }
 
+  /** B52: CH quantileExactWeighted(0.5/0.9/0.99)(value, w) — exact
+    * quantiles of the sequence where each value repeats `w` (the `k`
+    * prop) times. Pure integer rank arithmetic: target index
+    * floor(q·(W−1)) into the virtual repeated array, answer = first
+    * value whose cumulative weight exceeds it — value ties collapse
+    * to the same answer whatever their sort order, so the result is
+    * deterministic without a value-level tie-break. ONE exchange on
+    * the type; the cumulative window and the rollup share it. */
+  private def b52WeightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val cumW = byType.orderBy(col("value"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtd = T(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"),
+        get_json_object(col("props"), "$.k").try_cast("bigint").as("w"))
+      .filter(col("w").isNotNull && col("w") > 0)
+      .withColumn("cumw", sum(col("w")).over(cumW))
+      .withColumn("totw", sum(col("w")).over(byType))
+    def q(pct: Int): Column =
+      min(when(col("cumw") >
+        expr(s"((totw - 1) * $pct) div 100"), col("value")))
+    wtd.groupBy(col("event_type"))
+      .agg(max(col("totw")).as("total_weight"),
+        q(50).as("p50_weighted"), q(90).as("p90_weighted"),
+        q(99).as("p99_weighted"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b52_weighted_quantiles" -> (b52WeightedQuantiles _),
     "b51_asof_next" -> (b51AsofNext _),
     "b50_avg_weighted" -> (b50AvgWeighted _),
     "b45_versioned_collapse" -> (b45VersionedCollapse _),
@@ -216,6 +245,26 @@ object AnalyticsQueries5 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b52_weighted_quantiles" ->
+      """WITH e AS (
+           SELECT event_type, event_id, value,
+             try_cast(json_extract_string(props, '$.k') AS BIGINT) AS w
+           FROM events),
+         f AS (SELECT * FROM e WHERE w IS NOT NULL AND w > 0),
+         c AS (
+           SELECT *,
+             sum(w) OVER (PARTITION BY event_type ORDER BY value, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             sum(w) OVER (PARTITION BY event_type) AS totw
+           FROM f)
+         SELECT event_type, CAST(max(totw) AS BIGINT) AS total_weight,
+           min(CASE WHEN cumw > ((totw - 1) * 50) // 100 THEN value END)
+             AS p50_weighted,
+           min(CASE WHEN cumw > ((totw - 1) * 90) // 100 THEN value END)
+             AS p90_weighted,
+           min(CASE WHEN cumw > ((totw - 1) * 99) // 100 THEN value END)
+             AS p99_weighted
+         FROM c GROUP BY event_type ORDER BY event_type""",
     "b51_asof_next" ->
       """WITH p AS (
            SELECT event_id, user_id, epoch_us(ts) AS tu FROM events

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Chunker, Dedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** C-series round 5, second batch (SURVEY §2C, C37-C38): semantic
@@ -106,11 +106,69 @@ object TrainingQueries4 {
       .orderBy(col("doc_id"))
   }
 
+  /** C41: line-boundary chunking — pack whole LINES (10-token tiles
+    * standing in for layout lines, as everywhere in this repo) into
+    * 50-token-budget chunks, never splitting a line across chunks:
+    * the RAG/pretraining-standard "semantic" chunker, vs c15's fixed
+    * token windows. Same contiguous running-sum assignment as c33 but
+    * per document at line granularity; the rebuild md5 proves chunk
+    * text exactly. One doc_id exchange; the rollup rides the window
+    * partitioning. */
+  private def c41LineChunks(s: SparkSession, dir: String): DataFrame = {
+    val budget = 50L
+    val lines = Chunker.chunkTokens(T(s, dir, "documents"),
+        "doc_id", "text", size = 10, stride = 10)
+      .select(col("doc_id"), col("chunk_id").as("line_id"),
+        size(col("chunk_tokens")).cast("long").as("line_tokens"),
+        concat_ws(" ", col("chunk_tokens")).as("line_txt"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("line_id"))
+    lines
+      .withColumn("cum", sum(col("line_tokens")).over(w))
+      .withColumn("chunk_id", expr(s"(cum - line_tokens) div ${budget}L"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("line_tokens")).cast("long").as("chunk_tokens"),
+        min(col("line_id")).as("first_line"),
+        max(col("line_id")).as("last_line"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("line_id"), col("line_txt")))),
+            p => p.getField("line_txt")),
+          " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** C42: keep-BEST cluster dedup — production pipelines keep the most
+    * complete copy of a near-dup cluster, not the smallest id: rank
+    * every doc within its LSH→CC cluster by (length desc, id) and
+    * flag the winner. The planted '+ zz tail' copies are LONGER than
+    * their originals, so the keep decision visibly differs from the
+    * min-id rule c19/c21 use. Reuses the whole LSH+CC chain; the only
+    * addition is a broadcast-able cluster join + one rank window. */
+  private def c42KeepBest(s: SparkSession, dir: String): DataFrame = {
+    val corpus = TrainingQueries.corpusWithDups(T(s, dir, "documents"))
+    val pairs = Dedup.minHashLsh(corpus, "doc_id", "text",
+      n = 5, k = 8, bands = 4, threshold = 0.5)
+    val cc = Dedup.connectedComponents(pairs, "id1", "id2")
+      .select(col("node").as("doc_id"), col("component"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    corpus.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("cluster"), col("n_chars"),
+        (col("rk") === 1).cast("long").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c37_semdedup" -> (c37SemDedup _),
     "c38_line_scrub" -> (c38LineScrub _),
     "c39_substring_scrub" -> (c39SubstringScrub _),
-    "c40_quality_calibrate" -> (c40QualityCalibrate _)
+    "c40_quality_calibrate" -> (c40QualityCalibrate _),
+    "c41_line_chunks" -> (c41LineChunks _),
+    "c42_keep_best" -> (c42KeepBest _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -273,6 +331,54 @@ object TrainingQueries4 {
               WHEN 0 THEN 'tail' WHEN 1 THEN 'middle' ELSE 'head' END
               AS ccnet_bucket
           FROM k ORDER BY doc_id"""
-    }
+    },
+    // same line model as c26/c38; chunk assignment is the contiguous
+    // running-sum rule, chunk text proven by ordered string_agg md5
+    "c41_line_chunks" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+              regexp_extract_all(lower(trim(text)), '\\S+') AS tk
+            FROM documents),
+          cx AS (
+            SELECT doc_id, tk,
+              unnest(generate_series(0,
+                CAST((len(tk) - 1) // 10 AS BIGINT))) AS line_id
+            FROM t WHERE len(tk) > 0),
+          l AS (
+            SELECT doc_id, line_id,
+              list_slice(tk, line_id * 10 + 1, line_id * 10 + 10) AS lt
+            FROM cx),
+          m AS (
+            SELECT doc_id, line_id, CAST(len(lt) AS BIGINT) AS line_tokens,
+              array_to_string(lt, ' ') AS line_txt
+            FROM l),
+          cm AS (
+            SELECT *, sum(line_tokens) OVER (PARTITION BY doc_id
+              ORDER BY line_id ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cum
+            FROM m)
+          SELECT doc_id,
+            CAST((cum - line_tokens) // 50 AS BIGINT) AS chunk_id,
+            count(*) AS n_lines,
+            CAST(sum(line_tokens) AS BIGINT) AS chunk_tokens,
+            min(line_id) AS first_line, max(line_id) AS last_line,
+            md5(string_agg(line_txt, ' ' ORDER BY line_id)) AS chunk_md5
+          FROM cm GROUP BY doc_id, chunk_id
+          ORDER BY doc_id, chunk_id""",
+    // the c19/c35 recursive-CTE cluster fixpoint + a length rank in
+    // place of the min-id keep rule
+    "c42_keep_best" ->
+      s"""WITH RECURSIVE ${TrainingQueries.clusterCteSql},
+          wc AS (
+            SELECT c.doc_id, coalesce(cl.cluster, c.doc_id) AS cluster,
+              CAST(length(c.text) AS BIGINT) AS n_chars
+            FROM corpus c LEFT JOIN cl ON c.doc_id = cl.doc_id),
+          r AS (
+            SELECT *, row_number() OVER (PARTITION BY cluster
+              ORDER BY n_chars DESC, doc_id) AS rk
+            FROM wc)
+          SELECT doc_id, cluster, n_chars,
+            CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM r ORDER BY doc_id"""
   )
 }

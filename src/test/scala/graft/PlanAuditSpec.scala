@@ -269,6 +269,22 @@ class PlanAuditSpec extends SparkSpec {
       s"expected at most two keyed exchanges (sum pass + pick pass):\n$p")
   }
 
+  test("b52: weighted quantiles ride one type exchange") {
+    val p = plan("b52_weighted_quantiles")
+    assert(p.split("\n")
+      .count(_.contains("Exchange hashpartitioning(event_type")) == 1,
+      s"expected one event_type exchange:\n$p")
+  }
+
+  test("c41: line chunking is one doc exchange; rollup rides the window") {
+    val p = plan("c41_line_chunks")
+    assert(p.split("\n")
+      .count(_.contains("Exchange hashpartitioning(doc_id")) == 1,
+      s"expected one doc_id exchange:\n$p")
+    assert(p.split("Generate explode").length - 1 == 1,
+      s"line tiling should explode exactly once:\n$p")
+  }
+
   test("c40: calibration is one lang exchange; rank and count share it") {
     val p = plan("c40_quality_calibrate")
     assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
