@@ -232,7 +232,33 @@ object AnalyticsQueries5 {
       .orderBy(col("event_type"))
   }
 
+  /** B53: GROUP BY GROUPING SETS with an ASYMMETRIC set list —
+    * ((type, date), (date), ()) — the general form b16's ROLLUP and
+    * CUBE are special cases of (a dashboard wanting per-day totals
+    * without per-type totals can't express that as either). Same
+    * decimal-exact sums and grouping-bit conventions as b16; one
+    * expand + one aggregate exchange. */
+  private def b53GroupingSets(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(col("event_type"),
+        date_format(Fns.nanosToTimestamp(col("ts")), "yyyy-MM-dd")
+          .as("event_date"),
+        col("value"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("event_date")),
+          Seq(col("event_date")), Seq()),
+        col("event_type"), col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        Fns.sumExact(col("value")).as("sum_value"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("event_type"), lit("<all>")).as("event_type_g"),
+        coalesce(col("event_date"), lit("<all>")).as("event_date_g"),
+        col("gid"), col("n_events"), col("sum_value"))
+      .orderBy(col("gid"), col("event_type_g"), col("event_date_g"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b53_grouping_sets" -> (b53GroupingSets _),
     "b52_weighted_quantiles" -> (b52WeightedQuantiles _),
     "b51_asof_next" -> (b51AsofNext _),
     "b50_avg_weighted" -> (b50AvgWeighted _),
@@ -245,6 +271,19 @@ object AnalyticsQueries5 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b53_grouping_sets" ->
+      """SELECT
+           coalesce(event_type, '<all>') AS event_type_g,
+           coalesce(event_date, '<all>') AS event_date_g,
+           CAST(grouping(event_type) * 2 + grouping(event_date) AS BIGINT)
+             AS gid,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+                 value
+               FROM events)
+         GROUP BY GROUPING SETS ((event_type, event_date), (event_date), ())
+         ORDER BY gid, event_type_g, event_date_g""",
     "b52_weighted_quantiles" ->
       """WITH e AS (
            SELECT event_type, event_id, value,
