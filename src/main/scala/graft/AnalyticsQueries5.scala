@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
-import graft.operators.{AsOf, Collapsing, Funnel, Series}
+import graft.operators.{AsOf, Collapsing, Funnel, Series, Similarity}
 import graft.sources.Tables
 
 /** B-series round 5, second batch (SURVEY §2B, B45-B48 + B12c): the
@@ -257,7 +257,31 @@ object AnalyticsQueries5 {
         col("gid"), col("n_events"), col("sum_value"))
       .orderBy(col("gid"), col("event_type_g"), col("event_date_g"))
 
+  /** B54: time-series similarity search ("which users behave like
+    * this one" — cf. similarity search over streaming series, EDBT
+    * 2019): each user becomes a dense daily-activity vector on the
+    * corpus calendar (zeros for silent days), then the top-5 most
+    * cosine-similar users per query user. The derived vectors feed
+    * the SAME similarity kernel as embeddings — at scale swap the
+    * brute-force baseline for Similarity.lshTopK unchanged. Counts
+    * are integers so every dot product is exact in a double; the
+    * rounded cosine + id tie-break make ranks deterministic. */
+  private def b54SeriesSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val day = to_date(Fns.nanosToTimestamp(col("ts")))
+    val perDay = ev.groupBy(col("user_id"), day.as("d"))
+      .agg(count(lit(1)).as("c"))
+    val spine = ev.agg(min(day).as("d0"), max(day).as("d1"))
+    val vecs = Series.dailyVectors(perDay, "user_id", "d", "c", spine)
+    Similarity.bruteForceTopK(vecs, vecs.filter(col("user_id") < 10),
+        "user_id", "vec", k = 5, roundScale = 4)
+      .select(col("query_id"), col("rank").as("rnk"), col("corpus_id"),
+        col("cosine_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b54_series_similarity" -> (b54SeriesSimilarity _),
     "b53_grouping_sets" -> (b53GroupingSets _),
     "b52_weighted_quantiles" -> (b52WeightedQuantiles _),
     "b51_asof_next" -> (b51AsofNext _),
@@ -271,6 +295,46 @@ object AnalyticsQueries5 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // dense-vector mirror + the cosineSql fold (list_sum over
+    // list_transform matches dotD's left-to-right accumulation)
+    "b54_series_similarity" -> {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+      def nrm(a: String) = s"sqrt(list_sum(list_transform($a, x -> x * x)))"
+      s"""WITH days AS (
+            SELECT CAST(unnest(generate_series(
+              (SELECT min(CAST(ts AS DATE)) FROM events),
+              (SELECT max(CAST(ts AS DATE)) FROM events),
+              INTERVAL 1 DAY)) AS DATE) AS d),
+          u AS (SELECT DISTINCT user_id FROM events),
+          pd AS (
+            SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS c
+            FROM events GROUP BY user_id, d),
+          g AS (
+            SELECT u.user_id, days.d,
+              CAST(coalesce(pd.c, 0) AS DOUBLE) AS v
+            FROM days CROSS JOIN u
+            LEFT JOIN pd ON u.user_id = pd.user_id AND days.d = pd.d),
+          vec AS (
+            SELECT user_id, array_agg(v ORDER BY d) AS vv
+            FROM g GROUP BY user_id),
+          q AS (SELECT user_id AS query_id, vv AS qv FROM vec
+                WHERE user_id < 10),
+          c AS (SELECT user_id AS corpus_id, vv AS cv FROM vec),
+          scored AS (
+            SELECT query_id, corpus_id,
+              round(CASE WHEN (${nrm("qv")} * ${nrm("cv")}) <> 0
+                THEN (${dot("qv", "cv")}) / (${nrm("qv")} * ${nrm("cv")})
+                ELSE 0.0 END, 4) AS cosine_sim
+            FROM c, q WHERE query_id <> corpus_id),
+          ranked AS (
+            SELECT query_id, corpus_id, cosine_sim,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, corpus_id) AS rnk
+            FROM scored)
+          SELECT query_id, rnk, corpus_id, cosine_sim FROM ranked
+          WHERE rnk <= 5 ORDER BY query_id, rnk"""
+    },
     "b53_grouping_sets" ->
       """SELECT
            coalesce(event_type, '<all>') AS event_type_g,

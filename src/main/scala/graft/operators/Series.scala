@@ -109,6 +109,32 @@ object Series {
     }
   }
 
+  /** Dense per-key daily vectors: each key becomes a fixed-dimension
+    * array of its daily aggregate over the FULL calendar [d0, d1]
+    * (missing days are zero — activity vectors, not carry-forward
+    * fills). The derived vectors feed similarity search: "which
+    * series behave like this one" (cf. time-series similarity search
+    * over streaming data, EDBT 2019) becomes the ANN problem this
+    * library already solves over embeddings.
+    *
+    * Shape: calendar spine × key dim (broadcast — keys × days rows,
+    * never data-proportional), one left join against the per-(key,
+    * day) aggregate, one collect bounded by the calendar length.
+    * Output: `(key, vec: array<double>)`, dimension = days in span. */
+  def dailyVectors(perDay: DataFrame, keyCol: String, dateCol: String,
+                   valCol: String, spineDays: DataFrame): DataFrame = {
+    val spine = spineDays
+      .select(explode(sequence(col("d0"), col("d1"))).as(dateCol))
+      .crossJoin(broadcast(perDay.select(col(keyCol)).distinct()))
+    spine.join(perDay, Seq(keyCol, dateCol), "left")
+      .select(col(keyCol), col(dateCol),
+        coalesce(col(valCol).cast("double"), lit(0.0)).as("__v"))
+      .groupBy(col(keyCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col(dateCol), col("__v")))),
+        p => p.getField("__v")).as("vec"))
+  }
+
   /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013;
     * ClickHouse `largestTriangleThreeBuckets`, 23.10) — keep ONE
     * visually-representative point per bucket: the point forming the

@@ -269,6 +269,16 @@ class PlanAuditSpec extends SparkSpec {
       s"expected at most two keyed exchanges (sum pass + pick pass):\n$p")
   }
 
+  test("b54: series similarity broadcasts the query vectors, never shuffles the corpus side for scoring") {
+    val p = plan("b54_series_similarity")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scoring regressed to a cartesian product:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a small side fell back to sort-merge:\n$p")
+  }
+
   test("b52: weighted quantiles ride one type exchange") {
     val p = plan("b52_weighted_quantiles")
     assert(p.split("\n")
