@@ -190,6 +190,22 @@ class SeriesTtlSpec extends SparkSpec {
       (2L, 2L, 6L, 50L, 0L)))
   }
 
+  test("dailyVectors densifies onto the calendar with zeros, order by date") {
+    val perDay = Seq(
+      ("a", java.sql.Date.valueOf("2026-01-01"), 3L),
+      ("a", java.sql.Date.valueOf("2026-01-03"), 5L),
+      ("b", java.sql.Date.valueOf("2026-01-02"), 7L)
+    ).toDF("k", "d", "c")
+    val spine = Seq((java.sql.Date.valueOf("2026-01-01"),
+      java.sql.Date.valueOf("2026-01-03"))).toDF("d0", "d1")
+    val got = Series.dailyVectors(perDay, "k", "d", "c", spine)
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    assert(got === Map(
+      "a" -> List(3.0, 0.0, 5.0),
+      "b" -> List(0.0, 7.0, 0.0)))
+  }
+
   test("lttb with fewer points than buckets still pins first and last") {
     val ev = Seq(("k", 1L, 0L, 5L), ("k", 2L, 100L, 7L))
       .toDF("k", "id", "x", "y")
