@@ -280,7 +280,49 @@ object AnalyticsQueries5 {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** B55: CH simpleLinearRegression(x, y) — slope/intercept of value
+    * over time per type, surfaced as EXACT sufficient statistics:
+    * slope = num/den with num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)²,
+    * all computed in integer-valued decimals (x = HOURS since the
+    * type's first event — centering keeps every product under
+    * DECIMAL(38), and the hour unit keeps the surfaced integers under
+    * 2^53: a larger unit made slope_num ≈ 1.65e16 at sf0.1 and the
+    * two engines' int128→double casts rounded it a ulp apart; y in
+    * cents). Every multiply is width-capped at 37 so the subtraction
+    * stays in DECIMAL on BOTH engines (DuckDB silently converts
+    * width-39 results to DOUBLE, which rounds BEFORE the subtract and
+    * diverges from Spark's exact-then-round). The reader's one
+    * division yields the slope (cents/hour); same num/den discipline
+    * as b22/b48/b50. */
+  private def b55Linreg(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val ev = T(s, dir, "events")
+      .select(col("event_type"),
+        Fns.floorDivLong(col("ts"), 3600L * 1000000000L).as("xs"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("yc"))
+      .withColumn("x", col("xs") - min(col("xs")).over(byType))
+    val agg = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(18,0)")).as("sx"),
+      sum(col("yc").cast("decimal(18,0)")).as("sy"),
+      sum(col("x").cast("decimal(18,0)") * col("yc").cast("decimal(18,0)"))
+        .as("sxy"),
+      sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+        .as("sxx"))
+    agg.select(col("event_type"), col("n"),
+        (col("sxy").cast("decimal(29,0)") * col("n").cast("decimal(8,0)") -
+          col("sx").cast("decimal(19,0)") * col("sy").cast("decimal(18,0)"))
+          .cast("double").as("slope_num"),
+        (col("sxx").cast("decimal(29,0)") * col("n").cast("decimal(8,0)") -
+          col("sx").cast("decimal(18,0)") * col("sx").cast("decimal(19,0)"))
+          .cast("double").as("slope_den"),
+        col("sx").cast("double").as("sum_x"),
+        col("sy").cast("double").as("sum_y"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b55_linreg" -> (b55Linreg _),
     "b54_series_similarity" -> (b54SeriesSimilarity _),
     "b53_grouping_sets" -> (b53GroupingSets _),
     "b52_weighted_quantiles" -> (b52WeightedQuantiles _),
@@ -295,6 +337,33 @@ object AnalyticsQueries5 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b55_linreg" ->
+      """WITH e AS (
+           SELECT event_type, epoch_ns(ts) // 3600000000000 AS xs,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+           FROM events),
+         c AS (
+           SELECT event_type,
+             xs - min(xs) OVER (PARTITION BY event_type) AS x, yc
+           FROM e),
+         a AS (
+           SELECT event_type, count(*) AS n,
+             sum(CAST(x AS DECIMAL(18,0))) AS sx,
+             sum(CAST(yc AS DECIMAL(18,0))) AS sy,
+             sum(CAST(x AS DECIMAL(18,0)) * CAST(yc AS DECIMAL(18,0)))
+               AS sxy,
+             sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+               AS sxx
+           FROM c GROUP BY event_type)
+         SELECT event_type, n,
+           CAST(CAST(sxy AS DECIMAL(29,0)) * CAST(n AS DECIMAL(8,0))
+             - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(18,0))
+             AS DOUBLE) AS slope_num,
+           CAST(CAST(sxx AS DECIMAL(29,0)) * CAST(n AS DECIMAL(8,0))
+             - CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(19,0))
+             AS DOUBLE) AS slope_den,
+           CAST(sx AS DOUBLE) AS sum_x, CAST(sy AS DOUBLE) AS sum_y
+         FROM a ORDER BY event_type""",
     // dense-vector mirror + the cosineSql fold (list_sum over
     // list_transform matches dotD's left-to-right accumulation)
     "b54_series_similarity" -> {
