@@ -269,6 +269,13 @@ class PlanAuditSpec extends SparkSpec {
       s"expected at most two keyed exchanges (sum pass + pick pass):\n$p")
   }
 
+  test("b55: regression stats ride one type exchange (centering window + rollup)") {
+    val p = plan("b55_linreg")
+    assert(p.split("\n")
+      .count(_.contains("Exchange hashpartitioning(event_type")) == 1,
+      s"expected one event_type exchange:\n$p")
+  }
+
   test("b54: series similarity broadcasts the query vectors, never shuffles the corpus side for scoring") {
     val p = plan("b54_series_similarity")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
