@@ -39,6 +39,29 @@ object StreamingAnalytics {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sessionization via Spark's NATIVE `session_window` gap window —
+    * the built-in-first twin of [[sessionize]]: when the output is
+    * per-session AGGREGATES, the gap window needs no custom state
+    * code, merges sessions across micro-batches under the watermark,
+    * and costs the same single user_id exchange. ([[sessionize]]
+    * remains the shape for semantics the built-in can't express —
+    * emit-on-close rows, open-tail inspection.) Boundary rule,
+    * pinned by spec: an event exactly `gap` after the previous one
+    * still MERGES (Spark coalesces touching windows); a new session
+    * starts strictly past the gap. Works on a readStream or a batch
+    * frame identically. */
+  def sessionWindowRollup(events: DataFrame, gap: String = "30 minutes",
+                          watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("event_time", Fns.nanosToTimestamp(col("ts")))
+      .withWatermark("event_time", watermark)
+      .groupBy(col("user_id"), session_window(col("event_time"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        Fns.sumExact(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("session_start_s"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup keyed on `idCols`, with state bounded by
     * the event-time watermark (Spark keeps one key per id only until
     * the watermark passes it — the unbounded-stream analogue of C1's

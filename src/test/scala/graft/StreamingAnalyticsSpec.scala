@@ -38,6 +38,52 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(streamed(0).getAs[Long]("n_events") == 2)
   }
 
+  test("native session_window: gap semantics incl. exact-boundary split; stream == batch == reference fold") {
+    val gapS = 1800L
+    val rows = Seq(
+      // user 1: two events 100s apart, one exactly AT the gap boundary
+      // (touching windows merge -> still session 1), then one 1s past
+      // the boundary of the extended session -> session 2
+      ev(1, 1000, 1, "click", 1.0), ev(2, 1100, 1, "click", 2.0),
+      ev(3, 1100 + gapS, 1, "view", 4.0),
+      ev(7, 1100 + 2 * gapS + 1, 1, "view", 64.0),
+      // user 2: single event; user 3: two sessions far apart
+      ev(4, 5000, 2, "view", 8.0),
+      ev(5, 1000, 3, "click", 16.0), ev(6, 99000, 3, "click", 32.0))
+    val dir = tmpDir("swroll")
+    rows.toDF().write.parquet(s"$dir/in")
+
+    // reference fold: new session when ts - prev > gap (exact-boundary
+    // events merge — Spark coalesces touching windows)
+    val expected = rows.groupBy(_.user_id).flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(_.ts)
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
+        (acc, e) =>
+          if (e.ts - acc.head.head.ts > gapS * ns) List(e) :: acc
+          else (e :: acc.head) :: acc.tail
+      }
+      sessions.map { s =>
+        (uid, s.map(_.ts).min / ns, s.size.toLong, s.map(_.value).sum)
+      }
+    }.toSet
+
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"user_id", $"session_start_s", $"n_events",
+        $"sum_value".cast("double"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    val batch = norm(StreamingAnalytics.sessionWindowRollup(rows.toDF()))
+    assert(batch === expected)
+
+    val stream = spark.readStream.schema(rows.toDF().schema).parquet(s"$dir/in")
+    val q = StreamingAnalytics.sessionWindowRollup(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("swroll")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(norm(spark.table("swroll")) === expected)
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions, keeps open tails") {
     val batch1 = Seq(
       ev(1, 1000, 1, "click", 1.0), ev(2, 1100, 1, "click", 1.0),  // session A (user 1)
