@@ -101,4 +101,50 @@ class EdgeCaseSpec extends SparkSpec {
     // distinct inputs stay distinct after escaping
     assert(EventPipeline.escapeType("a/b") != EventPipeline.escapeType("a_b"))
   }
+
+  test("substringScrub: overlapping duplicated windows cut positions once (union, not sum)") {
+    // docs share the 4-token span "a b c d" -> two overlapping 3-token
+    // windows per doc; the covered-position UNION is 4 tokens, not 6
+    val docs = Seq(
+      (1L, "a b c d x"),
+      (2L, "y a b c d")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringScrub(docs, "doc_id", "text", windowTokens = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens_kept"), r.getAs[String]("scrubbed_text"))))
+      .toMap
+    assert(got === Map(1L -> ((1L, "x")), 2L -> ((1L, "y"))))
+  }
+
+  test("lttb: flat series ties resolve to the min tie-break id per bucket") {
+    import graft.operators.Series
+    // constant y -> every middle-bucket area is 0 -> id decides
+    val ev = (1L to 9L).map(i => ("k", i, i * 10L, 5L))
+      .toDF("k", "id", "x", "y")
+    val got = Series.lttb(ev, "k", col("x"), col("y"), col("id"), buckets = 3)
+      .select(col("bucket"), col("pick_id"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((0L, 1L), (1L, 4L), (2L, 9L)))
+  }
+
+  test("semDedup refuses an empty centroid set instead of returning empty results") {
+    val vs = Seq((1L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0))).toDF("vec_id", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.semDedup(vs, "vec_id", "v",
+        stride = 100L, threshold = 0.9)
+    }
+    assert(e.getMessage.contains("centroid"))
+  }
+
+  test("collapseVersioned: a key whose only live version has a double-written state keeps exactly one row") {
+    import graft.operators.Collapsing
+    val writes = Seq(
+      (1L, 1L, 10L, 1), (1L, 1L, 11L, 1), (1L, 1L, 12L, -1))
+      .toDF("k", "ver", "seq", "sign")
+    val out = Collapsing.collapseVersioned(writes, Seq("k"), col("ver"),
+        col("sign"), tieBreak = Seq(col("seq")))
+      .select("k", "seq").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 11L))) // net +1: the later copy survives
+  }
 }
