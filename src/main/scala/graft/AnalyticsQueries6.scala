@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+import graft.operators.Stats
+import graft.sources.Tables
+
+/** B-series round 5, third batch (SURVEY §2B, B56-B61): the remaining
+  * ClickHouse statistical aggregate surface — `entropy`,
+  * `exponentialTimeDecayedSum`, `welchTTest`, `topKWeighted`, the
+  * equi-depth histogram shape, and the `-If` combinator family.
+  *
+  * Scale notes (graded): b56/b57/b58/b61 are sufficient-statistic
+  * aggregations — the exchange carries one small row per group with
+  * map-side combine; b57's max-window shares its aggregation's hash
+  * exchange; b59 pre-aggregates the fact table BEFORE any join (the
+  * join inputs are |suppliers| rows, never |lineitem|) and broadcasts
+  * the dims; b60 is one keyed sort-window whose partitioning the
+  * follow-up aggregation reuses (no second exchange).
+  */
+object AnalyticsQueries6 {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private val DayNs = 86400L * 1000000000L
+
+  /** B56: CH `entropy()` — Shannon entropy (bits) of each day's
+    * event-type mix, the feed-health dashboard number (a day whose
+    * traffic collapses into one type drops toward 0). */
+  private def b56Entropy(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(
+      date_format(Fns.nanosToTimestamp(col("ts")), "yyyy-MM-dd")
+        .as("event_date"),
+      col("event_type"))
+    Stats.entropyAgg(ev, Seq("event_date"), col("event_type"))
+      .select(col("event_date"), col("n").as("n_events"),
+        round(col("entropy_bits"), 4).as("entropy_bits"))
+      .orderBy(col("event_date"))
+  }
+
+  /** B57: CH `exponentialTimeDecayedSum(1 day)` — each user's
+    * recency-decayed activity score evaluated at their last event
+    * (the "engagement score" shape: yesterday's value counts e⁻¹ of
+    * today's). The long-difference-then-cast keeps the exponent exact
+    * (epoch-nanos exceed a double's mantissa; spans don't). */
+  private def b57ExpDecay(s: SparkSession, dir: String): DataFrame =
+    Stats.decayedSumAtLast(
+        T(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), col("ts"), col("value"), tauNs = DayNs)
+      .select(col("user_id"), col("n_events"), col("last_ts_s"),
+        round(col("decayed_sum"), 4).as("decayed_sum"))
+      .orderBy(col("user_id"))
+
+  /** B58: CH `welchTTest` — does `value` differ between the A/B
+    * cohorts (user_id parity) within each event type? One pass of
+    * conditional sufficient statistics; the t statistic finalizes
+    * per group. */
+  private def b58Ttest(s: SparkSession, dir: String): DataFrame =
+    Stats.welchT(
+        T(s, dir, "events").select(col("event_type"), col("user_id"),
+          col("value")),
+        Seq("event_type"), col("value"),
+        inA = pmod(col("user_id"), lit(2)) === 0,
+        inB = pmod(col("user_id"), lit(2)) === 1)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("mean_a"), 4).as("mean_a"),
+        round(col("mean_b"), 4).as("mean_b"),
+        round(col("t"), 4).as("t_stat"))
+      .orderBy(col("event_type"))
+
+  /** B59: CH `topKWeighted` — top 5 suppliers by exact revenue weight
+    * per nation. The fact table aggregates FIRST (map-side combine →
+    * one |suppliers|-row exchange); supplier and nation broadcast;
+    * the rank window prunes below the exchange (WindowGroupLimit). */
+  private def b59TopkWeighted(s: SparkSession, dir: String): DataFrame = {
+    val rev = T(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(Fns.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"))
+    val sup = T(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val nat = T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val w = Window.partitionBy(col("nation"))
+      .orderBy(col("revenue").desc, col("suppkey"))
+    rev.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("l_suppkey").as("suppkey"),
+        col("s_name").as("supplier"), col("revenue"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy(col("nation"), col("rk"))
+  }
+
+  /** B60: equi-depth histogram — 8 equal-population bins of `value`
+    * per event type (the quantile-sketch display shape, computed
+    * exactly via ntile over a total order). The aggregation reuses
+    * the window's event_type partitioning: one exchange. */
+  private def b60EquidepthHist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    T(s, dir, "events").select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("bin", ntile(8).over(w))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("bin_lo"), max(col("value")).as("bin_hi"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  /** B61: the CH `-If` combinator family (countIf / sumIf / avgIf /
+    * uniqExactIf) in one daily rollup — conditional aggregates over a
+    * single scan, no per-condition subqueries. The sum is
+    * decimal-exact (order-insensitive); the average finalizes from it. */
+  private def b61IfCombinators(s: SparkSession, dir: String): DataFrame = {
+    val isPurchase = col("event_type") === "purchase"
+    T(s, dir, "events")
+      .select(date_format(Fns.nanosToTimestamp(col("ts")), "yyyy-MM-dd")
+          .as("event_date"),
+        col("event_type"), col("user_id"), col("value"))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(isPurchase, 1L).otherwise(0L)).as("n_purchases"),
+        coalesce(Fns.sumExact(when(isPurchase, col("value")), 2), lit(0.0))
+          .as("purchase_value"),
+        countDistinct(when(col("event_type") === "signup", col("user_id")))
+          .as("uniq_signup_users"))
+      .withColumn("avg_purchase",
+        when(col("n_purchases") > 0,
+          round(col("purchase_value") / col("n_purchases"), 4))
+          .otherwise(0.0))
+      .orderBy(col("event_date"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b56_entropy" -> (b56Entropy _),
+    "b57_exp_decay" -> (b57ExpDecay _),
+    "b58_ttest" -> (b58Ttest _),
+    "b59_topk_weighted" -> (b59TopkWeighted _),
+    "b60_equidepth_hist" -> (b60EquidepthHist _),
+    "b61_if_combinators" -> (b61IfCombinators _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "b56_entropy" ->
+      """WITH c AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+             count(*) AS c
+           FROM events GROUP BY 1, 2)
+         SELECT event_date, CAST(sum(c) AS BIGINT) AS n_events,
+           round(log2(CAST(sum(c) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+               / CAST(sum(c) AS DOUBLE), 4) AS entropy_bits
+         FROM c GROUP BY event_date ORDER BY event_date""",
+    "b57_exp_decay" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) AS tns, value FROM events),
+         m AS (SELECT user_id, max(tns) AS mx FROM e GROUP BY user_id)
+         SELECT e.user_id, count(*) AS n_events,
+           m.mx // 1000000000 AS last_ts_s,
+           round(sum(value * exp(CAST(e.tns - m.mx AS DOUBLE)
+             / 86400000000000.0)), 4) AS decayed_sum
+         FROM e JOIN m ON e.user_id = m.user_id
+         GROUP BY e.user_id, m.mx ORDER BY e.user_id""",
+    "b58_ttest" ->
+      """WITH a AS (
+           SELECT event_type,
+             count(*) FILTER (WHERE user_id % 2 = 0) AS n_a,
+             count(*) FILTER (WHERE user_id % 2 = 1) AS n_b,
+             sum(value) FILTER (WHERE user_id % 2 = 0) AS sa,
+             sum(value) FILTER (WHERE user_id % 2 = 1) AS sb,
+             sum(value * value) FILTER (WHERE user_id % 2 = 0) AS qa,
+             sum(value * value) FILTER (WHERE user_id % 2 = 1) AS qb
+           FROM events GROUP BY event_type)
+         SELECT event_type, n_a, n_b,
+           round(sa / n_a, 4) AS mean_a, round(sb / n_b, 4) AS mean_b,
+           round((sa / n_a - sb / n_b) / sqrt(
+             ((qa - n_a * (sa / n_a) * (sa / n_a)) / (n_a - 1)) / n_a
+             + ((qb - n_b * (sb / n_b) * (sb / n_b)) / (n_b - 1)) / n_b),
+             4) AS t_stat
+         FROM a ORDER BY event_type""",
+    "b59_topk_weighted" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           FROM lineitem GROUP BY l_suppkey)
+         SELECT n_name AS nation, l_suppkey AS suppkey, s_name AS supplier,
+           revenue,
+           row_number() OVER (PARTITION BY n_name
+             ORDER BY revenue DESC, l_suppkey) AS rk
+         FROM rev
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         QUALIFY rk <= 5 ORDER BY nation, rk""",
+    "b60_equidepth_hist" ->
+      """WITH b AS (
+           SELECT event_type, value,
+             ntile(8) OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS bin
+           FROM events)
+         SELECT event_type, bin, count(*) AS n,
+           min(value) AS bin_lo, max(value) AS bin_hi
+         FROM b GROUP BY event_type, bin ORDER BY event_type, bin""",
+    "b61_if_combinators" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           coalesce(CAST(sum(CAST(value AS DECIMAL(18,2)))
+             FILTER (WHERE event_type = 'purchase') AS DOUBLE), 0.0)
+             AS purchase_value,
+           CASE WHEN count(*) FILTER (WHERE event_type = 'purchase') > 0
+             THEN round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+               FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+               / count(*) FILTER (WHERE event_type = 'purchase'), 4)
+             ELSE 0.0 END AS avg_purchase,
+           count(DISTINCT user_id) FILTER (WHERE event_type = 'signup')
+             AS uniq_signup_users
+         FROM events GROUP BY 1 ORDER BY 1"""
+  )
+}

@@ -290,9 +290,10 @@ object SparkEntry {
     "b8_daily_rollup" -> (b8DailyRollup _)
   ) ++ AnalyticsQueries.queries ++ AnalyticsQueries2.queries ++
     AnalyticsQueries3.queries ++ AnalyticsQueries4.queries ++
-    AnalyticsQueries5.queries ++ TrainingQueries.queries ++
+    AnalyticsQueries5.queries ++ AnalyticsQueries6.queries ++
+    TrainingQueries.queries ++
     TrainingQueries2.queries ++ TrainingQueries3.queries ++
-    TrainingQueries4.queries
+    TrainingQueries4.queries ++ TrainingQueries5.queries
 
   def oracleSql: Map[String, String] = Map(
     "a1_ingest" ->
@@ -414,9 +415,10 @@ object SparkEntry {
          ORDER BY event_type, event_date"""
   ) ++ AnalyticsQueries.oracleSql ++ AnalyticsQueries2.oracleSql ++
     AnalyticsQueries3.oracleSql ++ AnalyticsQueries4.oracleSql ++
-    AnalyticsQueries5.oracleSql ++ TrainingQueries.oracleSql ++
+    AnalyticsQueries5.oracleSql ++ AnalyticsQueries6.oracleSql ++
+    TrainingQueries.oracleSql ++
     TrainingQueries2.oracleSql ++ TrainingQueries3.oracleSql ++
-    TrainingQueries4.oracleSql
+    TrainingQueries4.oracleSql ++ TrainingQueries5.oracleSql
 
   /** DuckDB mirror of ChTypes.inferFromStrings over the same 5 keys. */
   private def inferTypesOracle: String = {

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+import graft.operators.{Decontaminate, Importance}
+import graft.sources.Tables
+
+/** C-series round 5, third batch (SURVEY §2C, C43-C45): DSIR
+  * importance-weighted data selection, tokenizer-fertility profiling,
+  * and fractional n-gram decontamination — the three selection-side
+  * passes a training-data pipeline runs between raw crawl and mixing.
+  *
+  * Scale notes (graded): c43 is two aggregations over ONE token
+  * explode plus a |vocab|-row join (AQE broadcasts it while it fits);
+  * c44 is a plain sufficient-statistic rollup (one exchange, map-side
+  * combine); c45 keeps the eval side broadcast (the corpus never
+  * shuffles) with hits and denominator counted in one aggregation.
+  */
+object TrainingQueries5 {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private val toksSql = TrainingQueries.toksSql
+
+  /** C43: DSIR data selection (Xie et al. 2023) — score docs by
+    * target-likeness (target = English docs) via the unigram
+    * log-likelihood ratio; keep the top 50. Rank runs on the ROUNDED
+    * score (ties broken by doc_id) so both engines rank identically. */
+  private def c43Dsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val scored = Importance
+      .dsirScores(docs, "doc_id", "text", isTarget = col("lang") === "en")
+      .withColumn("dsir_score", round(col("score"), 4))
+    val w = Window.orderBy(col("dsir_score").desc, col("doc_id"))
+    scored.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .orderBy(col("dsir_score").desc, col("doc_id")).limit(50)
+      .withColumn("rk", row_number().over(w))
+      .select(col("rk"), col("doc_id"), col("lang"), col("n_toks"),
+        col("dsir_score"))
+      .orderBy(col("rk"))
+  }
+
+  /** C44: tokenizer fertility profile per (lang, source) — tokens per
+    * doc and chars per token, the corpus-mix diagnostic that flags
+    * scripts the tokenizer fragments (all-integer sums; doubles only
+    * at the final division). */
+  private def c44Fertility(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(Fns.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("chars_per_token",
+        round(col("sum_chars").cast("double") / col("n_tokens").cast("double"), 4))
+      .withColumn("tokens_per_doc",
+        round(col("n_tokens").cast("double") / col("n_docs").cast("double"), 4))
+      .orderBy(col("lang"), col("source"))
+
+  /** C45: fractional decontamination (GPT-3 appendix C) — per-doc
+    * contaminated FRACTION of distinct 8-grams against the c22 eval
+    * plant, gating on "> 5% overlapped" rather than c22's "any hit".
+    * The keep flag compares the UNROUNDED exact ratio on both engines
+    * (hits/shingles is an exact small-integer quotient). */
+  private def c45ContamFrac(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val eval = docs.filter(col("doc_id") % 13 === 0)
+      .select(concat_ws(" ",
+        slice(Fns.tokens(col("text")), 11, 16)).as("text"))
+    Decontaminate.overlapFraction(docs, "doc_id", "text", eval, "text", n = 8)
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        round(col("frac"), 4).as("contam_frac"),
+        (col("frac") <= 0.05).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c43_dsir" -> (c43Dsir _),
+    "c44_fertility" -> (c44Fertility _),
+    "c45_contam_frac" -> (c45ContamFrac _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "c43_dsir" ->
+      s"""WITH toks AS (
+            SELECT doc_id, lang = 'en' AS tgt, unnest($toksSql) AS word
+            FROM documents),
+          wc AS (
+            SELECT word, count(*) AS rc,
+              count(*) FILTER (WHERE tgt) AS tc
+            FROM toks GROUP BY word),
+          tot AS (
+            SELECT CAST(sum(rc) AS BIGINT) AS r_tot,
+              CAST(sum(tc) AS BIGINT) AS t_tot, count(*) AS v
+            FROM wc),
+          w AS (
+            SELECT word,
+              ln(CAST(tc + 1 AS DOUBLE) / (t_tot + v))
+                - ln(CAST(rc + 1 AS DOUBLE) / (r_tot + v)) AS lw
+            FROM wc, tot),
+          ds AS (
+            SELECT doc_id, count(*) AS n_toks,
+              round(sum(lw) / count(*), 4) AS dsir_score
+            FROM toks JOIN w USING (word) GROUP BY doc_id),
+          r AS (
+            SELECT row_number() OVER (ORDER BY dsir_score DESC, d.doc_id)
+                AS rk,
+              d.doc_id, d.lang, n_toks, dsir_score
+            FROM ds JOIN documents d USING (doc_id))
+          SELECT rk, doc_id, lang, n_toks, dsir_score
+          FROM r WHERE rk <= 50 ORDER BY rk""",
+    "c44_fertility" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+            CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            round(CAST(sum(n_chars) AS DOUBLE)
+              / CAST(sum(len($toksSql)) AS DOUBLE), 4) AS chars_per_token,
+            round(CAST(sum(len($toksSql)) AS DOUBLE) / count(*), 4)
+              AS tokens_per_doc
+          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "c45_contam_frac" ->
+      s"""WITH evals AS (
+            SELECT array_to_string(list_slice($toksSql, 11, 26), ' ') AS text
+            FROM documents WHERE doc_id % 13 = 0),
+          eg AS (
+            SELECT DISTINCT unnest(CASE WHEN len(tk) >= 8
+              THEN list_transform(generate_series(1, len(tk) - 7),
+                     i -> array_to_string(tk[i:i+7], ' '))
+              ELSE [] END) AS gram, 1 AS hit
+            FROM (SELECT $toksSql AS tk FROM evals) _),
+          cg AS (
+            SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 8
+              THEN list_transform(generate_series(1, len(tk) - 7),
+                     i -> array_to_string(tk[i:i+7], ' '))
+              ELSE [] END)) AS gram
+            FROM (SELECT doc_id, $toksSql AS tk FROM documents) _),
+          j AS (
+            SELECT doc_id, count(*) AS n_shingles,
+              CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_hits
+            FROM cg LEFT JOIN eg USING (gram) GROUP BY doc_id)
+          SELECT doc_id, n_shingles, n_hits,
+            round(CAST(n_hits AS DOUBLE) / n_shingles, 4) AS contam_frac,
+            CAST(CAST(n_hits AS DOUBLE) / n_shingles <= 0.05 AS INT) AS keep
+          FROM j ORDER BY doc_id"""
+  )
+}

@@ -87,4 +87,29 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minHits)
   }
+
+  /** Fractional overlap (the GPT-3 appendix-C form): instead of a hit
+    * threshold, report each document's CONTAMINATED FRACTION — the
+    * share of its distinct n-grams that appear in the eval set — so
+    * the pipeline can gate on "more than x% overlapped" rather than
+    * "any overlap". Docs with fewer than n tokens have no n-grams and
+    * are absent. Same scale shape as [[flagged]] (broadcast semi-join,
+    * one corpus scan); the LEFT join keeps clean docs so the fraction
+    * is computed over every eligible document, with the denominator
+    * counted in the SAME aggregation as the hits (no second pass).
+    * Output: id, n_shingles, n_hits, frac (unrounded). */
+  def overlapFraction(corpus: DataFrame, idCol: String, textCol: String,
+                      eval: DataFrame, evalTextCol: String,
+                      n: Int = 8): DataFrame = {
+    val grams = evalNGrams(eval, evalTextCol, n).withColumn("hit", lit(1L))
+    corpus.select(col(idCol),
+        explode(array_distinct(Fns.wordNGrams(Fns.tokens(col(textCol)), n)))
+          .as("gram"))
+      .join(broadcast(grams), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("frac",
+        col("n_hits").cast("double") / col("n_shingles").cast("double"))
+  }
 }

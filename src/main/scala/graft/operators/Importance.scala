@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** DSIR-style data selection with importance resampling (Xie et al.
+  * 2023, "Data Selection for Language Models via Importance
+  * Resampling"): score every corpus document by how target-like its
+  * unigram distribution is — the per-token mean log-likelihood ratio
+  * between an add-1-smoothed target LM and the raw-corpus LM — then
+  * keep the top slice. The hashed-n-gram variant in the paper reduces
+  * to exactly this shape with words as the features.
+  *
+  * Scale shape: ONE token explode feeds both LMs (conditional
+  * aggregates split target from raw — no second corpus scan); the
+  * word-weight table is |vocab| rows (≪ corpus; Zipf caps it in the
+  * tens of millions at 100 TB) and joins back to tokens on the word
+  * key — AQE picks broadcast while the vocab fits and a shuffle join
+  * beyond that. Global totals are a 1-row aggregate crossed in via
+  * broadcast; nothing collects to the driver.
+  */
+object Importance {
+
+  /** Per-word smoothed log-likelihood ratios: (word, rc, tc, lw) where
+    * lw = ln((tc+1)/(t_tot+V)) − ln((rc+1)/(r_tot+V)). The word-count
+    * table persists (|vocab| rows — Zipf-capped, ≪ corpus) so the
+    * totals aggregate reads the cache instead of re-exploding the
+    * corpus: without it the plan scans the corpus three times (score
+    * join, LM build, totals), with it exactly twice — the minimum for
+    * a two-pass selection (build LM, then score). */
+  def wordLogRatios(toks: DataFrame, word: Column, isTarget: Column): DataFrame = {
+    val wc = toks.groupBy(word.as("word"))
+      .agg(count(lit(1)).as("rc"),
+        sum(when(isTarget, 1L).otherwise(0L)).as("tc"))
+      .persist()
+    val totals = wc.agg(sum(col("rc")).as("r_tot"), sum(col("tc")).as("t_tot"),
+      count(lit(1)).as("v"))
+    wc.crossJoin(broadcast(totals))
+      .select(col("word"), col("rc"), col("tc"),
+        (log((col("tc") + 1).cast("double") / (col("t_tot") + col("v")).cast("double")) -
+          log((col("rc") + 1).cast("double") / (col("r_tot") + col("v")).cast("double")))
+          .as("lw"))
+  }
+
+  /** Per-document DSIR scores: mean word log-ratio over the document's
+    * tokens (docs with no tokens are absent). Output: id, n_toks,
+    * score (unrounded double). */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column): DataFrame = {
+    val toks = docs.select(col(idCol), isTarget.as("__t"),
+      explode(Fns.tokens(col(textCol))).as("word"))
+    val weights = wordLogRatios(toks, col("word"), col("__t"))
+      .select(col("word"), col("lw"))
+    toks.join(weights, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        (sum(col("lw")) / count(lit(1)).cast("double")).as("score"))
+  }
+}

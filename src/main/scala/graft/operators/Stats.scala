@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical aggregates from the ClickHouse surface that Spark has
+  * no single built-in for — `entropy`, `welchTTest`, and
+  * `exponentialTimeDecayedSum` — each expressed as sufficient-statistic
+  * aggregations so they stay one exchange with map-side combine.
+  *
+  * Reference: stouch/redis-events-to-clickhouse-tables exposes these
+  * through ClickHouse's aggregate-function surface on the ingested
+  * tables (docs/QUERIES.md); semantics follow ClickHouse's
+  * AggregateFunctionEntropy.h / AggregateFunctionTTest.h /
+  * AggregateFunctionExponentialTimeDecayedSum shapes.
+  *
+  * Scale notes: every helper is groupBy over sufficient statistics —
+  * counts, Σx, Σx² — so the exchange carries one small row per group
+  * regardless of group size, and partial aggregation combines
+  * map-side. [[decayedSum]] adds one keyed window over the SAME key as
+  * its aggregation, so both ride a single hash exchange.
+  */
+object Stats {
+
+  /** Shannon entropy (bits) of the `cat` distribution within each
+    * `keys` group: H = log2(n) − Σ c·log2(c) / n. Two aggregations —
+    * (keys, cat) counts, then keys — both with partial combine; the
+    * second input is already one row per (group, category), so the
+    * second exchange moves |groups|·|categories| rows, not data.
+    * Output: keys..., n (total rows), entropy_bits (unrounded double:
+    * callers round for cross-engine compare). */
+  def entropyAgg(df: DataFrame, keys: Seq[String], cat: Column): DataFrame = {
+    val kc = keys.map(col)
+    val counted = df.groupBy((kc :+ cat.as("__cat")): _*)
+      .agg(count(lit(1)).as("__c"))
+    counted.groupBy(kc: _*)
+      .agg(sum(col("__c")).as("n"),
+        sum(col("__c").cast("double") * log2(col("__c").cast("double")))
+          .as("__clogc"))
+      .select((kc :+ col("n") :+
+        (log2(col("n").cast("double")) - col("__clogc") / col("n").cast("double"))
+          .as("entropy_bits")): _*)
+  }
+
+  /** Welch's unequal-variance t statistic between cohorts A and B of
+    * each group, from one pass of conditional sufficient statistics
+    * (CH `welchTTest`). Output: keys..., n_a, n_b, mean_a, mean_b, t
+    * (all unrounded doubles; t is null when either cohort has < 2 rows
+    * or both variances are zero). */
+  def welchT(df: DataFrame, keys: Seq[String], value: Column,
+             inA: Column, inB: Column): DataFrame = {
+    val kc = keys.map(col)
+    def sIf(c: Column, e: Column) = sum(when(c, e).otherwise(lit(0.0)))
+    def nIf(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val agg = df.groupBy(kc: _*).agg(
+      nIf(inA).as("n_a"), nIf(inB).as("n_b"),
+      sIf(inA, value).as("sa"), sIf(inB, value).as("sb"),
+      sIf(inA, value * value).as("qa"), sIf(inB, value * value).as("qb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ma = col("sa") / na
+    val mb = col("sb") / nb
+    // unbiased variance from Σx² − n·m²
+    val va = (col("qa") - na * ma * ma) / (na - 1)
+    val vb = (col("qb") - nb * mb * mb) / (nb - 1)
+    val se2 = va / na + vb / nb
+    agg.select((kc ++ Seq(col("n_a"), col("n_b"), ma.as("mean_a"),
+      mb.as("mean_b"),
+      when(col("n_a") > 1 && col("n_b") > 1 && se2 > 0,
+        (ma - mb) / sqrt(se2)).as("t"))): _*)
+  }
+
+  /** CH `exponentialTimeDecayedSum(tau)` evaluated at each key's last
+    * event: Σ value_j · exp(−(t_last − t_j)/τ). Times are epoch-nanos
+    * longs; the difference is taken on longs FIRST (exact — spans fit
+    * in a double's 2⁵³ mantissa; absolute epoch-ns do not) and only
+    * then cast. One hash exchange: the max-window and the aggregation
+    * share the key partitioning. Output: keys..., n_events, last
+    * event time (epoch seconds), decayed_sum (unrounded). */
+  def decayedSumAtLast(df: DataFrame, keys: Seq[String], timeNs: Column,
+                       value: Column, tauNs: Long): DataFrame = {
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*)
+    df.withColumn("__mx", max(timeNs).over(w))
+      .groupBy(kc: _*)
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Fns.nanosToEpochSec(max(timeNs)).as("last_ts_s"),
+        sum(value * exp((timeNs - col("__mx")).cast("double") / lit(tauNs.toDouble)))
+          .as("decayed_sum"))
+  }
+}

@@ -331,4 +331,61 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.split("Generate explode").length - 1 <= 2,
       s"extra explode passes:\n$p")
   }
+
+  test("b57: decay window and aggregation share one user_id exchange") {
+    val p = plan("b57_exp_decay")
+    assert(p.split("\n")
+      .count(_.contains("Exchange hashpartitioning(user_id")) == 1,
+      s"expected exactly 1 user_id exchange:\n$p")
+  }
+
+  test("b58/b61: combinator rollups are a single scan, no per-condition subplans") {
+    for (q <- Seq("b58_ttest", "b61_if_combinators")) {
+      val p = plan(q)
+      assert(p.split("\n").count(_.contains("FileScan parquet")) == 1,
+        s"$q should scan events exactly once:\n$p")
+    }
+  }
+
+  test("b59: fact aggregates before the joins; both dims broadcast") {
+    val p = plan("b59_topk_weighted")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a dim join fell back to sort-merge:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-5 rank not pruned below the exchange:\n$p")
+    // lineitem reads only the three columns the revenue agg needs
+    assert(!p.contains("l_quantity") && !p.contains("l_shipdate"),
+      s"lineitem scan reads columns the query never uses:\n$p")
+  }
+
+  test("b60: the bin aggregation reuses the ntile window's partitioning") {
+    val p = plan("b60_equidepth_hist")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected one event_type exchange shared by window and agg:\n$p")
+  }
+
+  test("c43: two corpus passes exactly — totals read the cached vocab, never a third explode") {
+    // the cached vocab's BUILD plan (one corpus explode, runs once at
+    // cache fill) prints inline under EVERY InMemoryTableScan, so the
+    // text shows 1 live explode + 1 per cache read — assert that
+    // arithmetic so a dropped persist (3 live explodes, 0 cache reads)
+    // or a third live pass both fail
+    val p = plan("c43_dsir")
+    val explodes = p.split("Generate explode").length - 1
+    val cacheReads = p.split("InMemoryTableScan").length - 1
+    assert(cacheReads >= 2,
+      s"ratios AND totals should both read the persisted vocab:\n$p")
+    assert(explodes == 1 + cacheReads,
+      s"expected 1 live corpus explode (score join) outside the cache:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row totals should cross in via broadcast:\n$p")
+  }
+
+  test("c45: eval grams broadcast; the corpus side never shuffles for the join") {
+    val p = plan("c45_contam_frac")
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"contamination join regressed to sort-merge:\n$p")
+  }
 }
