@@ -133,13 +133,62 @@ object AnalyticsQueries6 {
       .orderBy(col("event_date"))
   }
 
+  /** B62: two-sample Kolmogorov-Smirnov (CH kolmogorovSmirnovTest) —
+    * D between the A/B cohorts' value ECDFs per event type, EXACTLY:
+    * D = max|cumA·nB − cumB·nA| / (nA·nB) is all-integer until one
+    * final division both engines perform identically (no rounding
+    * anywhere). Ties collapse in the (type, value) pre-aggregation,
+    * so the ECDF step window never sees peers; the step window's
+    * input is |distinct values| rows, not the corpus. */
+  private def b62KsTest(s: SparkSession, dir: String): DataFrame =
+    Stats.ks2Sample(
+        T(s, dir, "events").select(col("event_type"), col("user_id"),
+          col("value")),
+        Seq("event_type"), col("value"),
+        inA = pmod(col("user_id"), lit(2)) === 0)
+      .orderBy(col("event_type"))
+
+  /** B63: pairwise Pearson correlation matrix between event types'
+    * daily revenue series (the metrics-correlation dashboard). The
+    * fact table collapses to |days|·|types| decimal-exact daily sums
+    * FIRST; the pair join and the correlation's sufficient statistics
+    * run over that tiny table (25 pairs × |days| rows at any corpus
+    * size). Explicit Σ-formula on both engines (library corr()
+    * implementations differ numerically); round(4) seals the ulps. */
+  private def b63CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .groupBy(date_format(Fns.nanosToTimestamp(col("ts")), "yyyy-MM-dd")
+          .as("d"),
+        col("event_type"))
+      .agg(Fns.sumExact(col("value"), 2).as("v"))
+    val x = daily.select(col("d"), col("event_type").as("type_x"),
+      col("v").as("vx"))
+    val y = daily.select(col("d"), col("event_type").as("type_y"),
+      col("v").as("vy"))
+    x.join(y, "d").filter(col("type_x") <= col("type_y"))
+      .groupBy(col("type_x"), col("type_y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vx")).as("sx"), sum(col("vy")).as("sy"),
+        sum(col("vx") * col("vy")).as("sxy"),
+        sum(col("vx") * col("vx")).as("sxx"),
+        sum(col("vy") * col("vy")).as("syy"))
+      .select(col("type_x"), col("type_y"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 4)
+          .as("corr"))
+      .orderBy(col("type_x"), col("type_y"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b56_entropy" -> (b56Entropy _),
     "b57_exp_decay" -> (b57ExpDecay _),
     "b58_ttest" -> (b58Ttest _),
     "b59_topk_weighted" -> (b59TopkWeighted _),
     "b60_equidepth_hist" -> (b60EquidepthHist _),
-    "b61_if_combinators" -> (b61IfCombinators _)
+    "b61_if_combinators" -> (b61IfCombinators _),
+    "b62_ks_test" -> (b62KsTest _),
+    "b63_corr_matrix" -> (b63CorrMatrix _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -217,6 +266,47 @@ object AnalyticsQueries6 {
              ELSE 0.0 END AS avg_purchase,
            count(DISTINCT user_id) FILTER (WHERE event_type = 'signup')
              AS uniq_signup_users
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "b62_ks_test" ->
+      """WITH g AS (
+           SELECT event_type, value,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS ca,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS cb
+           FROM events GROUP BY event_type, value),
+         c AS (
+           SELECT event_type,
+             CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cuma,
+             CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumb,
+             CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+             CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+           FROM g)
+         SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+           max(abs(cuma * nb - cumb * na)) AS d_num,
+           CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+             / CAST(max(na) * max(nb) AS DOUBLE) AS ks_d
+         FROM c GROUP BY event_type ORDER BY event_type""",
+    "b63_corr_matrix" ->
+      """WITH daily AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS d, event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT x.event_type AS type_x, y.event_type AS type_y,
+             x.v AS vx, y.v AS vy
+           FROM daily x JOIN daily y ON x.d = y.d
+           WHERE x.event_type <= y.event_type),
+         a AS (
+           SELECT type_x, type_y, count(*) AS n,
+             sum(vx) AS sx, sum(vy) AS sy, sum(vx * vy) AS sxy,
+             sum(vx * vx) AS sxx, sum(vy * vy) AS syy
+           FROM p GROUP BY type_x, type_y)
+         SELECT type_x, type_y, n,
+           round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr
+         FROM a ORDER BY type_x, type_y"""
   )
 }

@@ -78,10 +78,22 @@ object TrainingQueries5 {
       .orderBy(col("doc_id"))
   }
 
+  /** C46: CCNet perplexity filter (Wenzek et al. 2020) — score every
+    * doc by char-trigram cross-entropy against the corpus LM. c40
+    * buckets a quality score per language; this is the LM-based score
+    * CCNet actually buckets. Both engines compute ppl from the
+    * UNROUNDED entropy, then round. */
+  private def c46Perplexity(s: SparkSession, dir: String): DataFrame =
+    Importance.trigramPerplexity(T(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_trigrams"),
+        round(col("h"), 4).as("h_bits"), round(col("ppl"), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c43_dsir" -> (c43Dsir _),
     "c44_fertility" -> (c44Fertility _),
-    "c45_contam_frac" -> (c45ContamFrac _)
+    "c45_contam_frac" -> (c45ContamFrac _),
+    "c46_perplexity" -> (c46Perplexity _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -145,6 +157,29 @@ object TrainingQueries5 {
           SELECT doc_id, n_shingles, n_hits,
             round(CAST(n_hits AS DOUBLE) / n_shingles, 4) AS contam_frac,
             CAST(CAST(n_hits AS DOUBLE) / n_shingles <= 0.05 AS INT) AS keep
-          FROM j ORDER BY doc_id"""
+          FROM j ORDER BY doc_id""",
+    "c46_perplexity" ->
+      s"""WITH d AS (
+            SELECT doc_id, ${TrainingQueries.normTextSql} AS s
+            FROM documents),
+          tris AS (
+            SELECT doc_id, unnest(CASE WHEN len(s) >= 3
+              THEN list_transform(generate_series(1, len(s) - 2),
+                     i -> s[i:i+2])
+              ELSE [] END) AS tri
+            FROM d),
+          tc AS (SELECT tri, count(*) AS c FROM tris GROUP BY tri),
+          tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM tc),
+          p AS (
+            SELECT tri, log2(CAST(c + 1 AS DOUBLE) / (n + v)) AS lp
+            FROM tc, tot),
+          ds AS (
+            SELECT doc_id, count(*) AS n_trigrams,
+              -sum(lp) / count(*) AS h
+            FROM tris JOIN p USING (tri) GROUP BY doc_id)
+          SELECT doc_id, n_trigrams, round(h, 4) AS h_bits,
+            round(power(2.0, h), 4) AS ppl
+          FROM ds ORDER BY doc_id"""
   )
 }

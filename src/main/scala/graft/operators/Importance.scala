@@ -58,4 +58,40 @@ object Importance {
       .agg(count(lit(1)).as("n_toks"),
         (sum(col("lw")) / count(lit(1)).cast("double")).as("score"))
   }
+
+  /** Character trigrams of the whitespace-normalized text — the
+    * feature CCNet's KenLM stands on, reduced to order 3. Native
+    * codegen'd expression: the HOF form (`transform(sequence, i ->
+    * substr)`) re-runs the normalization REGEX inside every lambda
+    * frame — O(L²) per doc, measured 16 s on a 1.5 M-trigram corpus
+    * vs scan-speed here (see [[graft.plans.CharNGrams]]). Empty array
+    * under 3 chars. */
+  def charTrigrams(text: Column): Column =
+    graft.plans.Cols.column(
+      graft.plans.CharNGrams(
+        graft.plans.Cols.expression(Fns.normText(text)), 3))
+
+  /** CCNet-style perplexity scoring (Wenzek et al. 2020), self-trained:
+    * an add-1-smoothed char-trigram unigram LM over the corpus scores
+    * each document's cross-entropy H (bits/trigram) and perplexity
+    * 2^H. Same two-pass shape as [[dsirScores]]: the |trigram-vocab|
+    * count table persists (≤ charset³ rows — structurally capped), so
+    * the corpus is scanned exactly twice. Output: id, n_trigrams, h
+    * (unrounded bits), ppl (unrounded). */
+  def trigramPerplexity(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val tris = docs.select(col(idCol),
+      explode(charTrigrams(col(textCol))).as("tri"))
+    val tc = tris.groupBy(col("tri")).agg(count(lit(1)).as("c")).persist()
+    val totals = tc.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val probs = tc.crossJoin(broadcast(totals))
+      .select(col("tri"),
+        log2((col("c") + 1).cast("double") / (col("n") + col("v")).cast("double"))
+          .as("lp"))
+    tris.join(probs, "tri")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        (-sum(col("lp")) / count(lit(1)).cast("double")).as("h"))
+      .withColumn("ppl", pow(lit(2.0), col("h")))
+  }
 }

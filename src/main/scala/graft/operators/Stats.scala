@@ -71,6 +71,35 @@ object Stats {
         (ma - mb) / sqrt(se2)).as("t"))): _*)
   }
 
+  /** Two-sample Kolmogorov-Smirnov D between cohorts A and ¬A of each
+    * group, EXACT: D = max|cumA·nB − cumB·nA| / (nA·nB) stays
+    * all-integer until one final division both engines perform
+    * identically — no rounding anywhere. Value ties collapse in the
+    * (keys, value) pre-aggregation, so the ECDF step window never
+    * sees frame peers and its input is |distinct values| rows.
+    * Output: keys..., n_a, n_b, d_num, ks_d. */
+  def ks2Sample(df: DataFrame, keys: Seq[String], value: Column,
+                inA: Column): DataFrame = {
+    val kc = keys.map(col)
+    val byKey = Window.partitionBy(kc: _*)
+    val steps = Window.partitionBy(kc: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select((kc :+ value.as("__v") :+
+        when(inA, 1L).otherwise(0L).as("__a")): _*)
+      .groupBy((kc :+ col("__v")): _*)
+      .agg(sum(col("__a")).as("__ca"), sum(lit(1L) - col("__a")).as("__cb"))
+      .withColumn("__cuma", sum(col("__ca")).over(steps))
+      .withColumn("__cumb", sum(col("__cb")).over(steps))
+      .withColumn("__na", sum(col("__ca")).over(byKey))
+      .withColumn("__nb", sum(col("__cb")).over(byKey))
+      .groupBy(kc: _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
+          .as("d_num"))
+      .withColumn("ks_d",
+        col("d_num").cast("double") / (col("n_a") * col("n_b")).cast("double"))
+  }
+
   /** CH `exponentialTimeDecayedSum(tau)` evaluated at each key's last
     * event: Σ value_j · exp(−(t_last − t_j)/τ). Times are epoch-nanos
     * longs; the difference is taken on longs FIRST (exact — spans fit

@@ -388,4 +388,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"contamination join regressed to sort-merge:\n$p")
   }
+
+  test("b62: KS collapses ties before the ECDF window — the step window sees distinct values only") {
+    val p = plan("b62_ks_test")
+    val exchanges = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, // (type,value) pre-agg + type-keyed window/agg
+      s"expected 2 exchanges (tie collapse, then step window):\n$p")
+  }
+
+  test("b63: correlation pairs join the aggregated daily table, never the fact table") {
+    val p = plan("b63_corr_matrix")
+    assert(!p.contains("CartesianProduct"),
+      s"pair join regressed to a cross join:\n$p")
+    assert(p.contains("HashAggregate"), s"daily pre-aggregation missing:\n$p")
+  }
+
+  test("c46: perplexity scores in two corpus passes — totals read the cached trigram counts") {
+    val p = plan("c46_perplexity")
+    val explodes = p.split("Generate explode").length - 1
+    val cacheReads = p.split("InMemoryTableScan").length - 1
+    assert(cacheReads >= 2,
+      s"probs AND totals should both read the persisted counts:\n$p")
+    assert(explodes == 1 + cacheReads,
+      s"expected 1 live trigram explode outside the cache:\n$p")
+  }
 }

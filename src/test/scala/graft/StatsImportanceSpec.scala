@@ -81,6 +81,54 @@ class StatsImportanceSpec extends SparkSpec {
     assert(rv == 9.5)
   }
 
+  test("ks2Sample: hand-computed D on overlapping cohorts; identical cohorts give 0") {
+    // A = {1,2}, B = {2,3}: ECDF gaps (×nA·nB=4) are 2,2,0 → D = 2/4
+    val df = Seq(("g", 0L, 1.0), ("g", 0L, 2.0), ("g", 1L, 2.0), ("g", 1L, 3.0))
+      .toDF("g", "u", "v")
+    val r = operators.Stats.ks2Sample(df, Seq("g"), col("v"),
+      pmod(col("u"), lit(2)) === 0).collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("d_num") == 2L)
+    assert(r.getAs[Double]("ks_d") == 0.5)
+    // identical samples → D = 0 exactly
+    val same = Seq(("g", 0L, 1.0), ("g", 0L, 5.0), ("g", 1L, 1.0), ("g", 1L, 5.0))
+      .toDF("g", "u", "v")
+    val r2 = operators.Stats.ks2Sample(same, Seq("g"), col("v"),
+      pmod(col("u"), lit(2)) === 0).collect().head
+    assert(r2.getAs[Long]("d_num") == 0L && r2.getAs[Double]("ks_d") == 0.0)
+  }
+
+  test("ks2Sample: disjoint supports reach D = 1") {
+    val df = Seq(("g", 0L, 1.0), ("g", 0L, 2.0), ("g", 1L, 9.0), ("g", 1L, 10.0))
+      .toDF("g", "u", "v")
+    val r = operators.Stats.ks2Sample(df, Seq("g"), col("v"),
+      pmod(col("u"), lit(2)) === 0).collect().head
+    assert(r.getAs[Double]("ks_d") == 1.0)
+  }
+
+  test("charTrigrams: whitespace-normalized windows; under 3 chars is empty, never a descending sequence") {
+    val df = Seq((1L, "abc  d"), (2L, "ab"), (3L, "")).toDF("id", "text")
+    val out = df.select(col("id"),
+        Importance.charTrigrams(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("abc", "bc ", "c d")) // "abc  d" normalizes to "abc d"
+    assert(out(2L).isEmpty && out(3L).isEmpty)
+  }
+
+  test("trigramPerplexity: a one-trigram corpus has H=0, ppl=1; uniform novel text scores worse than repeated text") {
+    val mono = Seq((1L, "aaaa")).toDF("doc_id", "text") // trigrams: aaa ×2
+    val r = Importance.trigramPerplexity(mono, "doc_id", "text")
+      .collect().head
+    assert(r.getAs[Long]("n_trigrams") == 2L)
+    assert(math.abs(r.getAs[Double]("h")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ppl") - 1.0) < 1e-12)
+    // doc of corpus-frequent trigrams beats a doc of one-off trigrams
+    val corpus = Seq((1L, "ababababab"), (2L, "qrstuvwxyz")).toDF("doc_id", "text")
+    val out = Importance.trigramPerplexity(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("ppl")).toMap
+    assert(out(1L) < out(2L))
+  }
+
   test("dsirScores: target-heavy words score positive, raw-only words negative") {
     val docs = Seq(
       (1L, "aa aa bb", true), (2L, "aa cc", true),
