@@ -180,7 +180,37 @@ object AnalyticsQueries6 {
       .orderBy(col("type_x"), col("type_y"))
   }
 
+  /** B64: CH mannWhitneyUTest — the rank-based (distribution-free)
+    * sibling of b58's t and b62's KS, completing the A/B test family:
+    * exact U via doubled average ranks, tie-corrected normal z. */
+  private def b64MwuTest(s: SparkSession, dir: String): DataFrame =
+    Stats.mannWhitney(
+        T(s, dir, "events").select(col("event_type"), col("user_id"),
+          col("value")),
+        Seq("event_type"), col("value"),
+        inA = pmod(col("user_id"), lit(2)) === 0)
+      .select(col("event_type"), col("n_a"), col("n_b"), col("u1"),
+        round(col("z"), 4).as("z"))
+      .orderBy(col("event_type"))
+
+  /** B65: CH minMap/maxMap — per-user key-wise extremes of the same
+    * sparse counter maps b30 sums (the "first/last/peak per counter"
+    * dashboard idioms), one explode + one exchange, map-side combine. */
+  private def b65MinmaxMap(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(col("user_id"),
+        explode(map_concat(
+          from_json(col("props"), lit("map<string,bigint>")),
+          map(concat(lit("t_"), col("event_type")), lit(1L))))
+          .as(Seq("mkey", "mval")))
+      .groupBy(col("user_id"), col("mkey"))
+      .agg(count(lit(1)).as("n"), min(col("mval")).as("mval_min"),
+        max(col("mval")).as("mval_max"))
+      .orderBy(col("user_id"), col("mkey"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b64_mwu_test" -> (b64MwuTest _),
+    "b65_minmax_map" -> (b65MinmaxMap _),
     "b56_entropy" -> (b56Entropy _),
     "b57_exp_decay" -> (b57ExpDecay _),
     "b58_ttest" -> (b58Ttest _),
@@ -307,6 +337,47 @@ object AnalyticsQueries6 {
          SELECT type_x, type_y, n,
            round((n * sxy - sx * sy)
              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr
-         FROM a ORDER BY type_x, type_y"""
+         FROM a ORDER BY type_x, type_y""",
+    "b64_mwu_test" ->
+      """WITH g AS (
+           SELECT event_type, value,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS ca,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS cb
+           FROM events GROUP BY event_type, value),
+         r AS (
+           SELECT event_type, ca, cb, ca + cb AS c,
+             2 * (CAST(sum(ca + cb) OVER (PARTITION BY event_type
+               ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) AS BIGINT) - (ca + cb)) + (ca + cb) + 1 AS r2
+           FROM g),
+         a AS (
+           SELECT event_type,
+             CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+             CAST(sum(ca * r2) AS BIGINT) AS r1x2,
+             CAST(sum(c * c * c - c) AS BIGINT) AS ties
+           FROM r GROUP BY event_type),
+         f AS (
+           SELECT event_type, n_a, n_b,
+             CAST(r1x2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u1,
+             CAST(n_a AS DOUBLE) * n_b / 12.0 *
+               ((n_a + n_b + 1.0)
+                 - CAST(ties AS DOUBLE)
+                   / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1.0)))
+               AS sig2
+           FROM a)
+         SELECT event_type, n_a, n_b, u1,
+           round((u1 - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt(sig2), 4)
+             AS z
+         FROM f ORDER BY event_type""",
+    "b65_minmax_map" ->
+      """WITH kv AS (
+           SELECT user_id, 'k' AS mkey,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS mval
+           FROM events
+           UNION ALL
+           SELECT user_id, 't_' || event_type, 1 FROM events)
+         SELECT user_id, mkey, count(*) AS n,
+           min(mval) AS mval_min, max(mval) AS mval_max
+         FROM kv GROUP BY user_id, mkey ORDER BY user_id, mkey"""
   )
 }

@@ -89,11 +89,35 @@ object TrainingQueries5 {
         round(col("h"), 4).as("h_bits"), round(col("ppl"), 4).as("ppl"))
       .orderBy(col("doc_id"))
 
+  /** C47: duplicate-aware loss weights — the SOFT alternative to
+    * dropping near-dups (keep every copy, down-weight each cluster to
+    * unit total mass, weight = 1/cluster_size): the trade SlimPajama-
+    * style pipelines make when dedup recall is uncertain. Reuses the
+    * c2→c19 LSH+CC cluster chain; weights in exact integer ppm. */
+  private def c47SoftDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val corpus = TrainingQueries.corpusWithDups(T(s, dir, "documents"))
+    val pairs = Dedup.minHashLsh(corpus, "doc_id", "text",
+      n = 5, k = 8, bands = 4, threshold = 0.5)
+    val cc = Dedup.connectedComponents(pairs, "id1", "id2")
+      .select(col("node").as("doc_id"), col("component"))
+    corpus.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        floor(lit(1000000.0) / col("cluster_size").cast("double"))
+          .cast("long").as("weight_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c43_dsir" -> (c43Dsir _),
     "c44_fertility" -> (c44Fertility _),
     "c45_contam_frac" -> (c45ContamFrac _),
-    "c46_perplexity" -> (c46Perplexity _)
+    "c46_perplexity" -> (c46Perplexity _),
+    "c47_soft_dedup" -> (c47SoftDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -180,6 +204,19 @@ object TrainingQueries5 {
             FROM tris JOIN p USING (tri) GROUP BY doc_id)
           SELECT doc_id, n_trigrams, round(h, 4) AS h_bits,
             round(power(2.0, h), 4) AS ppl
-          FROM ds ORDER BY doc_id"""
+          FROM ds ORDER BY doc_id""",
+    // the shared recursive-CTE cluster fixpoint + unit-mass weights
+    "c47_soft_dedup" ->
+      s"""WITH RECURSIVE ${TrainingQueries.clusterCteSql},
+          wc AS (
+            SELECT c.doc_id, coalesce(cl.cluster, c.doc_id) AS cluster
+            FROM corpus c LEFT JOIN cl ON c.doc_id = cl.doc_id),
+          sz AS (
+            SELECT doc_id, cluster,
+              count(*) OVER (PARTITION BY cluster) AS cluster_size
+            FROM wc)
+          SELECT doc_id, cluster, cluster_size,
+            1000000 // cluster_size AS weight_ppm
+          FROM sz ORDER BY doc_id"""
   )
 }

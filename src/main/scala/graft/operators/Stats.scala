@@ -100,6 +100,43 @@ object Stats {
         col("d_num").cast("double") / (col("n_a") * col("n_b")).cast("double"))
   }
 
+  /** Mann-Whitney U (CH mannWhitneyUTest) between cohorts A and ¬A of
+    * each group. The U statistic is EXACT: tied values share the
+    * average rank, which in DOUBLED units (2·lo + c + 1) is an
+    * integer, so 2·U₁ = Σ cA·r₂ − nA(nA+1) stays integral until one
+    * final halving (x.5 doubles are exact). The z statistic finalizes
+    * with the tie-corrected normal variance and rounds at the caller.
+    * Same collapse-ties-then-step-window shape as [[ks2Sample]].
+    * Output: keys..., n_a, n_b, u1 (exact), z (unrounded, null when a
+    * cohort is empty or variance is 0). */
+  def mannWhitney(df: DataFrame, keys: Seq[String], value: Column,
+                  inA: Column): DataFrame = {
+    val kc = keys.map(col)
+    val steps = Window.partitionBy(kc: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = df.select((kc :+ value.as("__v") :+
+        when(inA, 1L).otherwise(0L).as("__a")): _*)
+      .groupBy((kc :+ col("__v")): _*)
+      .agg(sum(col("__a")).as("__ca"), sum(lit(1L) - col("__a")).as("__cb"))
+      .withColumn("__c", col("__ca") + col("__cb"))
+      .withColumn("__r2", // doubled average rank of this value's run
+        lit(2L) * (sum(col("__c")).over(steps) - col("__c")) + col("__c") + 1L)
+      .groupBy(kc: _*)
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum(col("__ca") * col("__r2")).as("__r1x2"),
+        sum(col("__c") * col("__c") * col("__c") - col("__c")).as("__ties"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val n = na + nb
+    val u1 = (col("__r1x2") - col("n_a") * (col("n_a") + 1L))
+      .cast("double") / 2.0
+    val sig2 = na * nb / 12.0 *
+      ((n + 1.0) - col("__ties").cast("double") / (n * (n - 1.0)))
+    agg.select((kc ++ Seq(col("n_a"), col("n_b"), u1.as("u1"),
+      when(col("n_a") > 0 && col("n_b") > 0 && sig2 > 0,
+        (u1 - na * nb / 2.0) / sqrt(sig2)).as("z"))): _*)
+  }
+
   /** CH `exponentialTimeDecayedSum(tau)` evaluated at each key's last
     * event: Σ value_j · exp(−(t_last − t_j)/τ). Times are epoch-nanos
     * longs; the difference is taken on longs FIRST (exact — spans fit

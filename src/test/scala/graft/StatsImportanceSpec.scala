@@ -106,6 +106,35 @@ class StatsImportanceSpec extends SparkSpec {
     assert(r.getAs[Double]("ks_d") == 1.0)
   }
 
+  test("mannWhitney: exact U with tied values (half-unit ranks); separated cohorts hit U=0") {
+    // A = {1,2}, B = {2,3}: ranks 1, 2.5, 2.5, 4 → R1 = 3.5, U1 = 0.5
+    val tied = Seq(("g", 0L, 1.0), ("g", 0L, 2.0), ("g", 1L, 2.0), ("g", 1L, 3.0))
+      .toDF("g", "u", "v")
+    val r = operators.Stats.mannWhitney(tied, Seq("g"), col("v"),
+      pmod(col("u"), lit(2)) === 0).collect().head
+    assert(r.getAs[Double]("u1") == 0.5)
+    assert(r.getAs[Double]("z") < 0) // A stochastically smaller
+    // fully separated: U1 = 0; and U1 + U2 = nA·nB means the flipped
+    // cohort indicator must give U1' = nA·nB
+    val sep = Seq(("g", 0L, 1.0), ("g", 0L, 2.0), ("g", 1L, 3.0), ("g", 1L, 4.0))
+      .toDF("g", "u", "v")
+    val lo = operators.Stats.mannWhitney(sep, Seq("g"), col("v"),
+      pmod(col("u"), lit(2)) === 0).collect().head
+    val hi = operators.Stats.mannWhitney(sep, Seq("g"), col("v"),
+      pmod(col("u"), lit(2)) === 1).collect().head
+    assert(lo.getAs[Double]("u1") == 0.0)
+    assert(hi.getAs[Double]("u1") == 4.0)
+  }
+
+  test("mannWhitney: all-tied values give zero variance and a null z, never NaN") {
+    val flat = Seq(("g", 0L, 5.0), ("g", 0L, 5.0), ("g", 1L, 5.0), ("g", 1L, 5.0))
+      .toDF("g", "u", "v")
+    val r = operators.Stats.mannWhitney(flat, Seq("g"), col("v"),
+      pmod(col("u"), lit(2)) === 0).collect().head
+    assert(r.getAs[Double]("u1") == 2.0) // all share rank 2.5 → R1 = 5
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
   test("charTrigrams: whitespace-normalized windows; under 3 chars is empty, never a descending sequence") {
     val df = Seq((1L, "abc  d"), (2L, "ab"), (3L, "")).toDF("id", "text")
     val out = df.select(col("id"),
