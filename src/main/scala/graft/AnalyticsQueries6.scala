@@ -208,9 +208,76 @@ object AnalyticsQueries6 {
         max(col("mval")).as("mval_max"))
       .orderBy(col("user_id"), col("mkey"))
 
+  /** B66: CH cramersV — association strength between event type and
+    * day-of-week (the "is traffic mix day-dependent?" dashboard
+    * number): χ² over the contingency table, V = √(χ²/(n·(k−1))).
+    * Counts are exact integers; expecteds are one double division per
+    * CELL (|types|·|days-of-week| = 35 rows after the pre-agg), so
+    * float work never touches the corpus. */
+  private def b66CramersV(s: SparkSession, dir: String): DataFrame = {
+    // weekday(): 0=Monday — mirrors DuckDB isodow()−1 (dayofweek()
+    // would not: Spark counts 1=Sunday, DuckDB 0=Sunday)
+    val cells = T(s, dir, "events")
+      .groupBy(col("event_type"),
+        weekday(Fns.nanosToTimestamp(col("ts"))).cast("long").as("dow"))
+      .agg(count(lit(1)).as("c"))
+    val byType = Window.partitionBy(col("event_type"))
+    val byDow = Window.partitionBy(col("dow"))
+    val all = Window.partitionBy()
+    val chi = cells
+      .withColumn("rt", sum(col("c")).over(byType))
+      .withColumn("ct", sum(col("c")).over(byDow))
+      .withColumn("n", sum(col("c")).over(all))
+      .withColumn("e",
+        (col("rt") * col("ct")).cast("double") / col("n").cast("double"))
+      .withColumn("chi",
+        (col("c").cast("double") - col("e")) * (col("c").cast("double") - col("e")) / col("e"))
+    chi.groupBy()
+      .agg(max(col("n")).as("n"),
+        countDistinct(col("event_type")).as("k_types"),
+        countDistinct(col("dow")).as("k_dows"),
+        sum(col("chi")).as("chi2"))
+      .select(col("n"), col("k_types"), col("k_dows"),
+        round(col("chi2"), 4).as("chi2"),
+        round(sqrt(col("chi2") /
+          (col("n").cast("double") *
+            (least(col("k_types"), col("k_dows")) - 1L).cast("double"))), 4)
+          .as("cramers_v"))
+  }
+
+  /** B67: CH skewPop/kurtPop — population skewness and excess kurtosis
+    * of `value` per event type from one pass of raw moments (Σx..Σx⁴,
+    * the mergeable state CH keeps); finalization is per-group scalar
+    * math. */
+  private def b67Moments(s: SparkSession, dir: String): DataFrame = {
+    val agg = T(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("s1"),
+        sum(col("value") * col("value")).as("s2"),
+        sum(col("value") * col("value") * col("value")).as("s3"),
+        sum(col("value") * col("value") * col("value") * col("value")).as("s4"))
+    val n = col("n").cast("double")
+    val m = col("s1") / n
+    val m2 = col("s2") / n - m * m
+    // term shapes match the oracle SQL's association exactly, e.g.
+    // ((3·m)·s2)/n — with cancellation in play, same-order IEEE ops
+    // keep both engines within the final round()
+    val m3 = col("s3") / n - lit(3.0) * m * col("s2") / n + lit(2.0) * m * m * m
+    val m4 = col("s4") / n - lit(4.0) * m * col("s3") / n +
+      lit(6.0) * m * m * col("s2") / n - lit(3.0) * m * m * m * m
+    agg.select(col("event_type"), col("n"),
+        round(m, 4).as("mean"),
+        round(m3 / pow(m2, 1.5), 4).as("skew_pop"),
+        round(m4 / (m2 * m2) - lit(3.0), 4).as("kurt_excess"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b64_mwu_test" -> (b64MwuTest _),
     "b65_minmax_map" -> (b65MinmaxMap _),
+    "b66_cramers_v" -> (b66CramersV _),
+    "b67_moments" -> (b67Moments _),
     "b56_entropy" -> (b56Entropy _),
     "b57_exp_decay" -> (b57ExpDecay _),
     "b58_ttest" -> (b58Ttest _),
@@ -368,6 +435,53 @@ object AnalyticsQueries6 {
          SELECT event_type, n_a, n_b, u1,
            round((u1 - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt(sig2), 4)
              AS z
+         FROM f ORDER BY event_type""",
+    "b66_cramers_v" ->
+      """WITH cells AS (
+           SELECT event_type, CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, dow, c,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+             CAST(sum(c) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+           FROM cells),
+         x AS (
+           SELECT event_type, dow, n,
+             CAST(c AS DOUBLE) AS cd,
+             CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS e
+           FROM m),
+         a AS (
+           SELECT max(n) AS n,
+             count(DISTINCT event_type) AS k_types,
+             count(DISTINCT dow) AS k_dows,
+             sum((cd - e) * (cd - e) / e) AS chi2
+           FROM x)
+         SELECT n, k_types, k_dows, round(chi2, 4) AS chi2,
+           round(sqrt(chi2 / (CAST(n AS DOUBLE)
+             * (least(k_types, k_dows) - 1))), 4) AS cramers_v
+         FROM a""",
+    "b67_moments" ->
+      """WITH a AS (
+           SELECT event_type, count(*) AS n,
+             sum(value) AS s1, sum(value * value) AS s2,
+             sum(value * value * value) AS s3,
+             sum(value * value * value * value) AS s4
+           FROM events GROUP BY event_type),
+         f AS (
+           SELECT event_type, n,
+             s1 / n AS m,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3.0 * (s1 / n) * s2 / n
+               + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4.0 * (s1 / n) * s3 / n
+               + 6.0 * (s1 / n) * (s1 / n) * s2 / n
+               - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+           FROM a)
+         SELECT event_type, n, round(m, 4) AS mean,
+           round(m3 / power(m2, 1.5), 4) AS skew_pop,
+           round(m4 / (m2 * m2) - 3.0, 4) AS kurt_excess
          FROM f ORDER BY event_type""",
     "b65_minmax_map" ->
       """WITH kv AS (

@@ -135,6 +135,37 @@ class StatsImportanceSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("z")))
   }
 
+  test("ks2Sample/mannWhitney agree with plain-Scala references on random cohorts") {
+    // deterministic pseudo-random plants (no Gen dependency needed):
+    // value ∈ {0..9} forces heavy ties — the hard case for both
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val rows = (0 until 60).map { i =>
+        ("g", rnd.nextInt(2).toLong, rnd.nextInt(10).toDouble) }
+      val df = rows.toDF("g", "u", "v")
+      val a = rows.filter(_._2 == 0).map(_._3).sorted
+      val b = rows.filter(_._2 == 1).map(_._3).sorted
+      // reference KS over the pooled support
+      val refD = (a ++ b).distinct.map { x =>
+        math.abs(a.count(_ <= x).toDouble / a.size -
+          b.count(_ <= x).toDouble / b.size) }.max
+      val ks = operators.Stats.ks2Sample(df, Seq("g"), col("v"),
+        pmod(col("u"), lit(2)) === 0).collect().head
+      assert(math.abs(ks.getAs[Double]("ks_d") - refD) < 1e-12,
+        s"trial $trial KS mismatch")
+      // reference U₁ via average ranks over the pooled sample
+      val pooled = (a.map((_, 0)) ++ b.map((_, 1))).sortBy(_._1)
+      val rankOf = pooled.map(_._1).distinct.map { x =>
+        val lo = pooled.count(_._1 < x); val c = pooled.count(_._1 == x)
+        x -> (lo + (c + 1) / 2.0) }.toMap
+      val r1 = a.map(rankOf).sum
+      val refU1 = r1 - a.size * (a.size + 1) / 2.0
+      val mw = operators.Stats.mannWhitney(df, Seq("g"), col("v"),
+        pmod(col("u"), lit(2)) === 0).collect().head
+      assert(mw.getAs[Double]("u1") == refU1, s"trial $trial U mismatch")
+    }
+  }
+
   test("charTrigrams: whitespace-normalized windows; under 3 chars is empty, never a descending sequence") {
     val df = Seq((1L, "abc  d"), (2L, "ab"), (3L, "")).toDF("id", "text")
     val out = df.select(col("id"),
