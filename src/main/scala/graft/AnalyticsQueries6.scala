@@ -273,11 +273,30 @@ object AnalyticsQueries6 {
       .orderBy(col("event_type"))
   }
 
+  /** B68: CH groupBitAnd/Or/Xor — bitwise rollups over per-user
+    * weekday-activity masks (bit d set ⟺ user active on weekday d):
+    * AND = days EVERY user hits, OR = coverage, XOR = parity. Two
+    * cascaded aggregations, the second over |types|·|users| masks;
+    * same 0=Monday axis as b66. */
+  private def b68BitAgg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        weekday(Fns.nanosToTimestamp(col("ts"))).as("dow"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), dow))").as("mask"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("bit_and(mask)").as("mask_and"),
+        expr("bit_or(mask)").as("mask_or"),
+        expr("bit_xor(mask)").as("mask_xor"))
+      .orderBy(col("event_type"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b64_mwu_test" -> (b64MwuTest _),
     "b65_minmax_map" -> (b65MinmaxMap _),
     "b66_cramers_v" -> (b66CramersV _),
     "b67_moments" -> (b67Moments _),
+    "b68_bit_agg" -> (b68BitAgg _),
     "b56_entropy" -> (b56Entropy _),
     "b57_exp_decay" -> (b57ExpDecay _),
     "b58_ttest" -> (b58Ttest _),
@@ -436,6 +455,17 @@ object AnalyticsQueries6 {
            round((u1 - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt(sig2), 4)
              AS z
          FROM f ORDER BY event_type""",
+    "b68_bit_agg" ->
+      """WITH um AS (
+           SELECT event_type, user_id,
+             CAST(bit_or(CAST(1 AS BIGINT) << (isodow(ts) - 1)) AS BIGINT)
+               AS mask
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, count(*) AS n_users,
+           CAST(bit_and(mask) AS BIGINT) AS mask_and,
+           CAST(bit_or(mask) AS BIGINT) AS mask_or,
+           CAST(bit_xor(mask) AS BIGINT) AS mask_xor
+         FROM um GROUP BY event_type ORDER BY event_type""",
     "b66_cramers_v" ->
       """WITH cells AS (
            SELECT event_type, CAST(isodow(ts) - 1 AS BIGINT) AS dow,

@@ -97,7 +97,8 @@ object Stats {
         max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
           .as("d_num"))
       .withColumn("ks_d",
-        col("d_num").cast("double") / (col("n_a") * col("n_b")).cast("double"))
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("d_num").cast("double") / (col("n_a") * col("n_b")).cast("double")))
   }
 
   /** Mann-Whitney U (CH mannWhitneyUTest) between cohorts A and ¬A of

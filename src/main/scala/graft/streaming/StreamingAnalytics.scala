@@ -18,6 +18,12 @@ case class FunnelState(f: Seq[Long], level: Int)
 
 case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
 
+/** Streaming decayed-sum state: ONE (lastTs, sum, n) triple per user. */
+case class DecayState(lastTs: Long, sum: Double, n: Long)
+
+case class DecayOut(user_id: Long, n_events: Long, last_ts_s: Long,
+                    decayed_sum: Double)
+
 /** Streaming twins of the batch analytics: the rollup the reference's
   * ClickHouse tables serve (B8) as a watermarked windowed aggregation,
   * and sessionization (B6) as explicit keyed state — the two
@@ -143,6 +149,32 @@ object StreamingAnalytics {
           }
           state.update(FunnelState(f.toSeq, lvl))
           (uid, lvl.toLong)
+      }
+  }
+
+  /** Streaming exponentialTimeDecayedSum (b57's unbounded twin —
+    * operators.Stats.decayedSumAtLast): each user's recency-decayed
+    * activity score, maintained as ONE (lastTs, sum, n) triple per
+    * user — the fold `sum ← sum·e^((last−ts)/τ) + value` telescopes to
+    * exactly the batch Σ vⱼ·e^((tⱼ−T)/τ), so state is O(1) per user
+    * however long the stream runs (the property CH's mergeable decay
+    * states exist for). Same per-user ordering contract as
+    * [[funnelStream]]. */
+  def decayStream(events: Dataset[Event], tauNs: Long): Dataset[DecayOut] = {
+    implicit val stateEnc = Encoders.product[DecayState]
+    implicit val outEnc = Encoders.product[DecayOut]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[DecayState]) =>
+          var st = state.getOption.getOrElse(DecayState(Long.MinValue, 0.0, 0L))
+          it.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            val decayed = if (st.lastTs == Long.MinValue) 0.0
+              else st.sum * math.exp((st.lastTs - e.ts).toDouble / tauNs.toDouble)
+            st = DecayState(e.ts, decayed + e.value, st.n + 1)
+          }
+          state.update(st)
+          DecayOut(uid, st.n, st.lastTs / 1000000000L, st.sum)
       }
   }
 

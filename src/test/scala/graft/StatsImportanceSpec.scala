@@ -98,6 +98,14 @@ class StatsImportanceSpec extends SparkSpec {
     assert(r2.getAs[Long]("d_num") == 0L && r2.getAs[Double]("ks_d") == 0.0)
   }
 
+  test("ks2Sample: an empty cohort yields null D, never NaN") {
+    val df = Seq(("g", 0L, 1.0), ("g", 0L, 2.0)).toDF("g", "u", "v")
+    val r = operators.Stats.ks2Sample(df, Seq("g"), col("v"),
+      pmod(col("u"), lit(2)) === 0).collect().head
+    assert(r.getAs[Long]("n_b") == 0L)
+    assert(r.isNullAt(r.fieldIndex("ks_d")))
+  }
+
   test("ks2Sample: disjoint supports reach D = 1") {
     val df = Seq(("g", 0L, 1.0), ("g", 0L, 2.0), ("g", 1L, 9.0), ("g", 1L, 10.0))
       .toDF("g", "u", "v")

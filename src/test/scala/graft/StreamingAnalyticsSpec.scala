@@ -84,6 +84,49 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(norm(spark.table("swroll")) === expected)
   }
 
+  test("streaming decayed sum matches the batch operator across micro-batch splits") {
+    val day = 86400L
+    val rows1 = Seq(
+      ev(1, day * 0, 1, "click", 2.0), ev(2, day * 1, 1, "click", 3.0),
+      ev(3, day * 0, 2, "view", 7.0))
+    val rows2 = Seq(
+      ev(4, day * 2, 1, "click", 5.0), ev(5, day * 3, 2, "view", 1.0))
+    val dir = tmpDir("decay")
+    rows1.toDF().coalesce(1).write.mode("append").parquet(s"$dir/in")
+    rows2.toDF().coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    val stream = spark.readStream.schema(rows1.toDF().schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in").as[Event]
+    val q = StreamingAnalytics.decayStream(stream, tauNs = day * ns)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$dir/ck")
+      .format("memory").queryName("decay")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // last update per user ≡ the batch operator over the union
+    val streamed = spark.table("decay")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("n_events").desc)))
+      .filter(col("rk") === 1).drop("rk")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("last_ts_s"),
+          r.getAs[Double]("decayed_sum"))).toMap
+    val batch = graft.operators.Stats.decayedSumAtLast(
+        (rows1 ++ rows2).toDF(), Seq("user_id"), col("ts"), col("value"),
+        tauNs = day * ns)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("last_ts_s"),
+          r.getAs[Double]("decayed_sum"))).toMap
+    assert(streamed.keySet == batch.keySet)
+    for ((u, (n, t, s)) <- batch) {
+      assert(streamed(u)._1 == n && streamed(u)._2 == t)
+      // the telescoped fold equals the batch sum up to fp association
+      assert(math.abs(streamed(u)._3 - s) < 1e-9, s"user $u")
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions, keeps open tails") {
     val batch1 = Seq(
       ev(1, 1000, 1, "click", 1.0), ev(2, 1100, 1, "click", 1.0),  // session A (user 1)
