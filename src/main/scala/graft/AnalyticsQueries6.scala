@@ -173,10 +173,13 @@ object AnalyticsQueries6 {
         sum(col("vx") * col("vx")).as("sxx"),
         sum(col("vy") * col("vy")).as("syy"))
       .select(col("type_x"), col("type_y"), col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy"))), 4)
-          .as("corr"))
+        { // null for a constant series (zero variance), never NaN/Inf
+          val den = (col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))
+          when(den > 0,
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt(den), 4)).as("corr")
+        })
       .orderBy(col("type_x"), col("type_y"))
   }
 
@@ -268,8 +271,8 @@ object AnalyticsQueries6 {
       lit(6.0) * m * m * col("s2") / n - lit(3.0) * m * m * m * m
     agg.select(col("event_type"), col("n"),
         round(m, 4).as("mean"),
-        round(m3 / pow(m2, 1.5), 4).as("skew_pop"),
-        round(m4 / (m2 * m2) - lit(3.0), 4).as("kurt_excess"))
+        when(m2 > 0, round(m3 / pow(m2, 1.5), 4)).as("skew_pop"),
+        when(m2 > 0, round(m4 / (m2 * m2) - lit(3.0), 4)).as("kurt_excess"))
       .orderBy(col("event_type"))
   }
 
@@ -421,8 +424,10 @@ object AnalyticsQueries6 {
              sum(vx * vx) AS sxx, sum(vy * vy) AS syy
            FROM p GROUP BY type_x, type_y)
          SELECT type_x, type_y, n,
-           round((n * sxy - sx * sy)
-             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+             THEN round((n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+             END AS corr
          FROM a ORDER BY type_x, type_y""",
     "b64_mwu_test" ->
       """WITH g AS (
@@ -510,8 +515,10 @@ object AnalyticsQueries6 {
                - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
            FROM a)
          SELECT event_type, n, round(m, 4) AS mean,
-           round(m3 / power(m2, 1.5), 4) AS skew_pop,
-           round(m4 / (m2 * m2) - 3.0, 4) AS kurt_excess
+           CASE WHEN m2 > 0 THEN round(m3 / power(m2, 1.5), 4) END
+             AS skew_pop,
+           CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3.0, 4) END
+             AS kurt_excess
          FROM f ORDER BY event_type""",
     "b65_minmax_map" ->
       """WITH kv AS (
