@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.plans.{BottomKByHash, CosineSimD, DotProductD, HeavyHitters, WordNGrams}
+import graft.plans.{BottomKByHash, CharNGrams, CosineSimD, DotProductD, HeavyHitters, WordNGrams}
 
 /** Session wiring for the graft engine.
   *
@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("word_ngrams"),
       info("word_ngrams", "word_ngrams(toks, n) - space-joined sliding n-grams of a token array"),
       (args: Seq[Expression]) => WordNGrams(args.head, intArg(args, 1, "word_ngrams"))))
+    ext.injectFunction((FunctionIdentifier("char_ngrams"),
+      info("char_ngrams", "char_ngrams(s, n) - sliding n-codepoint windows of a string"),
+      (args: Seq[Expression]) => CharNGrams(args.head, intArg(args, 1, "char_ngrams"))))
     ext.injectFunction((FunctionIdentifier("dot_product_d"),
       info("dot_product_d", "dot_product_d(a, b) - dot product of two double arrays"),
       (args: Seq[Expression]) => DotProductD(args.head, args(1))))

@@ -31,6 +31,9 @@ class GraftSessionSpec extends AnyFunSuite {
       assert(r.getAs[scala.collection.Seq[String]]("ng").toSeq == Seq("a b", "b c"))
       assert(r.getAs[Double]("dp") == 11.0)
       assert(r.getAs[Double]("cs") == 1.0)
+      val cn = spark.sql("SELECT char_ngrams('abcd', 3) AS cn")
+        .collect()(0).getAs[scala.collection.Seq[String]]("cn").toSeq
+      assert(cn == Seq("abc", "bcd"))
       val hh = spark.sql(
         """SELECT heavy_hitters(v, 2) AS hh
            FROM VALUES ('a'), ('a'), ('a'), ('b'), ('c') AS t(v)""")

@@ -46,6 +46,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CharNGramsUtil.compute == naive codepoint sliding window (incl. multibyte)") {
+    val str = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '),
+      Gen.const('é'), Gen.const('中'))).map(_.mkString)
+    forAll(str, Gen.choose(1, 5)) { (s: String, n: Int) =>
+      val got = graft.plans.CharNGramsUtil
+        .compute(UTF8String.fromString(s), n)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      // reference: slide over CODEPOINTS (these chars are all BMP, so
+      // Scala's char-based sliding matches codepoint alignment)
+      val expected =
+        if (s.length < n) Seq.empty else s.sliding(n).toSeq
+      assert(got == expected, s"s=$s n=$n")
+    }
+  }
+
   test("VectorOpsUtil.dot/cosine match the fold specification") {
     val vec = Gen.listOfN(8, Gen.choose(-10.0, 10.0))
     forAll(vec, vec) { (a: List[Double], b: List[Double]) =>
