@@ -294,7 +294,25 @@ object AnalyticsQueries6 {
         expr("bit_xor(mask)").as("mask_xor"))
       .orderBy(col("event_type"))
 
+  /** B69: CH windowFunnel 'strict_order' mode — the chain dies on any
+    * intervening event, so steps must be CONSECUTIVE rows of the
+    * user's stream. Completes the funnel mode family (default b12,
+    * strict_increase b12c). Raw-ns axis; (ts, event_id) total order
+    * on both engines. */
+  private def b69WindowFunnelOrder(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.windowFunnelStrictOrder(
+        T(s, dir, "events"),
+        key = "user_id", time = "ts", tieBreak = "event_id",
+        conds = Seq(col("event_type") === "signup",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowSpan = 7L * 86400L * 1000000000L)
+      .groupBy(col("funnel_level"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("funnel_level"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b69_window_funnel_order" -> (b69WindowFunnelOrder _),
     "b64_mwu_test" -> (b64MwuTest _),
     "b65_minmax_map" -> (b65MinmaxMap _),
     "b66_cramers_v" -> (b66CramersV _),
@@ -460,6 +478,31 @@ object AnalyticsQueries6 {
            round((u1 - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt(sig2), 4)
              AS z
          FROM f ORDER BY event_type""",
+    "b69_window_funnel_order" ->
+      """WITH f AS (
+           SELECT user_id, epoch_ns(ts) AS tn, event_id,
+             CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS s0,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s1,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s2
+           FROM events),
+         c AS (
+           SELECT user_id, s0 AS c0,
+             CASE WHEN s1 = 1 AND lag(s0, 1, 0) OVER w = 1
+               AND tn - lag(tn, 1) OVER w <= 604800000000000
+               THEN 1 ELSE 0 END AS c1,
+             CASE WHEN s2 = 1 AND lag(s1, 1, 0) OVER w = 1
+               AND lag(s0, 2, 0) OVER w = 1
+               AND tn - lag(tn, 2) OVER w <= 604800000000000
+               THEN 1 ELSE 0 END AS c2
+           FROM f
+           WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id)),
+         u AS (
+           SELECT user_id,
+             greatest(max(c0) * 1, max(c1) * 2, max(c2) * 3) AS funnel_level
+           FROM c GROUP BY user_id)
+         SELECT CAST(funnel_level AS BIGINT) AS funnel_level,
+           count(*) AS n_users
+         FROM u GROUP BY funnel_level ORDER BY funnel_level""",
     "b68_bit_agg" ->
       """WITH um AS (
            SELECT event_type, user_id,
