@@ -26,6 +26,7 @@ object AnalyticsQueries6 {
     Tables(s, dir, name)
 
   private val DayNs = 86400L * 1000000000L
+  private val HourNs = 3600L * 1000000000L
 
   /** B56: CH `entropy()` — Shannon entropy (bits) of each day's
     * event-type mix, the feed-health dashboard number (a day whose
@@ -311,7 +312,35 @@ object AnalyticsQueries6 {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("funnel_level"))
 
+  /** B70: OHLC bar resampling — open/high/low/close + count + exact
+    * sum of `value` per (type, hour): the canonical time-series
+    * downsample (CH argMin/argMax by time + min/max in one rollup).
+    * Open/close resolve deterministically via (ts, event_id) ranks;
+    * both rank windows and the rollup share ONE (type, hour)-keyed
+    * exchange (the window partitioning covers the groupBy key). */
+  private def b70Ohlc(s: SparkSession, dir: String): DataFrame = {
+    val hour = Fns.floorDivLong(col("ts"), HourNs)
+    val wAsc = Window.partitionBy(col("event_type"), col("h"))
+      .orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy(col("event_type"), col("h"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    T(s, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("h", hour)
+      .withColumn("rna", row_number().over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rna") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rnd") === 1, col("value"))).as("close"),
+        Fns.sumExact(col("value"), 2).as("sum_value"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b70_ohlc" -> (b70Ohlc _),
     "b69_window_funnel_order" -> (b69WindowFunnelOrder _),
     "b64_mwu_test" -> (b64MwuTest _),
     "b65_minmax_map" -> (b65MinmaxMap _),
@@ -478,6 +507,24 @@ object AnalyticsQueries6 {
            round((u1 - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt(sig2), 4)
              AS z
          FROM f ORDER BY event_type""",
+    "b70_ohlc" ->
+      """WITH e AS (
+           SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+             epoch_ns(ts) AS tn, event_id, value
+           FROM events),
+         r AS (
+           SELECT event_type, h, value,
+             row_number() OVER (PARTITION BY event_type, h
+               ORDER BY tn, event_id) AS rna,
+             row_number() OVER (PARTITION BY event_type, h
+               ORDER BY tn DESC, event_id DESC) AS rnd
+           FROM e)
+         SELECT event_type, h, count(*) AS n,
+           max(CASE WHEN rna = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rnd = 1 THEN value END) AS close,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM r GROUP BY event_type, h ORDER BY event_type, h""",
     "b69_window_funnel_order" ->
       """WITH f AS (
            SELECT user_id, epoch_ns(ts) AS tn, event_id,

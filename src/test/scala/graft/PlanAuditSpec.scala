@@ -403,6 +403,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"daily pre-aggregation missing:\n$p")
   }
 
+  test("b70: both OHLC rank windows and the rollup share one (type, hour) exchange") {
+    val p = plan("b70_ohlc")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected one shared exchange:\n$p")
+  }
+
   test("c46: perplexity scores in two corpus passes — totals read the cached trigram counts") {
     val p = plan("c46_perplexity")
     val explodes = p.split("Generate explode").length - 1
