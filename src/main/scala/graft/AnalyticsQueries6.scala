@@ -339,7 +339,41 @@ object AnalyticsQueries6 {
       .orderBy(col("event_type"), col("h"))
   }
 
+  /** B71: conversion-time quantiles — exact p50/p90 of each user's
+    * first-signup→first-subsequent-purchase latency, cohorted by
+    * ISO-Monday signup week (the time-to-convert dashboard b7's
+    * counts summarize). Latencies are exact integer seconds (long ns
+    * differences floored); quantiles use b15's integer-rank
+    * convention; the user window and per-user rollup share one
+    * exchange, the tiny converted-user table re-keys by week. */
+  private def b71ConversionTime(s: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("su",
+        min(when(col("event_type") === "signup", col("ts"))).over(wu))
+    val conv = ev
+      .filter(col("event_type") === "purchase" && col("ts") >= col("su"))
+      .groupBy(col("user_id"))
+      .agg(min(col("su")).as("s"), min(col("ts")).as("p"))
+      .select(col("user_id"),
+        date_format(date_trunc("week", Fns.nanosToTimestamp(col("s"))),
+          "yyyy-MM-dd").as("week"),
+        Fns.floorDivLong(col("p") - col("s"), 1000000000L).as("delta_s"))
+    val wWeek = Window.partitionBy(col("week"))
+    val wRank = wWeek.orderBy(col("delta_s"), col("user_id"))
+    conv
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("cnt", count(lit(1)).over(wWeek))
+      .withColumn("q_pct", explode(array(lit(50L), lit(90L))))
+      .filter(col("rn") === expr("((cnt - 1) * q_pct) div 100") + 1)
+      .select(col("week"), col("q_pct"), col("cnt").as("n_converted"),
+        col("delta_s").as("q_delta_s"))
+      .orderBy(col("week"), col("q_pct"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b71_conversion_time" -> (b71ConversionTime _),
     "b70_ohlc" -> (b70Ohlc _),
     "b69_window_funnel_order" -> (b69WindowFunnelOrder _),
     "b64_mwu_test" -> (b64MwuTest _),
@@ -507,6 +541,32 @@ object AnalyticsQueries6 {
            round((u1 - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt(sig2), 4)
              AS z
          FROM f ORDER BY event_type""",
+    "b71_conversion_time" ->
+      """WITH su AS (
+           SELECT user_id,
+             min(epoch_ns(ts)) FILTER (WHERE event_type = 'signup') AS s
+           FROM events GROUP BY user_id),
+         pu AS (
+           SELECT e.user_id, min(epoch_ns(e.ts)) AS p
+           FROM events e JOIN su ON e.user_id = su.user_id
+           WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= su.s
+           GROUP BY e.user_id),
+         d AS (
+           SELECT su.user_id,
+             strftime(date_trunc('week',
+               make_timestamp(su.s // 1000)), '%Y-%m-%d') AS week,
+             (pu.p - su.s) // 1000000000 AS delta_s
+           FROM su JOIN pu USING (user_id)),
+         v AS (
+           SELECT week, user_id, delta_s,
+             row_number() OVER (PARTITION BY week
+               ORDER BY delta_s, user_id) AS rn,
+             count(*) OVER (PARTITION BY week) AS cnt
+           FROM d)
+         SELECT week, q_pct, cnt AS n_converted, delta_s AS q_delta_s
+         FROM v CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (90)) AS qs(q_pct)
+         WHERE rn = ((cnt - 1) * q_pct) // 100 + 1
+         ORDER BY week, q_pct""",
     "b70_ohlc" ->
       """WITH e AS (
            SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
