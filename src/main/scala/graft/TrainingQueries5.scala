@@ -112,7 +112,36 @@ object TrainingQueries5 {
       .orderBy(col("doc_id"))
   }
 
+  /** C48: the dataset card — per-source corpus report (docs, tokens,
+    * language share, exact-dup rate, length profile): the summary
+    * table every corpus release ships. All-integer metrics (shares in
+    * exact ppm via long division); the dup signal is c1's normalized-
+    * text hash rolled up per source. Two exchanges: one on the
+    * content hash (dup counts), one on source. */
+  private def c48CorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("source"), col("lang"),
+      col("n_chars"),
+      size(Fns.tokens(col("text"))).cast("long").as("n_toks"),
+      md5(Fns.normText(col("text"))).as("sig"))
+    val wSig = Window.partitionBy(col("sig"))
+    docs
+      .withColumn("dup", (count(lit(1)).over(wSig) > 1).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(col("dup")).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        // `div` = exact integer floor division (no double round-trip)
+        expr("(n_en * 1000000L) div n_docs").as("en_ppm"),
+        expr("(n_dup * 1000000L) div n_docs").as("dup_ppm"),
+        expr("n_chars div n_docs").as("mean_chars"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c48_corpus_report" -> (c48CorpusReport _),
     "c43_dsir" -> (c43Dsir _),
     "c44_fertility" -> (c44Fertility _),
     "c45_contam_frac" -> (c45ContamFrac _),
@@ -205,6 +234,30 @@ object TrainingQueries5 {
           SELECT doc_id, n_trigrams, round(h, 4) AS h_bits,
             round(power(2.0, h), 4) AS ppl
           FROM ds ORDER BY doc_id""",
+    "c48_corpus_report" ->
+      s"""WITH d AS (
+            SELECT source, lang, n_chars,
+              CAST(len($toksSql) AS BIGINT) AS n_toks,
+              md5(${TrainingQueries.normTextSql}) AS sig
+            FROM documents),
+          w AS (
+            SELECT source, lang, n_chars, n_toks,
+              CASE WHEN count(*) OVER (PARTITION BY sig) > 1
+                THEN 1 ELSE 0 END AS dup
+            FROM d),
+          a AS (
+            SELECT source, count(*) AS n_docs,
+              CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+              CAST(sum(n_chars) AS BIGINT) AS n_chars,
+              CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_en,
+              CAST(sum(dup) AS BIGINT) AS n_dup
+            FROM w GROUP BY source)
+          SELECT source, n_docs, n_tokens, n_chars,
+            (n_en * 1000000) // n_docs AS en_ppm,
+            (n_dup * 1000000) // n_docs AS dup_ppm,
+            n_chars // n_docs AS mean_chars
+          FROM a ORDER BY source""",
     // the shared recursive-CTE cluster fixpoint + unit-mass weights
     "c47_soft_dedup" ->
       s"""WITH RECURSIVE ${TrainingQueries.clusterCteSql},
