@@ -24,6 +24,12 @@ case class DecayState(lastTs: Long, sum: Double, n: Long)
 case class DecayOut(user_id: Long, n_events: Long, last_ts_s: Long,
                     decayed_sum: Double)
 
+/** Capped distinct-user state: ≤ n+1 ids, the uniqUpTo contract. */
+case class UniqUpToState(ids: Seq[Long])
+
+case class UniqUpToOut(event_type: String, event_date: String,
+                       uniq_upto: Long)
+
 /** Streaming twins of the batch analytics: the rollup the reference's
   * ClickHouse tables serve (B8) as a watermarked windowed aggregation,
   * and sessionization (B6) as explicit keyed state — the two
@@ -175,6 +181,32 @@ object StreamingAnalytics {
           }
           state.update(st)
           DecayOut(uid, st.n, st.lastTs / 1000000000L, st.sum)
+      }
+  }
+
+  /** Streaming uniqUpTo(n) (b47's unbounded twin): exact distinct
+    * users per (type, day) up to n, >n reports n+1 — state is a set
+    * CAPPED at n+1 ids per group, so it never grows with stream
+    * length (the bounded-state contract that distinguishes uniqUpTo
+    * from uniqExact on an unbounded stream). The count is
+    * hash-free — any n+1 distinct ids saturate the cap — so streaming
+    * and batch agree exactly, not just statistically. */
+  def uniqUpToStream(events: Dataset[Event], n: Int): Dataset[UniqUpToOut] = {
+    require(n >= 1, "uniqUpTo needs n >= 1")
+    implicit val stateEnc = Encoders.product[UniqUpToState]
+    implicit val outEnc = Encoders.product[UniqUpToOut]
+    implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    def dayOf(tsNs: Long): String =
+      java.time.LocalDate.ofEpochDay(
+        Math.floorDiv(tsNs, 86400L * 1000000000L)).toString
+    events.groupByKey(e => (e.event_type, dayOf(e.ts)))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: (String, String), it: Iterator[Event],
+         state: GroupState[UniqUpToState]) =>
+          var ids = state.getOption.map(_.ids.toSet).getOrElse(Set.empty[Long])
+          it.foreach { e => if (ids.size <= n) ids += e.user_id }
+          state.update(UniqUpToState(ids.toSeq.sorted))
+          UniqUpToOut(key._1, key._2, math.min(ids.size, n + 1).toLong)
       }
   }
 

@@ -127,6 +127,46 @@ class StreamingAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("streaming uniqUpTo saturates at n+1 with bounded state and matches the batch cap") {
+    val day = 86400L
+    // day 0, type "click": users 1..4 across two batches (distinct 4);
+    // day 1: users 1,1,2 (distinct 2); cap n=2 → report min(d, 3)
+    val rows1 = Seq(
+      ev(1, 10, 1, "click", 1.0), ev(2, 20, 2, "click", 1.0),
+      ev(3, day + 10, 1, "click", 1.0), ev(4, day + 20, 1, "click", 1.0))
+    val rows2 = Seq(
+      ev(5, 30, 3, "click", 1.0), ev(6, 40, 4, "click", 1.0),
+      ev(7, day + 30, 2, "click", 1.0))
+    val dir = tmpDir("uupto")
+    rows1.toDF().coalesce(1).write.mode("append").parquet(s"$dir/in")
+    rows2.toDF().coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    val stream = spark.readStream.schema(rows1.toDF().schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in").as[Event]
+    val q = StreamingAnalytics.uniqUpToStream(stream, n = 2)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$dir/ck")
+      .format("memory").queryName("uupto")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // last update per key == least(countDistinct, n+1) over the union
+    val last = spark.table("uupto")
+      .groupBy("event_type", "event_date")
+      .agg(max("uniq_upto").as("uniq_upto")) // counts only grow
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val batch = (rows1 ++ rows2).toDF()
+      .groupBy(col("event_type"),
+        date_format(graft.functions.Fns.nanosToTimestamp(col("ts")),
+          "yyyy-MM-dd").as("event_date"))
+      .agg(least(countDistinct(col("user_id")), lit(3L)).as("u"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(last == batch)
+    assert(last.values.max == 3L) // day 0 saturated at n+1
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions, keeps open tails") {
     val batch1 = Seq(
       ev(1, 1000, 1, "click", 1.0), ev(2, 1100, 1, "click", 1.0),  // session A (user 1)
