@@ -372,7 +372,25 @@ object AnalyticsQueries6 {
       .orderBy(col("week"), col("q_pct"))
   }
 
+  /** B72: CH sequenceMatch with a TIME condition —
+    * `(?1)(?t<3600)(?2)`: a purchase directly follows a signup (among
+    * signup/purchase events) within an hour. Completes sequenceMatch
+    * (b19 is the unbounded `.*` form): the condition filter pushes to
+    * the scan, one keyed sort window does adjacency + gap. */
+  private def b72SequenceMatchTime(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.sequenceMatchTime(
+        T(s, dir, "events"),
+        key = "user_id", time = "ts", tieBreak = "event_id",
+        cond1 = col("event_type") === "signup",
+        cond2 = col("event_type") === "purchase",
+        maxGap = HourNs)
+      .groupBy(col("matched"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_matches")).as("total_matches"))
+      .orderBy(col("matched"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b72_sequence_match_time" -> (b72SequenceMatchTime _),
     "b71_conversion_time" -> (b71ConversionTime _),
     "b70_ohlc" -> (b70Ohlc _),
     "b69_window_funnel_order" -> (b69WindowFunnelOrder _),
@@ -541,6 +559,30 @@ object AnalyticsQueries6 {
            round((u1 - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt(sig2), 4)
              AS z
          FROM f ORDER BY event_type""",
+    "b72_sequence_match_time" ->
+      """WITH f AS (
+           SELECT user_id, epoch_ns(ts) AS tn, event_id,
+             CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is1,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is2
+           FROM events WHERE event_type IN ('signup', 'purchase')),
+         s AS (
+           SELECT user_id, is2,
+             lag(is1, 1, 0) OVER w AS p1,
+             tn - lag(tn, 1) OVER w AS gap
+           FROM f
+           WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id)),
+         u AS (
+           SELECT user_id,
+             CAST(max(CASE WHEN is2 = 1 AND p1 = 1
+               AND gap < 3600000000000 THEN 1 ELSE 0 END) AS INT)
+               AS matched,
+             CAST(sum(CASE WHEN is2 = 1 AND p1 = 1
+               AND gap < 3600000000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matches
+           FROM s GROUP BY user_id)
+         SELECT matched, count(*) AS n_users,
+           CAST(sum(n_matches) AS BIGINT) AS total_matches
+         FROM u GROUP BY matched ORDER BY matched""",
     "b71_conversion_time" ->
       """WITH su AS (
            SELECT user_id,

@@ -157,6 +157,31 @@ object Funnel {
         (col("_first1").isNotNull && col("_last2").isNotNull &&
           col("_first1") < col("_last2")).cast("int").as("matched"))
 
+  /** `sequenceMatch('(?1)(?t<T)(?2)')` per key: a cond_2 event
+    * DIRECTLY follows a cond_1 event among the key's condition-
+    * matching events (non-matching events may intervene — CH's
+    * pattern walks the matched subsequence), with the pair's time gap
+    * under `maxGap`. One keyed sort window over the FILTERED stream
+    * (the condition disjunction pushes to the scan), lag does the
+    * adjacency, the gap guard is the time condition. */
+  def sequenceMatchTime(events: DataFrame, key: String, time: String,
+                        tieBreak: String, cond1: Column, cond2: Column,
+                        maxGap: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col(tieBreak))
+    events.filter(cond1 || cond2)
+      .withColumn("_is1", cond1.cast("int"))
+      .withColumn("_is2", cond2.cast("int"))
+      .withColumn("_p1", lag(col("_is1"), 1, 0).over(w))
+      .withColumn("_pt", lag(col(time), 1).over(w))
+      .groupBy(col(key))
+      .agg(max(when(col("_is2") === 1 && col("_p1") === 1 &&
+          col(time) - col("_pt") < maxGap, 1).otherwise(0))
+        .cast("int").as("matched"),
+        sum(when(col("_is2") === 1 && col("_p1") === 1 &&
+          col(time) - col("_pt") < maxGap, 1L).otherwise(0L))
+        .as("n_matches"))
+  }
+
   /** `windowFunnel(..., 'strict_increase')` mode: same chain semantics
     * as [[windowFunnel]] but each step's timestamp must STRICTLY
     * increase — two same-timestamp events can never occupy consecutive

@@ -20,6 +20,29 @@ class FunnelSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("sequenceMatchTime: adjacency over the matched subsequence, exclusive gap bound") {
+    val rows = Seq(
+      // user 1: s at 0, noise at 10 (not a condition — must NOT break
+      // adjacency), p at 50 (gap 50 < 100) → matched
+      (1L, 1L, 0L, "s"), (1L, 2L, 10L, "x"), (1L, 3L, 50L, "p"),
+      // user 2: s at 0, p at exactly 100 — gap == bound is EXCLUDED
+      (2L, 4L, 0L, "s"), (2L, 5L, 100L, "p"),
+      // user 3: s at 0, another s at 20 (condition event — breaks the
+      // first pair), p at 60: pair (s@20, p@60) matches
+      (3L, 6L, 0L, "s"), (3L, 7L, 20L, "s"), (3L, 8L, 60L, "p"),
+      // user 4: p before s only → no match
+      (4L, 9L, 0L, "p"), (4L, 10L, 50L, "s"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Funnel.sequenceMatchTime(rows, "user_id", "ts", "event_id",
+        col("event_type") === "s", col("event_type") === "p", maxGap = 100L)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Int]("matched"), r.getAs[Long]("n_matches"))).toMap
+    assert(out(1L) == ((1, 1L)))
+    assert(out(2L) == ((0, 0L)))
+    assert(out(3L) == ((1, 1L)))
+    assert(out(4L) == ((0, 0L)))
+  }
+
   private def strictFunnel(rows: Seq[(Long, Long, Long, String)]): Map[Long, Long] = {
     val df = rows.toDF("user_id", "event_id", "ts", "event_type")
     Funnel.windowFunnelStrictOrder(df, "user_id", "ts", "event_id",
