@@ -389,7 +389,26 @@ object AnalyticsQueries6 {
         sum(col("n_matches")).as("total_matches"))
       .orderBy(col("matched"))
 
+  /** B73: CH `SAMPLE 1/10` clause semantics — deterministic,
+    * KEY-COHERENT sampling (all of a user's events are in or out
+    * together, the property that keeps per-user analytics valid on
+    * the sample) via the same md5-prefix threshold the splits use,
+    * with the ×10 scale-up estimate next to the sampled exact counts.
+    * The sample predicate is a projection-level filter: at 100 TB it
+    * rides the scan, nothing shuffles but the sampled slice. */
+  private def b73Sample(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .filter(substring(md5(col("user_id").cast("string")), 1, 8)
+        < lit("19999999"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"),
+        (count(lit(1)) * 10L).as("est_total"),
+        countDistinct(col("user_id")).as("n_users_sampled"),
+        Fns.sumExact(col("value"), 2).as("sum_sampled"))
+      .orderBy(col("event_type"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b73_sample" -> (b73Sample _),
     "b72_sequence_match_time" -> (b72SequenceMatchTime _),
     "b71_conversion_time" -> (b71ConversionTime _),
     "b70_ohlc" -> (b70Ohlc _),
@@ -559,6 +578,15 @@ object AnalyticsQueries6 {
            round((u1 - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt(sig2), 4)
              AS z
          FROM f ORDER BY event_type""",
+    "b73_sample" ->
+      """WITH s AS (
+           SELECT * FROM events
+           WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 8) < '19999999')
+         SELECT event_type, count(*) AS n_sampled,
+           count(*) * 10 AS est_total,
+           count(DISTINCT user_id) AS n_users_sampled,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_sampled
+         FROM s GROUP BY event_type ORDER BY event_type""",
     "b72_sequence_match_time" ->
       """WITH f AS (
            SELECT user_id, epoch_ns(ts) AS tn, event_id,
