@@ -241,6 +241,33 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** A14: compaction round-trip — fragment the routed table (16-way
+    * repartition write, the streaming-micro-batch fragmentation
+    * MergeTree's background merges clean up), compact it, and prove
+    * the compacted table is LOSSLESS against the DuckDB oracle over
+    * the original rows (counts, distinct ids, decimal-exact sums) —
+    * with the file-count reduction asserted in-row. */
+  private def a14CompactionE2e(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toString + "/tables"
+    T(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .repartition(16)
+      .write.partitionBy("event_type").parquet(out)
+    val st = graft.operators.Compactor.compact(s, out,
+      partitionCol = "event_type", sortCol = "ts",
+      targetBytes = 512L * 1024 * 1024)
+    s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_event_ids"),
+        Fns.sumExact(col("value"), 2).as("sum_value"))
+      .withColumn("files_reduced",
+        lit(st.filesAfter < st.filesBefore).cast("int"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------
   // B. Analytics over the ingested tables
   // ---------------------------------------------------------------
@@ -286,6 +313,7 @@ object SparkEntry {
     "a11_pipeline_e2e" -> (a11PipelineE2e _),
     "a12_dlq_replay" -> (a12DlqReplay _),
     "a13_legacy_normalize" -> (a13LegacyNormalize _),
+    "a14_compaction_e2e" -> (a14CompactionE2e _),
     "b1_pricing_summary" -> (b1Pricing _),
     "b8_daily_rollup" -> (b8DailyRollup _)
   ) ++ AnalyticsQueries.queries ++ AnalyticsQueries2.queries ++
@@ -360,6 +388,12 @@ object SparkEntry {
            CAST(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT)
              AS is_from_legacy
          FROM events ORDER BY event_id""",
+    "a14_compaction_e2e" ->
+      """SELECT event_type, count(*) AS n_rows,
+           count(DISTINCT event_id) AS n_event_ids,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(1 AS INT) AS files_reduced
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "a12_dlq_replay" ->
       """WITH ev AS (
            SELECT event_id,
