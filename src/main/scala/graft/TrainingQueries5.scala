@@ -140,7 +140,34 @@ object TrainingQueries5 {
       .orderBy(col("source"))
   }
 
+  /** C49: shard-export round-trip, oracle-checked (promotes C32
+    * beyond spec-only): deterministically shuffle the corpus into
+    * 100-row shards, read the shard set back, and prove losslessness
+    * against the oracle over the ORIGINAL table — with the per-shard
+    * row bound and multi-shard layout asserted in-row. */
+  private def c49ShardExport(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Exporter
+    val out = java.nio.file.Files.createTempDirectory("graft_shards")
+      .toString + "/shards"
+    Exporter.writeShuffledShards(
+      T(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars")),
+      "doc_id", out, rowsPerShard = 100)
+    val back = Exporter.readShards(s, out)
+    val perFile = back.groupBy(input_file_name()).count().select(col("count"))
+      .agg(max(col("count")).as("mx"), count(lit(1)).as("n")).head()
+    back.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_doc_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("shards_bounded",
+        lit(perFile.getLong(0) <= 100L).cast("int"))
+      .withColumn("multi_shard", lit(perFile.getLong(1) > 1L).cast("int"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c49_shard_export" -> (c49ShardExport _),
     "c48_corpus_report" -> (c48CorpusReport _),
     "c43_dsir" -> (c43Dsir _),
     "c44_fertility" -> (c44Fertility _),
@@ -234,6 +261,12 @@ object TrainingQueries5 {
           SELECT doc_id, n_trigrams, round(h, 4) AS h_bits,
             round(power(2.0, h), 4) AS ppl
           FROM ds ORDER BY doc_id""",
+    "c49_shard_export" ->
+      """SELECT source, count(*) AS n_docs,
+           count(DISTINCT doc_id) AS n_doc_ids,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(1 AS INT) AS shards_bounded, CAST(1 AS INT) AS multi_shard
+         FROM documents GROUP BY source ORDER BY source""",
     "c48_corpus_report" ->
       s"""WITH d AS (
             SELECT source, lang, n_chars,
