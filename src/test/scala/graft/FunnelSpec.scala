@@ -20,6 +20,41 @@ class FunnelSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("strict_order funnel and sequenceMatchTime match brute-force references on random streams") {
+    val rnd = new scala.util.Random(7)
+    val types = Array("s", "c", "p", "x", "y")
+    for (trial <- 0 until 8) {
+      val rows = (0 until 40).map { i =>
+        (rnd.nextInt(3).toLong, i.toLong + 1, rnd.nextInt(300).toLong,
+          types(rnd.nextInt(types.length))) }
+      val byUser = rows.groupBy(_._1).map { case (u, es) =>
+        u -> es.sortBy(e => (e._3, e._2)) } // (ts, event_id) order
+      // brute-force strict_order: best consecutive-run prefix length
+      val refLevels = byUser.map { case (u, es) =>
+        val best = (for {
+          i <- es.indices
+          lp <- 1 to math.min(3, es.length - i)
+          if (0 until lp).forall(k => es(i + k)._4 == Seq("s", "c", "p")(k))
+          if es(i + lp - 1)._3 - es(i)._3 <= W
+        } yield lp) :+ 0
+        u -> best.max.toLong
+      }
+      val df = rows.toDF("user_id", "event_id", "ts", "event_type")
+      assert(strictFunnel(rows) == refLevels, s"trial $trial strict_order")
+      // brute-force sequenceMatchTime over the filtered subsequence
+      val refMatches = byUser.map { case (u, es) =>
+        val f = es.filter(e => e._4 == "s" || e._4 == "p")
+        u -> f.zip(f.drop(1)).count { case (a, b) =>
+          a._4 == "s" && b._4 == "p" && b._3 - a._3 < W }.toLong
+      }
+      val got = Funnel.sequenceMatchTime(df, "user_id", "ts", "event_id",
+          col("event_type") === "s", col("event_type") === "p", maxGap = W)
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          r.getAs[Long]("n_matches")).toMap
+      assert(got == refMatches, s"trial $trial sequenceMatchTime")
+    }
+  }
+
   test("sequenceMatchTime: adjacency over the matched subsequence, exclusive gap bound") {
     val rows = Seq(
       // user 1: s at 0, noise at 10 (not a condition — must NOT break
