@@ -166,7 +166,30 @@ object TrainingQueries5 {
       .orderBy(col("source"))
   }
 
+  /** C50: LSH recall audit — the measurement that JUSTIFIES the c2
+    * banding parameters: exact 5-gram-Jaccard pairs at t=0.5 (the
+    * prefix-filtered AllPairs ground truth) vs the MinHash(k=8,b=4)
+    * chain's verified pairs, as recall in exact ppm. LSH pairs are a
+    * strict subset of the exact set (both verify with the same exact
+    * Jaccard), so the set sizes alone carry the audit. */
+  private def c50LshRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val corpus = TrainingQueries.corpusWithDups(T(s, dir, "documents"))
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 5, threshold = 0.5)
+    val lsh = Dedup.minHashLsh(corpus, "doc_id", "text",
+      n = 5, k = 8, bands = 4, threshold = 0.5)
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .select(col("n_exact"), col("n_lsh"),
+        (col("n_exact") - col("n_lsh")).as("n_missed"),
+        when(col("n_exact") > 0,
+          expr("(n_lsh * 1000000L) div n_exact")).otherwise(0L)
+          .as("recall_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c50_lsh_recall" -> (c50LshRecall _),
     "c49_shard_export" -> (c49ShardExport _),
     "c48_corpus_report" -> (c48CorpusReport _),
     "c43_dsir" -> (c43Dsir _),
@@ -261,6 +284,32 @@ object TrainingQueries5 {
           SELECT doc_id, n_trigrams, round(h, 4) AS h_bits,
             round(power(2.0, h), 4) AS ppl
           FROM ds ORDER BY doc_id""",
+    "c50_lsh_recall" ->
+      s"""WITH ${TrainingQueries.corpusSql},
+          toks AS (SELECT doc_id, ${TrainingQueries.toksSql} AS tk
+            FROM corpus),
+          shd AS (SELECT doc_id,
+            list_distinct(${TrainingQueries.ngramsSql(5)}) AS shs
+            FROM toks),
+          ${TrainingQueries.minhashSigSql(8)},
+          ${TrainingQueries.bandedSql(4, 2)},
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+          ${TrainingQueries.jaccardSql(0.5)},
+          lsh AS (
+            SELECT c.id1, c.id2 FROM cand c
+            JOIN verified v ON c.id1 = v.id1 AND c.id2 = v.id2),
+          m AS (SELECT count(*) AS n_exact FROM verified),
+          l AS (SELECT count(*) AS n_lsh FROM lsh)
+          SELECT CAST(m.n_exact AS BIGINT) AS n_exact,
+            CAST(l.n_lsh AS BIGINT) AS n_lsh,
+            CAST(m.n_exact - l.n_lsh AS BIGINT) AS n_missed,
+            CASE WHEN m.n_exact > 0
+              THEN (l.n_lsh * 1000000) // m.n_exact ELSE 0 END
+              AS recall_ppm
+          FROM m, l""",
     "c49_shard_export" ->
       """SELECT source, count(*) AS n_docs,
            count(DISTINCT doc_id) AS n_doc_ids,
