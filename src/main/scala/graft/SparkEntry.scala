@@ -319,6 +319,7 @@ object SparkEntry {
   ) ++ AnalyticsQueries.queries ++ AnalyticsQueries2.queries ++
     AnalyticsQueries3.queries ++ AnalyticsQueries4.queries ++
     AnalyticsQueries5.queries ++ AnalyticsQueries6.queries ++
+    AnalyticsQueries7.queries ++
     TrainingQueries.queries ++
     TrainingQueries2.queries ++ TrainingQueries3.queries ++
     TrainingQueries4.queries ++ TrainingQueries5.queries
@@ -450,6 +451,7 @@ object SparkEntry {
   ) ++ AnalyticsQueries.oracleSql ++ AnalyticsQueries2.oracleSql ++
     AnalyticsQueries3.oracleSql ++ AnalyticsQueries4.oracleSql ++
     AnalyticsQueries5.oracleSql ++ AnalyticsQueries6.oracleSql ++
+    AnalyticsQueries7.oracleSql ++
     TrainingQueries.oracleSql ++
     TrainingQueries2.oracleSql ++ TrainingQueries3.oracleSql ++
     TrainingQueries4.oracleSql ++ TrainingQueries5.oracleSql

@@ -156,4 +156,102 @@ object Stats {
         sum(value * exp((timeNs - col("__mx")).cast("double") / lit(tauNs.toDouble)))
           .as("decayed_sum"))
   }
+
+  /** Spearman rank correlation (CH `rankCorr`) between x and y within
+    * each group, EXACT under ties: each row's average rank is kept in
+    * DOUBLED units (2·minrank + ties − 1, always an integer — the
+    * [[mannWhitney]] trick per-row), and Pearson over the doubled
+    * ranks equals Pearson over the true average ranks because
+    * correlation is affine-invariant. Sufficient statistics stay
+    * integral (exact in int64 up to ~10⁵ rows per group; the 100 TB
+    * path swaps the sums to decimal(38,0) — DuckDB's HUGEINT does
+    * this automatically); only the final ρ finalizes in double.
+    * Scale: two keyed sort windows + one keyed aggregation, all on
+    * the SAME group key — one hash exchange, two in-partition sorts.
+    * Output: keys..., n, rho (unrounded double; null when either
+    * margin is constant). */
+  def spearman(df: DataFrame, keys: Seq[String], x: Column, y: Column): DataFrame = {
+    val kc = keys.map(col)
+    def rank2(v: String): Column = {
+      val ord = Window.partitionBy(kc: _*).orderBy(col(v))
+      val ties = Window.partitionBy((kc :+ col(v)): _*)
+      lit(2L) * rank().over(ord) + count(lit(1)).over(ties) - 1L
+    }
+    val agg = df.select((kc :+ x.as("__x") :+ y.as("__y")): _*)
+      .withColumn("__rx", rank2("__x"))
+      .withColumn("__ry", rank2("__y"))
+      .groupBy(kc: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
+        sum(col("__rx") * col("__ry")).as("__sxy"),
+        sum(col("__rx") * col("__rx")).as("__sxx"),
+        sum(col("__ry") * col("__ry")).as("__syy"))
+    val n = col("n").cast("double")
+    val num = n * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")
+    val dx = n * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val dy = n * col("__syy").cast("double") -
+      col("__sy").cast("double") * col("__sy").cast("double")
+    agg.select((kc :+ col("n") :+
+      when(dx > 0 && dy > 0, num / sqrt(dx * dy)).as("rho")): _*)
+  }
+
+  /** Median absolute deviation — median(|x − median(x)|) per group,
+    * both medians EXACT data elements under the b15 integer-rank
+    * convention (lower median: rank (n−1)·50/100 + 1 over a
+    * (value, tieBreak) total order). The deviations are one IEEE
+    * subtraction of two data doubles — identical on any engine — so
+    * the output needs NO rounding. Scale: median-by-rank is a keyed
+    * sort window; the per-group median row (|groups| rows) joins back
+    * broadcast; the deviation pass re-sorts once. Two corpus sorts,
+    * no corpus-sized shuffle beyond them.
+    * Output: keys..., n, median, mad. */
+  def medianAbsDev(df: DataFrame, keys: Seq[String], value: Column,
+                   tieBreak: Column): DataFrame = {
+    val kc = keys.map(col)
+    def pick(in: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(kc: _*).orderBy(col(v), col("__tb"))
+      val cw = Window.partitionBy(kc: _*)
+      in.withColumn("__rn", row_number().over(w))
+        .withColumn("__cnt", count(lit(1)).over(cw))
+        .filter(col("__rn") === floor((col("__cnt") - 1L) * 50L / 100L) + 1L)
+        .select((kc :+ col("__cnt").as("n") :+ col(v).as(out)): _*)
+    }
+    val base = df.select((kc :+ value.as("__v") :+ tieBreak.as("__tb")): _*)
+    val med = pick(base, "__v", "median")
+    val dev = base.join(broadcast(med), keys)
+      .withColumn("__d", abs(col("__v") - col("median")))
+    pick(dev.select((kc :+ col("__d") :+ col("__tb")): _*), "__d", "mad")
+      .drop("n")
+      .join(broadcast(med), keys)
+      .select((kc ++ Seq(col("n"), col("median"), col("mad"))): _*)
+  }
+
+  /** One-way ANOVA F statistic (CH `analysisOfVariance`): does the
+    * mean of `value` differ across the `cat` levels within each
+    * group? One pass of per-(group, cat) sufficient statistics — the
+    * exchange carries (n, Σx, Σx²) per cell — then the between/within
+    * decomposition finalizes over |cats| rows per group:
+    * F = (SSB/(k−1)) / (SSW/(n−k)). Callers round (float sums).
+    * Output: keys..., n, k, ssb, ssw, f (null when k < 2, n ≤ k, or
+    * SSW is 0). */
+  def anovaF(df: DataFrame, keys: Seq[String], cat: Column,
+             value: Column): DataFrame = {
+    val kc = keys.map(col)
+    val cells = df.groupBy((kc :+ cat.as("__cat")): _*)
+      .agg(count(lit(1)).as("__n"), sum(value).as("__s"),
+        sum(value * value).as("__q"))
+    val agg = cells.groupBy(kc: _*)
+      .agg(sum(col("__n")).as("n"), count(lit(1)).as("k"),
+        sum(col("__s")).as("__st"), sum(col("__q")).as("__qt"),
+        sum(col("__s") * col("__s") / col("__n").cast("double")).as("__sg"))
+    val n = col("n").cast("double")
+    val k = col("k").cast("double")
+    val ssb = col("__sg") - col("__st") * col("__st") / n
+    val ssw = col("__qt") - col("__sg")
+    agg.select((kc ++ Seq(col("n"), col("k"), ssb.as("ssb"), ssw.as("ssw"),
+      when(col("k") >= 2 && col("n") > col("k") && ssw > 0,
+        (ssb / (k - 1.0)) / (ssw / (n - k))).as("f"))): _*)
+  }
 }
