@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
 import graft.operators.Stats
@@ -63,10 +64,135 @@ object AnalyticsQueries7 {
         round(col("f"), 4).as("f_stat"))
       .orderBy(col("event_date"))
 
+  /** B77: CH `categoricalInformationValue` — how predictive are
+    * day-of-week and a user-cohort feature of the purchase event?
+    * IV = Σ_cells (g/G − b/B)·ln((g/G)/(b/B)) over each feature's
+    * contingency cells (WoE-weighted); cells missing a class are
+    * excluded (WoE undefined), their count reported. One scan builds
+    * both features' cells via a 2-row explode; the finalization runs
+    * over ≤ 17 cells. Same 0=Monday axis as b66. */
+  private def b77InfoValue(s: SparkSession, dir: String): DataFrame = {
+    val cells = T(s, dir, "events")
+      .select(col("user_id"),
+        (col("event_type") === "purchase").cast("long").as("y"),
+        weekday(Fns.nanosToTimestamp(col("ts"))).cast("long").as("dow"))
+      .select(explode(array(
+          struct(lit("dow").as("feature"), col("dow").as("cat")),
+          struct(lit("user_cohort").as("feature"),
+            pmod(col("user_id"), lit(10)).as("cat")))).as("fc"),
+        col("y"))
+      .groupBy(col("fc.feature").as("feature"), col("fc.cat").as("cat"))
+      .agg(sum(col("y")).as("g"), sum(lit(1L) - col("y")).as("b"))
+    val w = Window.partitionBy(col("feature"))
+    cells
+      .withColumn("gt", sum(col("g")).over(w))
+      .withColumn("bt", sum(col("b")).over(w))
+      .withColumn("ok", col("g") > 0 && col("b") > 0)
+      .withColumn("share_g", col("g").cast("double") / col("gt").cast("double"))
+      .withColumn("share_b", col("b").cast("double") / col("bt").cast("double"))
+      .groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_cats"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_skipped"),
+        round(sum(when(col("ok"),
+          (col("share_g") - col("share_b")) *
+            log(col("share_g") / col("share_b"))).otherwise(0.0)), 4)
+          .as("iv"))
+      .orderBy(col("feature"))
+  }
+
+  /** B78: CH `theilsU` (+ the contingency coefficient next to b66's
+    * Cramér's V) — the ASYMMETRIC association between event type and
+    * day-of-week: U(type|dow) = (H(type) − H(type|dow)) / H(type) and
+    * its transpose, plus C = √(χ²/(χ²+n)). Everything finalizes from
+    * the same 35-cell contingency table; counts are exact integers,
+    * float math touches only cells. */
+  private def b78TheilsU(s: SparkSession, dir: String): DataFrame = {
+    val cells = T(s, dir, "events")
+      .groupBy(col("event_type"),
+        weekday(Fns.nanosToTimestamp(col("ts"))).cast("long").as("dow"))
+      .agg(count(lit(1)).as("c"))
+    val byType = Window.partitionBy(col("event_type"))
+    val byDow = Window.partitionBy(col("dow"))
+    val all = Window.partitionBy()
+    val cd = col("c").cast("double")
+    val nd = col("n").cast("double")
+    val e = col("rt") * col("ct") / nd
+    val m = cells
+      .withColumn("rt", sum(col("c")).over(byType))
+      .withColumn("ct", sum(col("c")).over(byDow))
+      .withColumn("n", sum(col("c")).over(all))
+      // margin Σ c·ln c terms are counted once: only on each margin's
+      // first cell, marked by a rank guard
+      .withColumn("fr", row_number().over(byType.orderBy(col("dow"))))
+      .withColumn("fc", row_number().over(byDow.orderBy(col("event_type"))))
+    val agg = m.groupBy()
+      .agg(max(col("n")).as("n"),
+        sum(cd * log(cd)).as("hj"),
+        sum(when(col("fr") === 1,
+          col("rt").cast("double") * log(col("rt").cast("double")))
+          .otherwise(0.0)).as("hr"),
+        sum(when(col("fc") === 1,
+          col("ct").cast("double") * log(col("ct").cast("double")))
+          .otherwise(0.0)).as("hc"),
+        sum((cd - e) * (cd - e) / e).as("chi2"))
+    val n = col("n").cast("double")
+    // H(X) = ln n − hr/n; H(X|Y) = (hc − hj)/n (both in nats; the
+    // ratio cancels the base)
+    val hx = log(n) - col("hr") / n
+    val hy = log(n) - col("hc") / n
+    val hxGivenY = (col("hc") - col("hj")) / n
+    val hyGivenX = (col("hr") - col("hj")) / n
+    agg.select(col("n"),
+      round((hx - hxGivenY) / hx, 4).as("u_type_given_dow"),
+      round((hy - hyGivenX) / hy, 4).as("u_dow_given_type"),
+      round(col("chi2"), 4).as("chi2"),
+      round(sqrt(col("chi2") / (col("chi2") + n)), 4).as("contingency_c"))
+  }
+
+  /** B79: the CH array-function family — groupArray → arraySort /
+    * arrayDifference / arrayCumSum / arrayCompact over each user's
+    * purchase amounts (integer cents via floor: half-rounding modes
+    * differ across engines, floor doesn't), emitted as comma-joined
+    * strings (the driver's hash can't sort array cells). Spark-first:
+    * the per-user sequence assembles ONCE as a sorted struct array per
+    * group; every derived array is a codegen'd higher-order function
+    * (zip_with/slice/transform) over it — no second shuffle, no
+    * window pass over the corpus. */
+  private def b79ArrayFuns(s: SparkSession, dir: String): DataFrame = {
+    val p = T(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val byTime = p
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("cents")))).as("seq"))
+      .withColumn("arr", expr("transform(seq, x -> x.cents)"))
+    byTime.select(col("user_id"), col("n_purchases"),
+        concat_ws(",", expr("array_sort(arr)")).as("sorted_str"),
+        concat_ws(",", expr(
+          "zip_with(slice(array_sort(arr), 2, size(arr) - 1), " +
+            "slice(array_sort(arr), 1, size(arr) - 1), (a, b) -> a - b)"))
+          .as("diff_str"),
+        concat_ws(",", expr(
+          // runningAccumulate over the time order: prefix sums via a
+          // transform re-reading the assembled array (n per user is
+          // small; the corpus never re-shuffles)
+          "transform(arr, (x, i) -> aggregate(slice(arr, 1, i + 1), " +
+            "0L, (acc, e) -> acc + e))")).as("cumsum_str"),
+        concat_ws(",", expr("array_distinct(array_sort(arr))"))
+          .as("compact_str"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b74_rank_corr" -> (b74RankCorr _),
     "b75_mad" -> (b75Mad _),
-    "b76_anova" -> (b76Anova _)
+    "b76_anova" -> (b76Anova _),
+    "b77_info_value" -> (b77InfoValue _),
+    "b78_theils_u" -> (b78TheilsU _),
+    "b79_array_funs" -> (b79ArrayFuns _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -112,6 +238,90 @@ object AnalyticsQueries7 {
          FROM d JOIN med ON d.event_type = med.event_type
          WHERE d.rn = (d.cnt - 1) * 50 // 100 + 1
          ORDER BY d.event_type""",
+    "b77_info_value" ->
+      """WITH e AS (
+           SELECT user_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CAST(isodow(ts) - 1 AS BIGINT) AS dow
+           FROM events),
+         f AS (
+           SELECT 'dow' AS feature, dow AS cat, y FROM e
+           UNION ALL
+           SELECT 'user_cohort', user_id % 10, y FROM e),
+         cells AS (
+           SELECT feature, cat, CAST(sum(y) AS BIGINT) AS g,
+             CAST(sum(1 - y) AS BIGINT) AS b
+           FROM f GROUP BY 1, 2),
+         m AS (
+           SELECT feature, g, b,
+             CAST(sum(g) OVER (PARTITION BY feature) AS DOUBLE) AS gt,
+             CAST(sum(b) OVER (PARTITION BY feature) AS DOUBLE) AS bt
+           FROM cells)
+         SELECT feature, count(*) AS n_cats,
+           CAST(sum(CASE WHEN g > 0 AND b > 0 THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_skipped,
+           round(sum(CASE WHEN g > 0 AND b > 0
+             THEN (CAST(g AS DOUBLE) / gt - CAST(b AS DOUBLE) / bt)
+               * ln((CAST(g AS DOUBLE) / gt) / (CAST(b AS DOUBLE) / bt))
+             ELSE 0 END), 4) AS iv
+         FROM m GROUP BY feature ORDER BY feature""",
+    "b78_theils_u" ->
+      """WITH cells AS (
+           SELECT event_type, CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, dow, c,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+             CAST(sum(c) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+             CAST(sum(c) OVER () AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY event_type ORDER BY dow)
+               AS fr,
+             row_number() OVER (PARTITION BY dow ORDER BY event_type)
+               AS fc
+           FROM cells),
+         a AS (
+           SELECT max(n) AS n,
+             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS hj,
+             sum(CASE WHEN fr = 1 THEN CAST(rt AS DOUBLE)
+               * ln(CAST(rt AS DOUBLE)) ELSE 0 END) AS hr,
+             sum(CASE WHEN fc = 1 THEN CAST(ct AS DOUBLE)
+               * ln(CAST(ct AS DOUBLE)) ELSE 0 END) AS hc,
+             sum((CAST(c AS DOUBLE) - rt * ct / CAST(n AS DOUBLE))
+               * (CAST(c AS DOUBLE) - rt * ct / CAST(n AS DOUBLE))
+               / (rt * ct / CAST(n AS DOUBLE))) AS chi2
+           FROM m)
+         SELECT n,
+           round((ln(CAST(n AS DOUBLE)) - hr / n - (hc - hj) / n)
+             / (ln(CAST(n AS DOUBLE)) - hr / n), 4) AS u_type_given_dow,
+           round((ln(CAST(n AS DOUBLE)) - hc / n - (hr - hj) / n)
+             / (ln(CAST(n AS DOUBLE)) - hc / n), 4) AS u_dow_given_type,
+           round(chi2, 4) AS chi2,
+           round(sqrt(chi2 / (chi2 + n)), 4) AS contingency_c
+         FROM a""",
+    "b79_array_funs" ->
+      """WITH p AS (
+           SELECT user_id, epoch_ns(ts) AS tn, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         o AS (
+           SELECT user_id, cents,
+             row_number() OVER wt AS rn,
+             CAST(sum(cents) OVER (wt ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS cum,
+             row_number() OVER ws AS srn,
+             lag(cents) OVER ws AS prev
+           FROM p
+           WINDOW wt AS (PARTITION BY user_id ORDER BY tn, event_id),
+             ws AS (PARTITION BY user_id ORDER BY cents, tn, event_id))
+         SELECT user_id, count(*) AS n_purchases,
+           string_agg(cents, ',' ORDER BY srn) AS sorted_str,
+           coalesce(string_agg(cents - prev, ',' ORDER BY srn)
+             FILTER (WHERE srn > 1), '') AS diff_str,
+           string_agg(cum, ',' ORDER BY rn) AS cumsum_str,
+           string_agg(cents, ',' ORDER BY srn)
+             FILTER (WHERE prev IS NULL OR cents <> prev) AS compact_str
+         FROM o GROUP BY user_id ORDER BY user_id""",
     "b76_anova" ->
       """WITH cells AS (
            SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
