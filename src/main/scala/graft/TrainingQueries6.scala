@@ -32,14 +32,21 @@ object TrainingQueries6 {
     * its pairs directly — no gram-keyed self-join. Zero-overlap pairs
     * stay in the output (LEFT join from the full pair grid). */
   private def c51SourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val grams = T(s, dir, "documents")
+    // ONE corpus pass: collect_set dedups (no separate distinct
+    // exchange), and the per-source gram counts derive from the same
+    // per-gram source-sets (explode of |sources|-sized arrays), so the
+    // corpus is never re-scanned for the margins. Persisted because
+    // both the counts and the pair emission read it.
+    val sets = T(s, dir, "documents")
       .select(col("source"),
         explode(Fns.wordNGrams(Fns.tokens(col("text")), 5)).as("g"))
-      .distinct()
-    val counts = grams.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_grams"))
-    val inter = grams.groupBy(col("g"))
+      .groupBy(col("g"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .persist()
+    val counts = sets.select(explode(col("ss")).as("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"))
+    val inter = sets
       .select(explode(expr(
         """flatten(transform(ss, (a, i) ->
              transform(slice(ss, i + 2, size(ss) - i - 1),

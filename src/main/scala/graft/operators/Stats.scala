@@ -210,22 +210,22 @@ object Stats {
   def medianAbsDev(df: DataFrame, keys: Seq[String], value: Column,
                    tieBreak: Column): DataFrame = {
     val kc = keys.map(col)
-    def pick(in: DataFrame, v: String, out: String): DataFrame = {
+    def medianRow(in: DataFrame, v: String): DataFrame = {
       val w = Window.partitionBy(kc: _*).orderBy(col(v), col("__tb"))
       val cw = Window.partitionBy(kc: _*)
       in.withColumn("__rn", row_number().over(w))
         .withColumn("__cnt", count(lit(1)).over(cw))
         .filter(col("__rn") === floor((col("__cnt") - 1L) * 50L / 100L) + 1L)
-        .select((kc :+ col("__cnt").as("n") :+ col(v).as(out)): _*)
     }
     val base = df.select((kc :+ value.as("__v") :+ tieBreak.as("__tb")): _*)
-    val med = pick(base, "__v", "median")
+    val med = medianRow(base, "__v")
+      .select((kc :+ col("__cnt").as("n") :+ col("__v").as("median")): _*)
+    // the deviation pass carries (n, median) through its window —
+    // group constants — so the median branch is built exactly once
     val dev = base.join(broadcast(med), keys)
       .withColumn("__d", abs(col("__v") - col("median")))
-    pick(dev.select((kc :+ col("__d") :+ col("__tb")): _*), "__d", "mad")
-      .drop("n")
-      .join(broadcast(med), keys)
-      .select((kc ++ Seq(col("n"), col("median"), col("mad"))): _*)
+    medianRow(dev, "__d")
+      .select((kc ++ Seq(col("n"), col("median"), col("__d").as("mad"))): _*)
   }
 
   /** One-way ANOVA F statistic (CH `analysisOfVariance`): does the

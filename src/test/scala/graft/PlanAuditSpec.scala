@@ -409,6 +409,47 @@ class PlanAuditSpec extends SparkSpec {
       s"expected one shared exchange:\n$p")
   }
 
+  test("b74: all four rank windows and the aggregation share one event_type exchange") {
+    val p = plan("b74_rank_corr")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected one shared exchange:\n$p")
+    assert(p.split("Window \\[").length - 1 == 4, s"expected 4 window nodes:\n$p")
+  }
+
+  test("b75: two corpus exchanges (median branch, deviation branch); median joins back broadcast") {
+    val p = plan("b75_mad")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 2,
+      s"expected two keyed exchanges:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"median join-back not broadcast:\n$p")
+  }
+
+  test("b76: sufficient stats combine map-side before the (day,type) exchange") {
+    val p = plan("b76_anova")
+    assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 2,
+      s"expected cell pre-agg + day finalization exchanges:\n$p")
+  }
+
+  test("c51: one corpus exchange; counts and pairs read the persisted gram-sets; no gram self-join") {
+    val p = plan("c51_source_overlap")
+    assert(!p.contains("SortMergeJoin"),
+      s"overlap regressed to a gram-keyed self-join:\n$p")
+    assert(p.split("InMemoryTableScan").length - 1 == 3,
+      s"counts (×2 grid sides) and pair emission should read the cache:\n$p")
+    // the gram-keyed exchange exists only INSIDE the cached subtree
+    // (printed once per cache reader) — it executes once
+    assert(p.split("\n").count(l => l.contains("Exchange hashpartitioning(g#")) ==
+      p.split("InMemoryRelation").length - 1,
+      s"a gram-keyed exchange leaked outside the persisted plan:\n$p")
+  }
+
+  test("c52: allocation joins broadcast; stratum stats combine map-side") {
+    val p = plan("c52_stratified")
+    assert(!p.contains("SortMergeJoin"),
+      s"alloc/sample join regressed to sort-merge:\n$p")
+    assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
+  }
+
   test("c46: perplexity scores in two corpus passes — totals read the cached trigram counts") {
     val p = plan("c46_perplexity")
     val explodes = p.split("Generate explode").length - 1
