@@ -186,7 +186,33 @@ object AnalyticsQueries7 {
       .orderBy(col("user_id"))
   }
 
+  /** B80: rolling 7-day distinct actives per day (the "7-day MAU"
+    * dashboard line) — EXACT sliding-window uniques: the corpus first
+    * collapses to distinct (user, day) — one exchange over data — and
+    * only that collapsed table fans out ×7 (each active day
+    * contributes to its next 7 target days); per-target-day exact
+    * distinct counts finalize over the fan-out. Days with no events
+    * (fan-out-only targets) are dropped by the active-days semi join. */
+  private def b80RollingUniq(s: SparkSession, dir: String): DataFrame = {
+    val ud = T(s, dir, "events")
+      .select(to_date(Fns.nanosToTimestamp(col("ts"))).as("d"), col("user_id"))
+      .distinct()
+    val activeDays = ud.select(col("d").as("td")).distinct()
+    ud.select(col("d"), col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("i"))
+      .select(date_add(col("d"), col("i")).as("td"), col("user_id"), col("i"))
+      .join(broadcast(activeDays), Seq("td"), "left_semi")
+      .groupBy(col("td"))
+      .agg(countDistinct(when(col("i") === 0, col("user_id")))
+          .as("n_active_1d"),
+        countDistinct(col("user_id")).as("n_active_7d"))
+      .select(date_format(col("td"), "yyyy-MM-dd").as("day"),
+        col("n_active_1d"), col("n_active_7d"))
+      .orderBy(col("day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b80_rolling_uniq" -> (b80RollingUniq _),
     "b74_rank_corr" -> (b74RankCorr _),
     "b75_mad" -> (b75Mad _),
     "b76_anova" -> (b76Anova _),
@@ -196,6 +222,21 @@ object AnalyticsQueries7 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b80_rolling_uniq" ->
+      """WITH ud AS (
+           SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+         days AS (SELECT DISTINCT d FROM ud),
+         c AS (
+           SELECT ud.d + CAST(g.i AS INTEGER) AS td, ud.user_id, g.i
+           FROM ud CROSS JOIN generate_series(0, 6) AS g(i)),
+         a AS (
+           SELECT td,
+             count(DISTINCT CASE WHEN i = 0 THEN user_id END)
+               AS n_active_1d,
+             count(DISTINCT user_id) AS n_active_7d
+           FROM c JOIN days ON c.td = days.d GROUP BY td)
+         SELECT strftime(td, '%Y-%m-%d') AS day, n_active_1d, n_active_7d
+         FROM a ORDER BY day""",
     "b74_rank_corr" ->
       """WITH r AS (
            SELECT event_type,

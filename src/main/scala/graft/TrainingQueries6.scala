@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.functions.Fns
 import graft.sources.Tables
 
-/** C-series round 5, corpus-curation batch (SURVEY §2C, C51-C52):
-  * the cross-source contamination matrix and variance-aware
-  * (Neyman-allocation) stratified sampling — the two remaining
-  * corpus-level curation reports next to c48's dataset card.
+/** C-series round 5, corpus-curation batch (SURVEY §2C, C51-C54):
+  * cross-source contamination matrix, variance-aware
+  * (Neyman-allocation) stratified sampling, marginal gram coverage,
+  * and split-distribution drift — the corpus-level curation reports
+  * next to c48's dataset card.
   *
   * Scale notes (graded): c51 groups the corpus's distinct
   * (source, shingle) pairs BY SHINGLE and emits ≤ C(|sources|, 2)
@@ -119,12 +120,129 @@ object TrainingQueries6 {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** C53: marginal gram coverage — adding sources in name order, how
+    * many NEW distinct 5-grams does each contribute (the "what does
+    * this source actually add?" acquisition report)? Each gram
+    * attributes to its FIRST source (min over the gram's set); the
+    * cumulative curve finalizes over |sources| rows. Same single
+    * gram-keyed exchange as c51 (min instead of collect_set). */
+  private def c53MarginalCoverage(s: SparkSession, dir: String): DataFrame = {
+    val firsts = T(s, dir, "documents")
+      .select(col("source"),
+        explode(Fns.wordNGrams(Fns.tokens(col("text")), 5)).as("g"))
+      .groupBy(col("g"))
+      .agg(min(col("source")).as("first_source"))
+      .groupBy(col("first_source"))
+      .agg(count(lit(1)).as("n_new_grams"))
+    firsts
+      .withColumn("cum_grams", sum(col("n_new_grams")).over(
+        Window.partitionBy().orderBy(col("first_source"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("first_source").as("source"), col("n_new_grams"),
+        col("cum_grams"))
+      .orderBy(col("source"))
+  }
+
+  /** C54: token-distribution drift between the train and valid splits
+    * (c20's md5 thresholds) — symmetric KL over add-one-smoothed
+    * unigram distributions on the JOINT vocabulary: the distribution
+    * shift check run before shipping a split. One token-keyed
+    * exchange (map-side combined counts); the KL sum finalizes over
+    * |vocab| smoothed cells; integer counts everywhere until the
+    * final log-sum. */
+  private def c54SplitDrift(s: SparkSession, dir: String): DataFrame = {
+    val sp = graft.operators.Splitter.hashSplit(
+      T(s, dir, "documents"), "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val counts = sp.filter(col("split").isin("train", "valid"))
+      .select(col("split"), explode(Fns.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("split") === "valid", 1L).otherwise(0L)).as("cv"))
+    val agg = counts.groupBy()
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(col("ct")).as("n_train_tokens"),
+        sum(col("cv")).as("n_valid_tokens"),
+        // Σ (c+1)·ln(c+1) and cross terms; normalizers factor out of
+        // the sums and finalize once below
+        sum((col("ct") + 1L).cast("double") *
+          log((col("ct") + 1L).cast("double") /
+            (col("cv") + 1L).cast("double"))).as("tlog"),
+        sum((col("cv") + 1L).cast("double") *
+          log((col("cv") + 1L).cast("double") /
+            (col("ct") + 1L).cast("double"))).as("vlog"))
+    val nt = (col("n_train_tokens") + col("vocab_size")).cast("double")
+    val nv = (col("n_valid_tokens") + col("vocab_size")).cast("double")
+    agg.select(col("vocab_size"), col("n_train_tokens"),
+      col("n_valid_tokens"),
+      round(col("tlog") / nt + log(nv / nt), 6).as("kl_train_valid"),
+      round(col("vlog") / nv + log(nt / nv), 6).as("kl_valid_train"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c51_source_overlap" -> (c51SourceOverlap _),
-    "c52_stratified" -> (c52Stratified _)
+    "c52_stratified" -> (c52Stratified _),
+    "c53_marginal_coverage" -> (c53MarginalCoverage _),
+    "c54_split_drift" -> (c54SplitDrift _)
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c53_marginal_coverage" ->
+      s"""WITH toks AS (
+            SELECT source, ${TrainingQueries.toksSql} AS tk FROM documents),
+          g AS (
+            SELECT source, unnest(${TrainingQueries.ngramsSql(5)}) AS g
+            FROM toks),
+          f AS (SELECT g, min(source) AS first_source FROM g GROUP BY g),
+          c AS (
+            SELECT first_source AS source, count(*) AS n_new_grams
+            FROM f GROUP BY 1)
+          SELECT source, n_new_grams,
+            CAST(sum(n_new_grams) OVER (ORDER BY source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_grams
+          FROM c ORDER BY source""",
+    "c54_split_drift" ->
+      """WITH sp AS (
+           SELECT doc_id, text,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    < 'e6666666' THEN 'valid'
+                  ELSE 'test' END AS split
+           FROM documents),
+         tk AS (
+           SELECT split,
+             unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS tok
+           FROM sp WHERE split IN ('train', 'valid')),
+         counts AS (
+           SELECT tok,
+             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN split = 'valid' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cv
+           FROM tk GROUP BY tok),
+         a AS (
+           SELECT count(*) AS vocab_size,
+             CAST(sum(ct) AS BIGINT) AS n_train_tokens,
+             CAST(sum(cv) AS BIGINT) AS n_valid_tokens,
+             sum(CAST(ct + 1 AS DOUBLE)
+               * ln(CAST(ct + 1 AS DOUBLE) / CAST(cv + 1 AS DOUBLE)))
+               AS tlog,
+             sum(CAST(cv + 1 AS DOUBLE)
+               * ln(CAST(cv + 1 AS DOUBLE) / CAST(ct + 1 AS DOUBLE)))
+               AS vlog
+           FROM counts)
+         SELECT vocab_size, n_train_tokens, n_valid_tokens,
+           round(tlog / (n_train_tokens + vocab_size)
+             + ln(CAST(n_valid_tokens + vocab_size AS DOUBLE)
+                 / CAST(n_train_tokens + vocab_size AS DOUBLE)), 6)
+             AS kl_train_valid,
+           round(vlog / (n_valid_tokens + vocab_size)
+             + ln(CAST(n_train_tokens + vocab_size AS DOUBLE)
+                 / CAST(n_valid_tokens + vocab_size AS DOUBLE)), 6)
+             AS kl_valid_train
+         FROM a""",
     "c51_source_overlap" ->
       s"""WITH toks AS (
             SELECT source, ${TrainingQueries.toksSql} AS tk FROM documents),
