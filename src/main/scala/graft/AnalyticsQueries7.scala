@@ -211,7 +211,69 @@ object AnalyticsQueries7 {
       .orderBy(col("day"))
   }
 
+  /** B81: conversion rate with a Wilson 95% interval per event type —
+    * the uncertainty-aware dashboard number (a 3-of-7 day beats a
+    * 40%-of-10 day honestly). Successes = purchase events; the
+    * interval is one closed-form per GROUP (|types| rows), z = 1.96
+    * fixed, identical IEEE ops on both engines. */
+  private def b81WilsonCi(s: SparkSession, dir: String): DataFrame = {
+    val z = lit(1.96)
+    val agg = T(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > 100.0, 1L).otherwise(0L)).as("hits"))
+    val n = col("n").cast("double")
+    val p = col("hits").cast("double") / n
+    val denom = lit(1.0) + z * z / n
+    val center = (p + z * z / (lit(2.0) * n)) / denom
+    val half = z * sqrt(p * (lit(1.0) - p) / n +
+      z * z / (lit(4.0) * n * n)) / denom
+    agg.select(col("event_type"), col("n"), col("hits"),
+        round(p, 6).as("rate"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  /** B82: trailing-window anomaly flags — each (type, day)'s event
+    * count vs the mean/σ of its PRECEDING 7 days (self-excluded:
+    * yesterday's spike can't vouch for today's), |z| > 2 flags. The
+    * corpus collapses to |types|·|days| daily rows first; the trailing
+    * frame runs over that tiny table. Sample σ from integral sums;
+    * warm-up days (< 3 prior) stay unflagged with null z. */
+  private def b82Anomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_format(Fns.nanosToTimestamp(col("ts")), "yyyy-MM-dd")
+          .as("event_date"))
+      .agg(count(lit(1)).as("n"))
+    val trail = Window.partitionBy(col("event_type"))
+      .orderBy(col("event_date")).rowsBetween(-7, -1)
+    // every divisor null-guards (ANSI division-by-zero would otherwise
+    // fire even under when(): subexpression elimination hoists the
+    // shared terms out of the branch)
+    val k = when(col("k") > 0, col("k").cast("double"))
+    val mu = col("s").cast("double") / k
+    val varS = (col("q").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / k) /
+      when(col("k") > 1, col("k").cast("double") - 1.0)
+    val zed = (col("n").cast("double") - mu) /
+      when(varS > 0, sqrt(varS))
+    daily
+      .withColumn("k", count(lit(1)).over(trail))
+      .withColumn("s", sum(col("n")).over(trail))
+      .withColumn("q", sum(col("n") * col("n")).over(trail))
+      .select(col("event_type"), col("event_date"), col("n"),
+        when(col("k") >= 3, round(mu, 4)).as("trail_mean"),
+        when(col("k") >= 3 && varS > 0, round(zed, 4)).as("z"),
+        when(col("k") >= 3 && varS > 0 && abs(zed) > 2.0, 1L)
+          .otherwise(0L).as("is_anomaly"))
+      .orderBy(col("event_type"), col("event_date"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b81_wilson_ci" -> (b81WilsonCi _),
+    "b82_anomaly" -> (b82Anomaly _),
     "b80_rolling_uniq" -> (b80RollingUniq _),
     "b74_rank_corr" -> (b74RankCorr _),
     "b75_mad" -> (b75Mad _),
@@ -222,6 +284,54 @@ object AnalyticsQueries7 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b81_wilson_ci" ->
+      """WITH a AS (
+           SELECT event_type, count(*) AS n,
+             CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits
+           FROM events GROUP BY event_type),
+         f AS (
+           SELECT event_type, n, hits,
+             CAST(hits AS DOUBLE) / n AS p, CAST(n AS DOUBLE) AS nd
+           FROM a)
+         SELECT event_type, n, hits, round(p, 6) AS rate,
+           round((p + 1.96 * 1.96 / (2.0 * nd)) / (1.0 + 1.96 * 1.96 / nd)
+             - 1.96 * sqrt(p * (1.0 - p) / nd
+                 + 1.96 * 1.96 / (4.0 * nd * nd))
+               / (1.0 + 1.96 * 1.96 / nd), 6) AS wilson_lo,
+           round((p + 1.96 * 1.96 / (2.0 * nd)) / (1.0 + 1.96 * 1.96 / nd)
+             + 1.96 * sqrt(p * (1.0 - p) / nd
+                 + 1.96 * 1.96 / (4.0 * nd * nd))
+               / (1.0 + 1.96 * 1.96 / nd), 6) AS wilson_hi
+         FROM f ORDER BY event_type""",
+    "b82_anomaly" ->
+      """WITH daily AS (
+           SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, event_date, n,
+             count(*) OVER w AS k,
+             CAST(sum(n) OVER w AS BIGINT) AS s,
+             CAST(sum(n * n) OVER w AS BIGINT) AS q
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY event_date
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         f AS (
+           SELECT event_type, event_date, n, k,
+             CAST(s AS DOUBLE) / k AS mu,
+             (CAST(q AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / k)
+               / (k - 1.0) AS v
+           FROM t)
+         SELECT event_type, event_date, n,
+           CASE WHEN k >= 3 THEN round(mu, 4) END AS trail_mean,
+           CASE WHEN k >= 3 AND v > 0
+             THEN round((n - mu) / sqrt(v), 4) END AS z,
+           CASE WHEN k >= 3 AND v > 0
+               AND abs((n - mu) / sqrt(v)) > 2.0
+             THEN 1 ELSE 0 END AS is_anomaly
+         FROM f ORDER BY event_type, event_date""",
     "b80_rolling_uniq" ->
       """WITH ud AS (
            SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),

@@ -179,14 +179,100 @@ object TrainingQueries6 {
       round(col("vlog") / nv + log(nt / nv), 6).as("kl_valid_train"))
   }
 
+  /** C56: readability scoring (Flesch reading-ease, the vowel-group
+    * syllable approximation) rolled up per (lang, source) — the
+    * curriculum/difficulty signal next to c9's quality gates. Pure
+    * row-local regexp counting (words = tokens, sentences = [.!?]
+    * runs, syllables = [aeiouy]+ runs), one aggregation exchange;
+    * sentence-less docs are excluded and counted. */
+  private def c56Readability(s: SparkSession, dir: String): DataFrame = {
+    val lowered = lower(trim(col("text")))
+    val words = size(Fns.tokens(col("text")))
+    val sents = size(regexp_extract_all(lowered, lit("[.!?]+"), lit(0)))
+    val sylls = size(regexp_extract_all(lowered, lit("[aeiouy]+"), lit(0)))
+    val scored = T(s, dir, "documents")
+      .select(col("lang"), col("source"), words.as("w"), sents.as("st"),
+        sylls.as("sy"))
+      .withColumn("fre",
+        when(col("st") > 0 && col("w") > 0,
+          lit(206.835) -
+            lit(1.015) * col("w").cast("double") / col("st").cast("double") -
+            lit(84.6) * col("sy").cast("double") / col("w").cast("double")))
+    scored.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("fre").isNull, 1L).otherwise(0L)).as("n_unscored"),
+        round(avg(col("fre")), 4).as("mean_fre"),
+        sum(when(col("fre") >= 60.0, 1L).otherwise(0L)).as("n_easy"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** C57: lexical diversity per source — type-token ratio and hapax
+    * share over word unigrams (the vocabulary-health numbers a corpus
+    * card quotes next to c48's volume stats): one token-keyed
+    * exchange of (source, token) counts, |vocab|-row finalization;
+    * ratios in exact ppm (integer div) so no float leaves the
+    * engine. */
+  private def c57LexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("source"), explode(Fns.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        expr("vocab * 1000000 div n_tokens").as("ttr_ppm"),
+        expr("hapax * 1000000 div vocab").as("hapax_ppm"))
+      .orderBy(col("source"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c51_source_overlap" -> (c51SourceOverlap _),
     "c52_stratified" -> (c52Stratified _),
     "c53_marginal_coverage" -> (c53MarginalCoverage _),
-    "c54_split_drift" -> (c54SplitDrift _)
+    "c54_split_drift" -> (c54SplitDrift _),
+    "c56_readability" -> (c56Readability _),
+    "c57_lexical_diversity" -> (c57LexicalDiversity _)
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c56_readability" ->
+      """WITH m AS (
+           SELECT lang, source,
+             len(regexp_extract_all(lower(trim(text)), '\S+')) AS w,
+             len(regexp_extract_all(lower(trim(text)), '[.!?]+')) AS st,
+             len(regexp_extract_all(lower(trim(text)), '[aeiouy]+')) AS sy
+           FROM documents),
+         f AS (
+           SELECT lang, source,
+             CASE WHEN st > 0 AND w > 0
+               THEN 206.835 - 1.015 * CAST(w AS DOUBLE) / st
+                 - 84.6 * CAST(sy AS DOUBLE) / w END AS fre
+           FROM m)
+         SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN fre IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unscored,
+           round(avg(fre), 4) AS mean_fre,
+           CAST(sum(CASE WHEN fre >= 60.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_easy
+         FROM f GROUP BY lang, source ORDER BY lang, source""",
+    "c57_lexical_diversity" ->
+      """WITH tk AS (
+           SELECT source,
+             unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS tok
+           FROM documents),
+         c AS (
+           SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+         a AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS vocab,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax
+           FROM c GROUP BY source)
+         SELECT source, n_tokens, vocab, hapax,
+           vocab * 1000000 // n_tokens AS ttr_ppm,
+           hapax * 1000000 // vocab AS hapax_ppm
+         FROM a ORDER BY source""",
     "c53_marginal_coverage" ->
       s"""WITH toks AS (
             SELECT source, ${TrainingQueries.toksSql} AS tk FROM documents),

@@ -30,6 +30,18 @@ case class UniqUpToState(ids: Seq[Long])
 case class UniqUpToOut(event_type: String, event_date: String,
                        uniq_upto: Long)
 
+/** Streaming OHLC state: one fixed-size record per (type, hour) —
+  * open/close carry their (ts, id) rank keys so late events resolve
+  * identically to the batch rank windows. */
+case class OhlcState(openTs: Long, openId: Long, open: Double,
+                     high: Double, low: Double,
+                     closeTs: Long, closeId: Long, close: Double,
+                     n: Long, sum: Double)
+
+case class OhlcOut(event_type: String, h: Long, n: Long, open: Double,
+                   high: Double, low: Double, close: Double,
+                   sum_value: Double)
+
 /** Streaming twins of the batch analytics: the rollup the reference's
   * ClickHouse tables serve (B8) as a watermarked windowed aggregation,
   * and sessionization (B6) as explicit keyed state — the two
@@ -207,6 +219,52 @@ object StreamingAnalytics {
           it.foreach { e => if (ids.size <= n) ids += e.user_id }
           state.update(UniqUpToState(ids.toSeq.sorted))
           UniqUpToOut(key._1, key._2, math.min(ids.size, n + 1).toLong)
+      }
+  }
+
+  /** Streaming OHLC bars (b70's unbounded twin): open/high/low/close
+    * + count + sum per (type, hour) from ONE fixed-size state record
+    * per bar — open/close keep their (ts, event_id) rank keys, so
+    * out-of-order and cross-micro-batch arrivals resolve EXACTLY as
+    * the batch rank windows do (high/low/n are order-free; only the
+    * float sum differs by fp association, the same trade as
+    * [[decayStream]]). State is bounded by live (type, hour) bars —
+    * a production deployment adds a GroupStateTimeout keyed to the
+    * watermark to retire closed hours; the semantics here don't
+    * depend on it. */
+  def ohlcStream(events: Dataset[Event]): Dataset[OhlcOut] = {
+    val HourNs = 3600L * 1000000000L
+    implicit val stateEnc = Encoders.product[OhlcState]
+    implicit val outEnc = Encoders.product[OhlcOut]
+    implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    events.groupByKey(e => (e.event_type, Math.floorDiv(e.ts, HourNs)))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), it: Iterator[Event],
+         state: GroupState[OhlcState]) =>
+          var st = state.getOption.orNull
+          it.foreach { e =>
+            st = if (st == null)
+              OhlcState(e.ts, e.event_id, e.value, e.value, e.value,
+                e.ts, e.event_id, e.value, 1L, e.value)
+            else {
+              val first = e.ts < st.openTs ||
+                (e.ts == st.openTs && e.event_id < st.openId)
+              val last = e.ts > st.closeTs ||
+                (e.ts == st.closeTs && e.event_id > st.closeId)
+              OhlcState(
+                if (first) e.ts else st.openTs,
+                if (first) e.event_id else st.openId,
+                if (first) e.value else st.open,
+                math.max(st.high, e.value), math.min(st.low, e.value),
+                if (last) e.ts else st.closeTs,
+                if (last) e.event_id else st.closeId,
+                if (last) e.value else st.close,
+                st.n + 1L, st.sum + e.value)
+            }
+          }
+          state.update(st)
+          OhlcOut(key._1, key._2, st.n, st.open, st.high, st.low,
+            st.close, st.sum)
       }
   }
 

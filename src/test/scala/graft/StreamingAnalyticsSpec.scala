@@ -200,4 +200,46 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("start_s") == 10000L &&
       out(1).getAs[Long]("end_s") == 10000L)
   }
+
+  test("streaming OHLC resolves open/close across micro-batch splits exactly like the batch ranks") {
+    val hr = 3600L
+    // hour 0 of "click": open arrives in batch TWO (earlier ts), close
+    // tie on ts broken by the higher event_id, also cross-batch
+    val rows1 = Seq(
+      ev(5, 100, 1, "click", 10.0), ev(6, 900, 2, "click", 3.0),
+      ev(7, hr + 10, 1, "view", 7.0))
+    val rows2 = Seq(
+      ev(2, 50, 3, "click", 20.0),  // new open (ts 50 < 100)
+      ev(9, 900, 4, "click", 8.0),  // close: ties ts 900, id 9 > 6
+      ev(8, hr + 5, 2, "view", 1.0))
+    val dir = tmpDir("ohlc")
+    rows1.toDF().coalesce(1).write.mode("append").parquet(s"$dir/in")
+    rows2.toDF().coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    val stream = spark.readStream.schema(rows1.toDF().schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .as[Event]
+    val q = StreamingAnalytics.ohlcStream(stream)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$dir/ck")
+      .format("memory").queryName("ohlc")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val last = spark.table("ohlc")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"), col("h"))
+          .orderBy(col("n").desc)))
+      .filter(col("rk") === 1).drop("rk")
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("h")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("open"),
+          r.getAs[Double]("high"), r.getAs[Double]("low"),
+          r.getAs[Double]("close"), r.getAs[Double]("sum_value"))).toMap
+
+    assert(last(("click", 0L)) == ((4L, 20.0, 20.0, 3.0, 8.0, 41.0)))
+    // view hour 1: open id 8 (ts hr+5), close id 7 (ts hr+10)
+    assert(last(("view", 1L)) == ((2L, 1.0, 7.0, 1.0, 7.0, 8.0)))
+  }
 }
