@@ -271,7 +271,57 @@ object AnalyticsQueries7 {
       .orderBy(col("event_type"), col("event_date"))
   }
 
+  /** B83: week-over-week growth — weekly exact revenue per type with
+    * the %-change vs the previous week (the period-over-period
+    * dashboard staple): decimal-exact weekly sums, one lag over the
+    * |types|·|weeks| rollup, first weeks and zero-base weeks
+    * null-guarded in the divisor (ANSI). */
+  private def b83WowGrowth(s: SparkSession, dir: String): DataFrame = {
+    val weekly = T(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_format(date_trunc("week",
+          Fns.nanosToTimestamp(col("ts"))), "yyyy-MM-dd").as("week"))
+      .agg(count(lit(1)).as("n"), Fns.sumExact(col("value"), 2).as("revenue"))
+    val w = Window.orderBy(col("week"))
+    weekly
+      .withColumn("prev", lag(col("revenue"), 1).over(w))
+      .select(col("week"), col("n"), col("revenue"),
+        round((col("revenue") - col("prev")) * 100.0 /
+          when(col("prev") > 0, col("prev")), 4).as("wow_pct"))
+      .orderBy(col("week"))
+  }
+
+  /** B84: cohort LTV accumulation — cumulative purchase revenue per
+    * first-event-week cohort by weeks-since-first (the LTV triangle
+    * b42's retention counts price out): the user-cohort assignment is
+    * one keyed min-window; revenue cells are decimal-exact; the
+    * cumulative runs over the |cohorts|·|ages| triangle, never data. */
+  private def b84CohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("first_ts", min(col("ts")).over(wu))
+    val cells = ev.filter(col("event_type") === "purchase")
+      .select(
+        date_format(date_trunc("week", Fns.nanosToTimestamp(col("first_ts"))),
+          "yyyy-MM-dd").as("cohort_week"),
+        (datediff(to_date(Fns.nanosToTimestamp(col("ts"))),
+          to_date(Fns.nanosToTimestamp(col("first_ts")))).cast("long") / 7L)
+          .cast("long").as("age_weeks"),
+        col("value"))
+      .groupBy(col("cohort_week"), col("age_weeks"))
+      .agg(count(lit(1)).as("n_purchases"),
+        Fns.sumExact(col("value"), 2).as("revenue"))
+    val cum = Window.partitionBy(col("cohort_week")).orderBy(col("age_weeks"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_revenue", round(sum(col("revenue")).over(cum), 2))
+      .orderBy(col("cohort_week"), col("age_weeks"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b83_wow_growth" -> (b83WowGrowth _),
+    "b84_cohort_ltv" -> (b84CohortLtv _),
     "b81_wilson_ci" -> (b81WilsonCi _),
     "b82_anomaly" -> (b82Anomaly _),
     "b80_rolling_uniq" -> (b80RollingUniq _),
@@ -284,6 +334,44 @@ object AnalyticsQueries7 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b83_wow_growth" ->
+      """WITH weekly AS (
+           SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         l AS (
+           SELECT week, n, revenue,
+             lag(revenue) OVER (ORDER BY week) AS prev
+           FROM weekly)
+         SELECT week, n, revenue,
+           CASE WHEN prev > 0
+             THEN round((revenue - prev) * 100.0 / prev, 4) END AS wow_pct
+         FROM l ORDER BY week""",
+    "b84_cohort_ltv" ->
+      """WITH f AS (
+           SELECT user_id, min(epoch_ns(ts)) AS fts
+           FROM events GROUP BY user_id),
+         p AS (
+           SELECT strftime(date_trunc('week',
+               make_timestamp(f.fts // 1000)), '%Y-%m-%d') AS cohort_week,
+             date_diff('day',
+               CAST(make_timestamp(f.fts // 1000) AS DATE),
+               CAST(e.ts AS DATE)) // 7 AS age_weeks,
+             e.value
+           FROM events e JOIN f USING (user_id)
+           WHERE e.event_type = 'purchase'),
+         c AS (
+           SELECT cohort_week, CAST(age_weeks AS BIGINT) AS age_weeks,
+             count(*) AS n_purchases,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           FROM p GROUP BY 1, 2)
+         SELECT cohort_week, age_weeks, n_purchases, revenue,
+           round(sum(revenue) OVER (PARTITION BY cohort_week
+             ORDER BY age_weeks
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS cum_revenue
+         FROM c ORDER BY cohort_week, age_weeks""",
     "b81_wilson_ci" ->
       """WITH a AS (
            SELECT event_type, count(*) AS n,

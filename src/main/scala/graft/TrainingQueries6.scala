@@ -226,7 +226,70 @@ object TrainingQueries6 {
         expr("hapax * 1000000 div vocab").as("hapax_ppm"))
       .orderBy(col("source"))
 
+  /** C58: cross-lingual contamination — the same normalized text
+    * appearing under MULTIPLE language labels (mislabeled or
+    * machine-copied docs, the classic lang-ID pollution). The corpus
+    * plants pseudo-translations (every 9th doc re-labeled 'xx', the
+    * c4-style planted-positive convention); detection groups by
+    * md5(normalized text) — bounded key, one exchange — and each
+    * hash's sorted lang-set emits pairs like c51. */
+  private def c58CrossLingual(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"),
+      col("text"))
+    val planted = docs.unionAll(
+      docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          lit("xx").as("lang"), col("text")))
+    planted
+      .select(col("lang"), md5(Fns.normText(col("text"))).as("h"))
+      .groupBy(col("h"))
+      .agg(sort_array(collect_set(col("lang"))).as("ls"))
+      .filter(size(col("ls")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ls, (a, i) ->
+             transform(slice(ls, i + 2, size(ls) - i - 1),
+               b -> struct(a AS la, b AS lb))))""")).as("p"))
+      .groupBy(col("p.la").as("lang_a"), col("p.lb").as("lang_b"))
+      .agg(count(lit(1)).as("n_shared_texts"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
+  /** C59: boilerplate share — disjoint 10-token chunks ("lines")
+    * repeating across ≥2 docs of a source (headers/footers/nav the
+    * corpus should shed before training). One chunk-keyed exchange of
+    * (source, chunk, doc) rows; all ratios exact ppm integer
+    * division. Full chunks only; the sequence guard matters: Spark's
+    * sequence(1,0) counts DOWN, so short docs must short-circuit to an
+    * empty array explicitly. */
+  private def c59Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val chunksExpr = expr(
+      """CASE WHEN size(tk) >= 10
+           THEN transform(sequence(1, size(tk) div 10),
+             i -> array_join(slice(tk, (i - 1) * 10 + 1, 10), ' '))
+           ELSE array() END""")
+    val occ = T(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        Fns.tokens(col("text")).as("tk"))
+      .select(col("source"), col("doc_id"), explode(chunksExpr).as("chunk"))
+    occ.groupBy(col("source"), col("chunk"))
+      .agg(count(lit(1)).as("occ"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .groupBy(col("source"))
+      .agg(sum(col("occ")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(when(col("doc_freq") >= 2, 1L).otherwise(0L))
+          .as("n_boiler_chunks"),
+        sum(when(col("doc_freq") >= 2, col("occ")).otherwise(0L))
+          .as("boiler_occ"))
+      .select(col("source"), col("n_chunks"), col("n_distinct_chunks"),
+        col("n_boiler_chunks"),
+        expr("boiler_occ * 1000000 div n_chunks").as("boiler_ppm"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c58_cross_lingual" -> (c58CrossLingual _),
+    "c59_boilerplate" -> (c59Boilerplate _),
     "c51_source_overlap" -> (c51SourceOverlap _),
     "c52_stratified" -> (c52Stratified _),
     "c53_marginal_coverage" -> (c53MarginalCoverage _),
@@ -236,6 +299,48 @@ object TrainingQueries6 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c58_cross_lingual" ->
+      """WITH planted AS (
+           SELECT doc_id, lang, text FROM documents
+           UNION ALL
+           SELECT doc_id + 3000000, 'xx', text FROM documents
+           WHERE doc_id % 9 = 0),
+         h AS (
+           SELECT DISTINCT lang,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+           FROM planted),
+         s AS (
+           SELECT a.h, a.lang AS la, b.lang AS lb
+           FROM h a JOIN h b ON a.h = b.h AND a.lang < b.lang)
+         SELECT la AS lang_a, lb AS lang_b, count(*) AS n_shared_texts
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    "c59_boilerplate" ->
+      """WITH toks AS (
+           SELECT source, doc_id,
+             regexp_extract_all(lower(trim(text)), '\S+') AS tk
+           FROM documents),
+         ch AS (
+           SELECT source, doc_id,
+             unnest(CASE WHEN len(tk) >= 10
+               THEN list_transform(generate_series(1, len(tk) // 10),
+                 i -> array_to_string(tk[(i-1)*10+1 : (i-1)*10+10], ' '))
+               ELSE [] END) AS chunk
+           FROM toks),
+         g AS (
+           SELECT source, chunk, count(*) AS occ,
+             count(DISTINCT doc_id) AS doc_freq
+           FROM ch GROUP BY 1, 2),
+         a AS (
+           SELECT source, CAST(sum(occ) AS BIGINT) AS n_chunks,
+             count(*) AS n_distinct_chunks,
+             CAST(sum(CASE WHEN doc_freq >= 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_boiler_chunks,
+             CAST(sum(CASE WHEN doc_freq >= 2 THEN occ ELSE 0 END)
+               AS BIGINT) AS boiler_occ
+           FROM g GROUP BY source)
+         SELECT source, n_chunks, n_distinct_chunks, n_boiler_chunks,
+           boiler_occ * 1000000 // n_chunks AS boiler_ppm
+         FROM a ORDER BY source""",
     "c56_readability" ->
       """WITH m AS (
            SELECT lang, source,
