@@ -319,7 +319,30 @@ object AnalyticsQueries7 {
       .orderBy(col("cohort_week"), col("age_weeks"))
   }
 
+  /** B85: inter-event gap histogram, digit-bucketed — the latency
+    * distribution per type in decimal-magnitude buckets (1 digit =
+    * <10 s, 2 = <100 s, …) where the bucket function is
+    * `length(string(gap_s))`: pure integer/string ops, so the
+    * histogram is EXACT on any engine (no log() ulp at bucket
+    * edges). One user-keyed sort window, then a tiny rollup. */
+  private def b85GapHistogram(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    T(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_s", Fns.floorDivLong(col("ts") - col("prev"),
+        1000000000L))
+      .groupBy(col("event_type"),
+        length(col("gap_s").cast("string")).cast("long").as("gap_digits"))
+      .agg(count(lit(1)).as("n"),
+        min(col("gap_s")).as("min_gap_s"), max(col("gap_s")).as("max_gap_s"))
+      .orderBy(col("event_type"), col("gap_digits"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b85_gap_histogram" -> (b85GapHistogram _),
     "b83_wow_growth" -> (b83WowGrowth _),
     "b84_cohort_ltv" -> (b84CohortLtv _),
     "b81_wilson_ci" -> (b81WilsonCi _),
@@ -334,6 +357,18 @@ object AnalyticsQueries7 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b85_gap_histogram" ->
+      """WITH g AS (
+           SELECT event_type,
+             (epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+               ORDER BY epoch_ns(ts), event_id)) // 1000000000 AS gap_s
+           FROM events),
+         f AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL)
+         SELECT event_type,
+           CAST(len(CAST(gap_s AS VARCHAR)) AS BIGINT) AS gap_digits,
+           count(*) AS n,
+           min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+         FROM f GROUP BY 1, 2 ORDER BY event_type, gap_digits""",
     "b83_wow_growth" ->
       """WITH weekly AS (
            SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,

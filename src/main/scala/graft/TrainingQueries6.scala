@@ -287,7 +287,29 @@ object TrainingQueries6 {
       .orderBy(col("source"))
   }
 
+  /** C60: within-doc trigram entropy — each doc's OWN char-trigram
+    * distribution's Shannon entropy (low = repetitive/gibberish, the
+    * char-level sibling of c23's word repetition), rolled up per
+    * source. Trigrams come from the codegen'd CharNGrams native
+    * expression (the O(L²) HOF trap documented at Importance.scala);
+    * the per-doc entropy is Stats.entropyAgg reused with doc-grain
+    * keys — one (doc, tri) exchange, then a |docs|-row rollup. */
+  private def c60DocEntropy(s: SparkSession, dir: String): DataFrame = {
+    val tris = T(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        explode(graft.operators.Importance.charTrigrams(col("text")))
+          .as("tri"))
+    graft.operators.Stats.entropyAgg(tris, Seq("source", "doc_id"), col("tri"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("entropy_bits")), 4).as("mean_tri_entropy"),
+        sum(when(col("entropy_bits") < 6.0, 1L).otherwise(0L))
+          .as("n_low_entropy"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c60_doc_entropy" -> (c60DocEntropy _),
     "c58_cross_lingual" -> (c58CrossLingual _),
     "c59_boilerplate" -> (c59Boilerplate _),
     "c51_source_overlap" -> (c51SourceOverlap _),
@@ -299,6 +321,30 @@ object TrainingQueries6 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c60_doc_entropy" ->
+      s"""WITH d AS (
+            SELECT source, doc_id, ${TrainingQueries.normTextSql} AS s
+            FROM documents),
+          tris AS (
+            SELECT source, doc_id, unnest(CASE WHEN len(s) >= 3
+              THEN list_transform(generate_series(1, len(s) - 2),
+                     i -> s[i:i+2])
+              ELSE [] END) AS tri
+            FROM d),
+          tc AS (
+            SELECT source, doc_id, tri, count(*) AS c
+            FROM tris GROUP BY 1, 2, 3),
+          de AS (
+            SELECT source, doc_id,
+              log2(CAST(sum(c) AS DOUBLE))
+                - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                  / CAST(sum(c) AS DOUBLE) AS h
+            FROM tc GROUP BY 1, 2)
+          SELECT source, count(*) AS n_docs,
+            round(avg(h), 4) AS mean_tri_entropy,
+            CAST(sum(CASE WHEN h < 6.0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_low_entropy
+          FROM de GROUP BY source ORDER BY source""",
     "c58_cross_lingual" ->
       """WITH planted AS (
            SELECT doc_id, lang, text FROM documents
