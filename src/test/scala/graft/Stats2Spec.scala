@@ -76,6 +76,64 @@ class Stats2Spec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("f") - 18.0) < 1e-9)
   }
 
+  test("spearman, medianAbsDev, anovaF match brute-force references on random tied data") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 6) {
+      // small value range forces ties in both margins
+      val rows = (0 until 30).map { i =>
+        ("g", i.toLong, rnd.nextInt(6).toDouble, rnd.nextInt(8).toLong,
+          Seq("a", "b", "c")(rnd.nextInt(3)))
+      }
+      val df = rows.toDF("g", "id", "x", "y", "cat")
+
+      // --- spearman: average ranks then Pearson, straight from the book
+      def avgRanks(vs: Seq[Double]): Seq[Double] = {
+        val sorted = vs.sorted
+        vs.map { v =>
+          val lo = sorted.indexOf(v) + 1
+          val hi = sorted.lastIndexOf(v) + 1
+          (lo + hi) / 2.0
+        }
+      }
+      val rx = avgRanks(rows.map(_._3))
+      val ry = avgRanks(rows.map(_._4.toDouble))
+      val n = rows.length.toDouble
+      val (mx, my) = (rx.sum / n, ry.sum / n)
+      val cov = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val vx = rx.map(a => (a - mx) * (a - mx)).sum
+      val vy = ry.map(b => (b - my) * (b - my)).sum
+      val refRho = cov / math.sqrt(vx * vy)
+      val gotRho = Stats.spearman(df, Seq("g"), col("x"), col("y"))
+        .collect().head.getAs[Double]("rho")
+      assert(math.abs(gotRho - refRho) < 1e-9, s"trial $trial spearman")
+
+      // --- medianAbsDev: lower median under (value, id) order
+      def lowerMedian(vs: Seq[(Double, Long)]): Double = {
+        val s = vs.sortBy(identity)
+        s((s.length - 1) / 2)._1
+      }
+      val med = lowerMedian(rows.map(r => (r._3, r._2)))
+      val refMad = lowerMedian(rows.map(r => (math.abs(r._3 - med), r._2)))
+      val gotMad = Stats.medianAbsDev(df, Seq("g"), col("x"), col("id"))
+        .collect().head
+      assert(gotMad.getAs[Double]("median") == med, s"trial $trial median")
+      assert(gotMad.getAs[Double]("mad") == refMad, s"trial $trial mad")
+
+      // --- anovaF: direct between/within decomposition over cat groups
+      val groups = rows.groupBy(_._5).values.map(_.map(_._3)).toSeq
+      val grand = rows.map(_._3).sum / n
+      val ssb = groups.map(g =>
+        g.length * math.pow(g.sum / g.length - grand, 2)).sum
+      val ssw = groups.map(g =>
+        g.map(v => math.pow(v - g.sum / g.length, 2)).sum).sum
+      val k = groups.length.toDouble
+      val refF = (ssb / (k - 1)) / (ssw / (n - k))
+      val gotF = Stats.anovaF(df, Seq("g"), col("cat"), col("x"))
+        .collect().head.getAs[Double]("f")
+      assert(math.abs(gotF - refF) < 1e-6, s"trial $trial anova")
+    }
+  }
+
   test("anovaF: single category or zero within-variance yields null F") {
     val one = Seq(("d", "a", 1.0), ("d", "a", 2.0)).toDF("d", "c", "v")
     val r1 = Stats.anovaF(one, Seq("d"), col("c"), col("v")).collect().head
