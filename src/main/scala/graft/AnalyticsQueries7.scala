@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
@@ -341,7 +341,50 @@ object AnalyticsQueries7 {
       .orderBy(col("event_type"), col("gap_digits"))
   }
 
+  /** B86: CH `stochasticLinearRegression`'s batch answer — exact OLS
+    * of `value` on (hour-of-day, weekday) per event type via normal
+    * equations solved in closed form (Cramer's rule on the 3×3
+    * moment matrix). The corpus ships 9 sufficient statistics per
+    * type (feature sums exact integers, y-sums float); determinants
+    * evaluate in double with the SAME association on both engines
+    * (int64 would overflow at ~10⁵ rows/group: n·Σx₁²·Σx₂² ~ 2·10¹⁹). */
+  private def b86LinregMulti(s: SparkSession, dir: String): DataFrame = {
+    val agg = T(s, dir, "events")
+      .select(col("event_type"),
+        hour(Fns.nanosToTimestamp(col("ts"))).cast("long").as("x1"),
+        weekday(Fns.nanosToTimestamp(col("ts"))).cast("long").as("x2"),
+        col("value").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("y")).as("sy"),
+        sum(col("x1").cast("double") * col("y")).as("s1y"),
+        sum(col("x2").cast("double") * col("y")).as("s2y"))
+    def d(c: String) = col(c).cast("double")
+    val (n, sx1, sx2) = (d("n"), d("sx1"), d("sx2"))
+    val (s11, s12, s22) = (d("s11"), d("s12"), d("s22"))
+    val (sy, s1y, s2y) = (col("sy"), col("s1y"), col("s2y"))
+    def det3(a1: Column, a2: Column, a3: Column,
+             b1: Column, b2: Column, b3: Column,
+             c1: Column, c2: Column, c3: Column): Column =
+      a1 * (b2 * c3 - b3 * c2) - a2 * (b1 * c3 - b3 * c1) +
+        a3 * (b1 * c2 - b2 * c1)
+    val det = det3(n, sx1, sx2, sx1, s11, s12, sx2, s12, s22)
+    val det0 = det3(sy, sx1, sx2, s1y, s11, s12, s2y, s12, s22)
+    val det1 = det3(n, sy, sx2, sx1, s1y, s12, sx2, s2y, s22)
+    val det2 = det3(n, sx1, sy, sx1, s11, s1y, sx2, s12, s2y)
+    agg.select(col("event_type"), col("n"),
+        round(det0 / when(abs(det) > 1e-9, det), 4).as("beta0"),
+        round(det1 / when(abs(det) > 1e-9, det), 4).as("beta1"),
+        round(det2 / when(abs(det) > 1e-9, det), 4).as("beta2"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b86_linreg_multi" -> (b86LinregMulti _),
     "b85_gap_histogram" -> (b85GapHistogram _),
     "b83_wow_growth" -> (b83WowGrowth _),
     "b84_cohort_ltv" -> (b84CohortLtv _),
@@ -357,6 +400,45 @@ object AnalyticsQueries7 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b86_linreg_multi" ->
+      """WITH a AS (
+           SELECT event_type, count(*) AS n,
+             CAST(sum(hour(ts)) AS BIGINT) AS sx1,
+             CAST(sum(isodow(ts) - 1) AS BIGINT) AS sx2,
+             CAST(sum(hour(ts) * hour(ts)) AS BIGINT) AS s11,
+             CAST(sum(hour(ts) * (isodow(ts) - 1)) AS BIGINT) AS s12,
+             CAST(sum((isodow(ts) - 1) * (isodow(ts) - 1)) AS BIGINT)
+               AS s22,
+             sum(value) AS sy,
+             sum(CAST(hour(ts) AS DOUBLE) * value) AS s1y,
+             sum(CAST(isodow(ts) - 1 AS DOUBLE) * value) AS s2y
+           FROM events GROUP BY event_type),
+         d AS (
+           SELECT event_type, n,
+             CAST(n AS DOUBLE) AS dn, CAST(sx1 AS DOUBLE) AS dx1,
+             CAST(sx2 AS DOUBLE) AS dx2, CAST(s11 AS DOUBLE) AS d11,
+             CAST(s12 AS DOUBLE) AS d12, CAST(s22 AS DOUBLE) AS d22,
+             sy, s1y, s2y
+           FROM a),
+         f AS (
+           SELECT event_type, n,
+             dn * (d11 * d22 - d12 * d12) - dx1 * (dx1 * d22 - d12 * dx2)
+               + dx2 * (dx1 * d12 - d11 * dx2) AS det,
+             sy * (d11 * d22 - d12 * d12) - dx1 * (s1y * d22 - d12 * s2y)
+               + dx2 * (s1y * d12 - d11 * s2y) AS det0,
+             dn * (s1y * d22 - d12 * s2y) - sy * (dx1 * d22 - d12 * dx2)
+               + dx2 * (dx1 * s2y - s1y * dx2) AS det1,
+             dn * (d11 * s2y - s1y * d12) - dx1 * (dx1 * s2y - s1y * dx2)
+               + sy * (dx1 * d12 - d11 * dx2) AS det2
+           FROM d)
+         SELECT event_type, n,
+           CASE WHEN abs(det) > 1e-9 THEN round(det0 / det, 4) END
+             AS beta0,
+           CASE WHEN abs(det) > 1e-9 THEN round(det1 / det, 4) END
+             AS beta1,
+           CASE WHEN abs(det) > 1e-9 THEN round(det2 / det, 4) END
+             AS beta2
+         FROM f ORDER BY event_type""",
     "b85_gap_histogram" ->
       """WITH g AS (
            SELECT event_type,

@@ -308,7 +308,24 @@ object TrainingQueries6 {
       .orderBy(col("source"))
   }
 
+  /** C61: LSH PRECISION audit — c50's complement: of the banding's
+    * candidate pairs (on the planted near-dup corpus), how many verify
+    * at J ≥ 0.5? The false-positive rate prices the verify step's
+    * wasted work exactly (recall c50 prices the missed pairs).
+    * Unfiltered candidates come from Dedup.minHashCandidates — the
+    * same banded plan minHashLsh thresholds; shares in exact ppm. */
+  private def c61LshPrecision(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.minHashCandidates(
+        TrainingQueries.corpusWithDups(T(s, dir, "documents")),
+        "doc_id", "text", n = 5, k = 8, bands = 4)
+      .groupBy()
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_verified"))
+      .select(col("n_candidates"), col("n_verified"),
+        expr("n_verified * 1000000 div n_candidates").as("precision_ppm"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c61_lsh_precision" -> (c61LshPrecision _),
     "c60_doc_entropy" -> (c60DocEntropy _),
     "c58_cross_lingual" -> (c58CrossLingual _),
     "c59_boilerplate" -> (c59Boilerplate _),
@@ -321,6 +338,29 @@ object TrainingQueries6 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c61_lsh_precision" ->
+      s"""WITH ${TrainingQueries.corpusSql},
+          toks AS (SELECT doc_id, ${TrainingQueries.toksSql} AS tk
+            FROM corpus),
+          shd AS (SELECT doc_id,
+            list_distinct(${TrainingQueries.ngramsSql(5)}) AS shs
+            FROM toks),
+          ${TrainingQueries.minhashSigSql(8)},
+          ${TrainingQueries.bandedSql(4, 2)},
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+          ${TrainingQueries.jaccardSql(0.5)},
+          a AS (
+            SELECT count(*) AS n_candidates,
+              CAST(sum(CASE WHEN v.id1 IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_verified
+            FROM cand c LEFT JOIN verified v
+              ON c.id1 = v.id1 AND c.id2 = v.id2)
+          SELECT n_candidates, n_verified,
+            n_verified * 1000000 // n_candidates AS precision_ppm
+          FROM a""",
     "c60_doc_entropy" ->
       s"""WITH d AS (
             SELECT source, doc_id, ${TrainingQueries.normTextSql} AS s

@@ -143,7 +143,17 @@ object Dedup {
     * scale with. This is the 100 TB property the operator exists for. */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 5, k: Int = 8, bands: Int = 4,
-                 threshold: Double = 0.7): DataFrame = {
+                 threshold: Double = 0.7): DataFrame =
+    minHashCandidates(docs, idCol, textCol, n, k, bands)
+      .filter(col("jaccard") >= threshold)
+
+  /** The LSH candidate set WITH each pair's exact Jaccard, unfiltered —
+    * what [[minHashLsh]] thresholds, and what a precision audit needs
+    * whole (candidates that verify BELOW threshold are exactly the
+    * banding's false positives). Same plan: banded self-join bounds
+    * the candidates, verify is per-candidate. */
+  def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 5, k: Int = 8, bands: Int = 4): DataFrame = {
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"bands ($bands) must divide k ($k); bands > k would make every " +
         "band key constant and the band join a full cross join")
@@ -173,7 +183,6 @@ object Dedup {
       .join(sets.select(col("doc_id").as("id2"), col("shs").as("shs2")), "id2")
       .select(col("id1"), col("id2"),
         round(inter / (size(col("shs1")) + size(col("shs2")) - inter), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /** SimHash fingerprint (32-bit: one ±1 vote per md5 hex-digit parity,
