@@ -383,7 +383,42 @@ object AnalyticsQueries7 {
       .orderBy(col("event_type"))
   }
 
+  /** B87: funnel step-conversion table — b12's per-user levels turned
+    * into the adjacent-step conversion report (the numbers product
+    * teams actually read off a funnel): users reaching ≥ step k and
+    * the ppm conversion from the previous step. The step grid is
+    * built independently of the counts (a step nobody reached still
+    * shows, at 0), base-0 steps null-guarded (ANSI integer div). */
+  private def b87FunnelRates(s: SparkSession, dir: String): DataFrame = {
+    val levels = graft.operators.Funnel.windowFunnel(
+        T(s, dir, "events"),
+        key = "user_id", time = "ts", tieBreak = "event_id",
+        conds = Seq(col("event_type") === "signup",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        windowSpan = 7L * 86400L * 1000000000L)
+      .select(col("funnel_level"))
+    val tot = levels.groupBy().agg(count(lit(1)).as("n_total"))
+    val reached = levels
+      .select(explode(sequence(lit(1L), lit(3L))).as("step"),
+        col("funnel_level"))
+      .filter(col("funnel_level") >= col("step"))
+      .groupBy(col("step")).agg(count(lit(1)).as("n_reached"))
+    val grid = tot.select(explode(sequence(lit(1L), lit(3L))).as("step"),
+      col("n_total"))
+    grid.join(reached, Seq("step"), "left")
+      .withColumn("n_reached", coalesce(col("n_reached"), lit(0L)))
+      .withColumn("base", coalesce(
+        lag(col("n_reached"), 1).over(Window.orderBy(col("step"))),
+        col("n_total")))
+      .select(col("step"), col("n_reached"),
+        when(col("base") > 0,
+          expr("n_reached * 1000000 div base")).as("conv_ppm"))
+      .orderBy(col("step"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b87_funnel_rates" -> (b87FunnelRates _),
     "b86_linreg_multi" -> (b86LinregMulti _),
     "b85_gap_histogram" -> (b85GapHistogram _),
     "b83_wow_growth" -> (b83WowGrowth _),
@@ -400,6 +435,51 @@ object AnalyticsQueries7 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b87_funnel_rates" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ns(ts) AS tn, event_type FROM events),
+         w1 AS (
+           SELECT *, max(CASE WHEN event_type = 'signup' THEN tn END)
+             OVER (PARTITION BY user_id ORDER BY tn, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f1
+           FROM e),
+         w2 AS (
+           SELECT *,
+             CASE WHEN event_type = 'click' AND tn - f1 <= 604800000000000
+               THEN f1 END AS s2
+           FROM w1),
+         w3 AS (
+           SELECT *, max(s2)
+             OVER (PARTITION BY user_id ORDER BY tn, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f2
+           FROM w2),
+         hits AS (
+           SELECT user_id,
+             CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS h1,
+             CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END AS h2,
+             CASE WHEN event_type = 'purchase' AND tn - f2 <= 604800000000000
+               THEN 1 ELSE 0 END AS h3
+           FROM w3),
+         lvl AS (
+           SELECT user_id,
+             CAST(max(h1) + max(h2) + max(h3) AS BIGINT) AS funnel_level
+           FROM hits GROUP BY user_id),
+         tot AS (SELECT count(*) AS n_total FROM lvl),
+         reached AS (
+           SELECT g.step,
+             CAST(count(l.user_id) AS BIGINT) AS n_reached
+           FROM generate_series(1, 3) AS g(step)
+           LEFT JOIN lvl l ON l.funnel_level >= g.step
+           GROUP BY g.step),
+         r AS (
+           SELECT CAST(step AS BIGINT) AS step, n_reached,
+             coalesce(lag(n_reached) OVER (ORDER BY step),
+               (SELECT n_total FROM tot)) AS base
+           FROM reached)
+         SELECT step, n_reached,
+           CASE WHEN base > 0 THEN n_reached * 1000000 // base END
+             AS conv_ppm
+         FROM r ORDER BY step""",
     "b86_linreg_multi" ->
       """WITH a AS (
            SELECT event_type, count(*) AS n,

@@ -324,7 +324,35 @@ object TrainingQueries6 {
       .select(col("n_candidates"), col("n_verified"),
         expr("n_verified * 1000000 div n_candidates").as("precision_ppm"))
 
+  /** C62: leakage-safe splitting — near-dup CLUSTERS must land in one
+    * split (a train doc whose near-twin sits in valid leaks the
+    * eval), so every doc splits by its cluster representative's hash
+    * (min-label from c19's connected components; singletons by their
+    * own id). Reports, per safe split, how many docs the naive
+    * per-doc hash would have mis-placed — the quantified leakage the
+    * safe split prevents. */
+  private def c62LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val corpus = TrainingQueries.corpusWithDups(T(s, dir, "documents"))
+    val pairs = graft.operators.Dedup.minHashLsh(corpus, "doc_id", "text",
+      n = 5, k = 8, bands = 4, threshold = 0.5)
+    val cl = graft.operators.Dedup.connectedComponents(pairs, "id1", "id2")
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val naive = graft.operators.Splitter.hashSplit(
+        corpus.select(col("doc_id")), "doc_id", splits)
+      .withColumnRenamed("split", "naive_split")
+    val labeled = naive
+      .join(cl, col("doc_id") === col("node"), "left")
+      .withColumn("rep", coalesce(col("component"), col("doc_id")))
+    graft.operators.Splitter.hashSplit(labeled, "rep", splits)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("naive_split") =!= col("split"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .orderBy(col("split"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c62_leakage_safe_split" -> (c62LeakageSafeSplit _),
     "c61_lsh_precision" -> (c61LshPrecision _),
     "c60_doc_entropy" -> (c60DocEntropy _),
     "c58_cross_lingual" -> (c58CrossLingual _),
@@ -338,6 +366,32 @@ object TrainingQueries6 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c62_leakage_safe_split" ->
+      s"""WITH RECURSIVE ${TrainingQueries.clusterCteSql},
+          naive AS (
+            SELECT doc_id,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     < 'cccccccc' THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     < 'e6666666' THEN 'valid'
+                   ELSE 'test' END AS naive_split
+            FROM corpus),
+          lab AS (
+            SELECT n.doc_id, n.naive_split,
+              coalesce(cl.cluster, n.doc_id) AS rep
+            FROM naive n LEFT JOIN cl ON n.doc_id = cl.doc_id),
+          safe AS (
+            SELECT naive_split,
+              CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 8)
+                     < 'cccccccc' THEN 'train'
+                   WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 8)
+                     < 'e6666666' THEN 'valid'
+                   ELSE 'test' END AS split
+            FROM lab)
+          SELECT split, count(*) AS n_docs,
+            CAST(sum(CASE WHEN naive_split <> split THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_moved
+          FROM safe GROUP BY split ORDER BY split""",
     "c61_lsh_precision" ->
       s"""WITH ${TrainingQueries.corpusSql},
           toks AS (SELECT doc_id, ${TrainingQueries.toksSql} AS tk
