@@ -417,7 +417,77 @@ object AnalyticsQueries7 {
       .orderBy(col("step"))
   }
 
+  /** B88: event-type affinity — lift and PMI between type pairs
+    * co-occurring in the same (user, day) basket (market-basket over
+    * the event stream): the corpus collapses to distinct
+    * (user, day, type) FIRST, each basket's sorted type-set emits its
+    * pairs (c51's no-self-join shape), margins from the same
+    * collapsed table; counts exact, the two logs finalize per
+    * ≤|types|² row. */
+  private def b88TypeAffinity(s: SparkSession, dir: String): DataFrame = {
+    val ud = T(s, dir, "events")
+      .select(col("user_id"),
+        date_format(Fns.nanosToTimestamp(col("ts")), "yyyy-MM-dd").as("d"),
+        col("event_type"))
+      .distinct()
+      .persist()
+    val baskets = ud.groupBy(col("user_id"), col("d"))
+      .agg(sort_array(collect_set(col("event_type"))).as("tt"))
+      .persist()
+    val nB = baskets.groupBy().agg(count(lit(1)).as("n_baskets"))
+    val marg = ud.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_with"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(tt, (a, i) ->
+             transform(slice(tt, i + 2, size(tt) - i - 1),
+               b -> struct(a AS ta, b AS tb))))""")).as("p"))
+      .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marg.select(col("event_type").as("type_a"),
+        col("n_with").as("n_a"))), Seq("type_a"))
+      .join(broadcast(marg.select(col("event_type").as("type_b"),
+        col("n_with").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nB))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"),
+        round(col("n_both").cast("double") * col("n_baskets").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 4)
+          .as("lift"),
+        round(log(col("n_both").cast("double") *
+            col("n_baskets").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))), 4)
+          .as("pmi"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** B89: order-1 Markov transition matrix between consecutive event
+    * types per user ((ts, id)-ordered lag, the global sibling of
+    * b46's per-node sequenceNextNode): transition shares in exact
+    * ppm of each source type's outgoing edges. One user-keyed sort
+    * window, then a ≤|types|² rollup. */
+  private def b89TransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = T(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val out = Window.partitionBy(col("from_type"))
+    trans
+      .withColumn("n_out", sum(col("n")).over(out))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 div n_out").as("share_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b88_type_affinity" -> (b88TypeAffinity _),
+    "b89_transition_matrix" -> (b89TransitionMatrix _),
     "b87_funnel_rates" -> (b87FunnelRates _),
     "b86_linreg_multi" -> (b86LinregMulti _),
     "b85_gap_histogram" -> (b85GapHistogram _),
@@ -435,6 +505,52 @@ object AnalyticsQueries7 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b88_type_affinity" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS d,
+             event_type
+           FROM events),
+         bk AS (
+           SELECT count(*) AS n_baskets
+           FROM (SELECT DISTINCT user_id, d FROM ud)),
+         marg AS (
+           SELECT event_type, count(*) AS n_with FROM ud GROUP BY 1),
+         pairs AS (
+           SELECT a.event_type AS ta, b2.event_type AS tb,
+             count(*) AS n_both
+           FROM ud a JOIN ud b2
+             ON a.user_id = b2.user_id AND a.d = b2.d
+               AND a.event_type < b2.event_type
+           GROUP BY 1, 2)
+         SELECT ta AS type_a, tb AS type_b, n_both,
+           ma.n_with AS n_a, mb.n_with AS n_b,
+           round(CAST(n_both AS DOUBLE)
+             * CAST((SELECT n_baskets FROM bk) AS DOUBLE)
+             / (CAST(ma.n_with AS DOUBLE) * CAST(mb.n_with AS DOUBLE)), 4)
+             AS lift,
+           round(ln(CAST(n_both AS DOUBLE)
+             * CAST((SELECT n_baskets FROM bk) AS DOUBLE)
+             / (CAST(ma.n_with AS DOUBLE) * CAST(mb.n_with AS DOUBLE))), 4)
+             AS pmi
+         FROM pairs
+         JOIN marg ma ON ta = ma.event_type
+         JOIN marg mb ON tb = mb.event_type
+         ORDER BY type_a, type_b""",
+    "b89_transition_matrix" ->
+      """WITH t AS (
+           SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_ns(ts), event_id) AS to_type
+           FROM events),
+         c AS (
+           SELECT from_type, to_type, count(*) AS n
+           FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         o AS (
+           SELECT from_type, to_type, n,
+             CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_out
+           FROM c)
+         SELECT from_type, to_type, n, n * 1000000 // n_out AS share_ppm
+         FROM o ORDER BY from_type, to_type""",
     "b87_funnel_rates" ->
       """WITH e AS (
            SELECT user_id, event_id, epoch_ns(ts) AS tn, event_type FROM events),

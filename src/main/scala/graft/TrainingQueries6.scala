@@ -351,7 +351,31 @@ object TrainingQueries6 {
       .orderBy(col("split"))
   }
 
+  /** C63: embedding-table health report per label — vector count,
+    * dimension, L2-norm mean/min/max, zero-vector count (the sanity
+    * card read before any ANN/centroid work trusts the table). The
+    * per-vector norm folds left-to-right in double on both engines
+    * (identical IEEE sequence — arrays are ordered), so only the
+    * cross-vector mean needs rounding. */
+  private def c63EmbeddingHealth(s: SparkSession, dir: String): DataFrame = {
+    val norm = sqrt(expr(
+      """aggregate(embedding, CAST(0 AS DOUBLE),
+           (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"""))
+    T(s, dir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        size(col("embedding")).cast("long").as("dim"), norm.as("norm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        max(col("dim")).as("dim"),
+        round(avg(col("norm")), 4).as("mean_norm"),
+        round(min(col("norm")), 4).as("min_norm"),
+        round(max(col("norm")), 4).as("max_norm"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+      .orderBy(col("label"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c63_embedding_health" -> (c63EmbeddingHealth _),
     "c62_leakage_safe_split" -> (c62LeakageSafeSplit _),
     "c61_lsh_precision" -> (c61LshPrecision _),
     "c60_doc_entropy" -> (c60DocEntropy _),
@@ -366,6 +390,20 @@ object TrainingQueries6 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c63_embedding_health" ->
+      """WITH v AS (
+           SELECT CAST(label AS BIGINT) AS label,
+             CAST(len(embedding) AS BIGINT) AS dim,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[],
+               x -> x * x))) AS norm
+           FROM embeddings)
+         SELECT label, count(*) AS n_vecs, max(dim) AS dim,
+           round(avg(norm), 4) AS mean_norm,
+           round(min(norm), 4) AS min_norm,
+           round(max(norm), 4) AS max_norm,
+           CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero
+         FROM v GROUP BY label ORDER BY label""",
     "c62_leakage_safe_split" ->
       s"""WITH RECURSIVE ${TrainingQueries.clusterCteSql},
           naive AS (
