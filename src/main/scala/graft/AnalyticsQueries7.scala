@@ -485,7 +485,33 @@ object AnalyticsQueries7 {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** B90: top session paths — the distribution of each (user, day)'s
+    * FIRST three event types as a '>'-joined path (the "how do
+    * sessions start" report CH builds from groupArray): one keyed
+    * rank window prunes to 3 rows per session (WindowGroupLimit
+    * territory) before any aggregation; top 20 paths with a full
+    * (count desc, path) tie-break so the limit is deterministic. */
+  private def b90TopPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("ts"), col("event_id"))
+    T(s, dir, "events")
+      .select(col("user_id"),
+        date_format(Fns.nanosToTimestamp(col("ts")), "yyyy-MM-dd").as("d"),
+        col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"), col("d"))
+      .agg(concat_ws(">", expr(
+        "transform(sort_array(collect_list(struct(rn, event_type))), x -> x.event_type)"))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b90_top_paths" -> (b90TopPaths _),
     "b88_type_affinity" -> (b88TypeAffinity _),
     "b89_transition_matrix" -> (b89TransitionMatrix _),
     "b87_funnel_rates" -> (b87FunnelRates _),
@@ -505,6 +531,20 @@ object AnalyticsQueries7 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b90_top_paths" ->
+      """WITH e AS (
+           SELECT user_id, strftime(ts, '%Y-%m-%d') AS d, event_type,
+             row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+               ORDER BY epoch_ns(ts), event_id) AS rn
+           FROM events),
+         p AS (
+           SELECT user_id, d,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+           FROM e WHERE rn <= 3 GROUP BY user_id, d),
+         c AS (
+           SELECT path, count(*) AS n_sessions FROM p GROUP BY path)
+         SELECT path, n_sessions FROM c
+         ORDER BY n_sessions DESC, path LIMIT 20""",
     "b88_type_affinity" ->
       """WITH ud AS (
            SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS d,

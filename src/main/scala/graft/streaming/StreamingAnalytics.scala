@@ -30,6 +30,12 @@ case class UniqUpToState(ids: Seq[Long])
 case class UniqUpToOut(event_type: String, event_date: String,
                        uniq_upto: Long)
 
+/** Streaming transition state: the user's last event (ts, id, type) —
+  * O(1) per user, whatever the stream length. */
+case class TransState(lastTs: Long, lastId: Long, lastType: String)
+
+case class TransitionOut(from_type: String, to_type: String)
+
 /** Streaming OHLC state: one fixed-size record per (type, hour) —
   * open/close carry their (ts, id) rank keys so late events resolve
   * identically to the batch rank windows. */
@@ -265,6 +271,31 @@ object StreamingAnalytics {
           state.update(st)
           OhlcOut(key._1, key._2, st.n, st.open, st.high, st.low,
             st.close, st.sum)
+      }
+  }
+
+  /** Streaming transition emission (b89's unbounded twin): each
+    * user's consecutive-event (from → to) edges emitted as they
+    * happen via flatMapGroupsWithState in Append mode — state is ONE
+    * (ts, id, type) triple per user. Downstream, the matrix is a
+    * plain streaming aggregation over the emitted edges; same
+    * per-user ordering contract as [[funnelStream]] (in-batch sort,
+    * in-order across batches). */
+  def transitionStream(events: Dataset[Event]): Dataset[TransitionOut] = {
+    implicit val stateEnc = Encoders.product[TransState]
+    implicit val outEnc = Encoders.product[TransitionOut]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[TransState]) =>
+          val outs = scala.collection.mutable.ListBuffer[TransitionOut]()
+          var st = state.getOption.orNull
+          it.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            if (st != null) outs += TransitionOut(st.lastType, e.event_type)
+            st = TransState(e.ts, e.event_id, e.event_type)
+          }
+          if (st != null) state.update(st)
+          outs.iterator
       }
   }
 

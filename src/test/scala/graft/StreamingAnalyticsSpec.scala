@@ -242,4 +242,35 @@ class StreamingAnalyticsSpec extends SparkSpec {
     // view hour 1: open id 8 (ts hr+5), close id 7 (ts hr+10)
     assert(last(("view", 1L)) == ((2L, 1.0, 7.0, 1.0, 7.0, 8.0)))
   }
+
+  test("streaming transitions across micro-batch splits equal the batch lag edges") {
+    // user 1's chain spans the batch boundary: a→b in batch 1, b→c
+    // with the bridge edge b→c only derivable from state
+    val rows1 = Seq(
+      ev(1, 10, 1, "a", 1.0), ev(2, 20, 1, "b", 1.0),
+      ev(3, 10, 2, "x", 1.0))
+    val rows2 = Seq(
+      ev(4, 30, 1, "c", 1.0), ev(5, 40, 1, "a", 1.0),
+      ev(6, 20, 2, "x", 1.0))
+    val dir = tmpDir("trans")
+    rows1.toDF().coalesce(1).write.mode("append").parquet(s"$dir/in")
+    rows2.toDF().coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    val stream = spark.readStream.schema(rows1.toDF().schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in").as[Event]
+    val q = StreamingAnalytics.transitionStream(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ck")
+      .format("memory").queryName("trans")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("trans").groupBy("from_type", "to_type").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("count"))
+      .toMap
+    // batch reference: lag edges over the union per user
+    assert(got == Map(("a", "b") -> 1L, ("b", "c") -> 1L,
+      ("c", "a") -> 1L, ("x", "x") -> 1L))
+  }
 }
