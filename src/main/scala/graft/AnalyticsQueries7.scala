@@ -510,7 +510,39 @@ object AnalyticsQueries7 {
       .limit(20)
   }
 
+  /** B91: revenue concentration — the share of purchase revenue held
+    * by the top 1% / 10% of users (the whale-analysis dashboard, a
+    * two-point Lorenz curve): per-user revenue in EXACT integer cents
+    * (floor-quantized like b79), rank window by (cents desc, user),
+    * cohort cuts at ceil(n·p) users, shares in exact ppm integer
+    * division — no float anywhere. */
+  private def b91Concentration(s: SparkSession, dir: String): DataFrame = {
+    val perUser = T(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("user_id"))
+    val ranked = perUser
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_users", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("total_cents", sum(col("cents")).over(Window.partitionBy()))
+    ranked
+      .select(explode(array(lit(1L), lit(10L))).as("top_pct"),
+        col("rn"), col("n_users"), col("cents"), col("total_cents"))
+      // top ceil(n·p/100) users: rn ≤ (n·p + 99) div 100
+      .filter(col("rn") <= expr("(n_users * top_pct + 99) div 100"))
+      .groupBy(col("top_pct"))
+      .agg(count(lit(1)).as("n_top_users"),
+        max(col("n_users")).as("n_users"),
+        sum(col("cents")).as("top_cents"),
+        max(col("total_cents")).as("total_cents"))
+      .select(col("top_pct"), col("n_top_users"), col("n_users"),
+        expr("top_cents * 1000000 div total_cents").as("share_ppm"))
+      .orderBy(col("top_pct"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b91_concentration" -> (b91Concentration _),
     "b90_top_paths" -> (b90TopPaths _),
     "b88_type_affinity" -> (b88TypeAffinity _),
     "b89_transition_matrix" -> (b89TransitionMatrix _),
@@ -531,6 +563,27 @@ object AnalyticsQueries7 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b91_concentration" ->
+      """WITH pu AS (
+           SELECT user_id,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         r AS (
+           SELECT user_id, cents,
+             row_number() OVER (ORDER BY cents DESC, user_id) AS rn,
+             count(*) OVER () AS n_users,
+             CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+           FROM pu),
+         x AS (
+           SELECT p.top_pct, r.rn, r.n_users, r.cents, r.total_cents
+           FROM r CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (10))
+             AS p(top_pct)
+           WHERE r.rn <= (r.n_users * p.top_pct + 99) // 100)
+         SELECT top_pct, count(*) AS n_top_users, max(n_users) AS n_users,
+           CAST(sum(cents) AS BIGINT) * 1000000 // max(total_cents)
+             AS share_ppm
+         FROM x GROUP BY top_pct ORDER BY top_pct""",
     "b90_top_paths" ->
       """WITH e AS (
            SELECT user_id, strftime(ts, '%Y-%m-%d') AS d, event_type,

@@ -374,7 +374,39 @@ object TrainingQueries6 {
       .orderBy(col("label"))
   }
 
+  /** C64: OOV rate — the share of the VALID split's token occurrences
+    * (and distinct types) missing from the TRAIN split's vocabulary
+    * (decontamination's complement: coverage you WANT; high OOV means
+    * the split starved a language). Per lang; c20's md5 thresholds;
+    * one token-keyed exchange carrying (lang, token) split counts;
+    * rates in exact ppm. */
+  private def c64OovRate(s: SparkSession, dir: String): DataFrame = {
+    val sp = graft.operators.Splitter.hashSplit(
+      T(s, dir, "documents"), "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    sp.filter(col("split").isin("train", "valid"))
+      .select(col("lang"), col("split"),
+        explode(Fns.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("split") === "valid", 1L).otherwise(0L)).as("cv"))
+      .filter(col("cv") > 0)
+      .groupBy(col("lang"))
+      .agg(sum(col("cv")).as("n_valid_tokens"),
+        count(lit(1)).as("n_valid_types"),
+        sum(when(col("ct") === 0, col("cv")).otherwise(0L))
+          .as("n_oov_tokens"),
+        sum(when(col("ct") === 0, 1L).otherwise(0L)).as("n_oov_types"))
+      .select(col("lang"), col("n_valid_tokens"), col("n_valid_types"),
+        col("n_oov_tokens"), col("n_oov_types"),
+        expr("n_oov_tokens * 1000000 div n_valid_tokens").as("oov_ppm"),
+        expr("n_oov_types * 1000000 div n_valid_types")
+          .as("oov_type_ppm"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c64_oov_rate" -> (c64OovRate _),
     "c63_embedding_health" -> (c63EmbeddingHealth _),
     "c62_leakage_safe_split" -> (c62LeakageSafeSplit _),
     "c61_lsh_precision" -> (c61LshPrecision _),
@@ -390,6 +422,40 @@ object TrainingQueries6 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c64_oov_rate" ->
+      """WITH sp AS (
+           SELECT lang, text,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    < 'e6666666' THEN 'valid'
+                  ELSE 'test' END AS split
+           FROM documents),
+         tk AS (
+           SELECT lang, split,
+             unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS tok
+           FROM sp WHERE split IN ('train', 'valid')),
+         c AS (
+           SELECT lang, tok,
+             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN split = 'valid' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cv
+           FROM tk GROUP BY 1, 2),
+         a AS (
+           SELECT lang,
+             CAST(sum(cv) AS BIGINT) AS n_valid_tokens,
+             count(*) AS n_valid_types,
+             CAST(sum(CASE WHEN ct = 0 THEN cv ELSE 0 END) AS BIGINT)
+               AS n_oov_tokens,
+             CAST(sum(CASE WHEN ct = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov_types
+           FROM c WHERE cv > 0 GROUP BY lang)
+         SELECT lang, n_valid_tokens, n_valid_types, n_oov_tokens,
+           n_oov_types,
+           n_oov_tokens * 1000000 // n_valid_tokens AS oov_ppm,
+           n_oov_types * 1000000 // n_valid_types AS oov_type_ppm
+         FROM a ORDER BY lang""",
     "c63_embedding_health" ->
       """WITH v AS (
            SELECT CAST(label AS BIGINT) AS label,
