@@ -450,6 +450,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
   }
 
+  test("b88: baskets pair up from the persisted collapsed table, never a type self-join") {
+    val p = plan("b88_type_affinity")
+    assert(!p.contains("SortMergeJoin"),
+      s"affinity regressed to a row-level self-join:\n$p")
+    assert(p.split("InMemoryTableScan").length - 1 >= 3,
+      s"ud/baskets should be persisted and re-read:\n$p")
+  }
+
+  test("b90: the rank filter prunes to 3 rows per session below the aggregation") {
+    val p = plan("b90_top_paths")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-session prune missing — the path agg would see the corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 should never full-sort the path table:\n$p")
+  }
+
+  test("b91: per-user cents aggregate before the single rank window") {
+    val p = plan("b91_concentration")
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+    val corpusExchanges = p.split("\n")
+      .count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(corpusExchanges == 1,
+      s"expected one user-keyed exchange before the global rank:\n$p")
+  }
+
   test("c46: perplexity scores in two corpus passes — totals read the cached trigram counts") {
     val p = plan("c46_perplexity")
     val explodes = p.split("Generate explode").length - 1
