@@ -541,7 +541,32 @@ object AnalyticsQueries7 {
       .orderBy(col("top_pct"))
   }
 
+  /** B92: DAU / WAU / MAU + stickiness — exact 1/7/28-day rolling
+    * distinct actives per day and the DAU/MAU ratio in ppm (the
+    * engagement dashboard's header row; b80's family completed):
+    * same collapse-then-fan-out — the distinct (user, day) table
+    * fans out ×28 with per-window flags, never the raw corpus. */
+  private def b92Stickiness(s: SparkSession, dir: String): DataFrame = {
+    val ud = T(s, dir, "events")
+      .select(to_date(Fns.nanosToTimestamp(col("ts"))).as("d"), col("user_id"))
+      .distinct()
+    val activeDays = ud.select(col("d").as("td")).distinct()
+    ud.select(col("d"), col("user_id"),
+        explode(sequence(lit(0), lit(27))).as("i"))
+      .select(date_add(col("d"), col("i")).as("td"), col("user_id"), col("i"))
+      .join(broadcast(activeDays), Seq("td"), "left_semi")
+      .groupBy(col("td"))
+      .agg(countDistinct(when(col("i") === 0, col("user_id"))).as("dau"),
+        countDistinct(when(col("i") <= 6, col("user_id"))).as("wau"),
+        countDistinct(col("user_id")).as("mau"))
+      .select(date_format(col("td"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"), col("mau"),
+        expr("dau * 1000000 div mau").as("stickiness_ppm"))
+      .orderBy(col("day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b92_stickiness" -> (b92Stickiness _),
     "b91_concentration" -> (b91Concentration _),
     "b90_top_paths" -> (b90TopPaths _),
     "b88_type_affinity" -> (b88TypeAffinity _),
@@ -563,6 +588,22 @@ object AnalyticsQueries7 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b92_stickiness" ->
+      """WITH ud AS (
+           SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+         days AS (SELECT DISTINCT d FROM ud),
+         c AS (
+           SELECT ud.d + CAST(g.i AS INTEGER) AS td, ud.user_id, g.i
+           FROM ud CROSS JOIN generate_series(0, 27) AS g(i)),
+         a AS (
+           SELECT td,
+             count(DISTINCT CASE WHEN i = 0 THEN user_id END) AS dau,
+             count(DISTINCT CASE WHEN i <= 6 THEN user_id END) AS wau,
+             count(DISTINCT user_id) AS mau
+           FROM c JOIN days ON c.td = days.d GROUP BY td)
+         SELECT strftime(td, '%Y-%m-%d') AS day, dau, wau, mau,
+           dau * 1000000 // mau AS stickiness_ppm
+         FROM a ORDER BY day""",
     "b91_concentration" ->
       """WITH pu AS (
            SELECT user_id,
