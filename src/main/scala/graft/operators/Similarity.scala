@@ -53,22 +53,29 @@ object Similarity {
   /** IVF (inverted-file) ANN. Centroids are a deterministic id-stride
     * sample of the corpus (training-free; swap in k-means centroids at
     * will — the plumbing is identical). Assignment is relational: one
-    * broadcast of the K centroids against a single corpus scan, argmax
-    * cosine via a per-vector window (O(N·K) — the IVF assignment cost
-    * by definition). Search probes only the query's cell, so scoring
-    * touches ~corpus/K candidates per query. */
-  /** Nearest-centroid assignment: broadcast the K centroids, argmax
-    * cosine per vector via a window (deterministic tie-break on
-    * cent_id). `df` must already have `id` and a double-array `vec`. */
+    * broadcast of the K centroids against a single corpus scan, with
+    * the O(N·K) candidate expansion collapsed MAP-SIDE by a partial
+    * aggregate — only N rows ever cross the exchange. Search probes
+    * only the query's cell, so scoring touches ~corpus/K candidates
+    * per query. */
+  /** Nearest-centroid assignment: broadcast the K centroids, then
+    * argmax cosine per vector as a max-of-struct aggregation. The
+    * struct orders by (cosine desc, cent_id asc) via a negated
+    * cent_id, so ties break to the smallest cent_id — identical to
+    * the rank-window semantics this replaces, but the partial
+    * aggregate combines each vector's K candidates before the
+    * shuffle: N rows cross the exchange, not N·K. `df` must already
+    * have `id` and a double-array `vec`. */
   private def assignCells(df: DataFrame, cents: DataFrame, id: String,
-                          vec: String, roundScale: Int): DataFrame = {
-    val w = Window.partitionBy(col(id))
-      .orderBy(Fns.cosine(col(vec), col("centv"), roundScale).desc, col("cent_id"))
+                          vec: String, roundScale: Int): DataFrame =
     df.crossJoin(broadcast(cents))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(id), col(vec), col("cent_id").as("cell"))
-  }
+      .groupBy(col(id))
+      .agg(max(struct(
+        Fns.cosine(col(vec), col("centv"), roundScale).as("cos"),
+        (-col("cent_id")).as("neg_cent"),
+        col("cent_id").as("cid"),
+        col(vec).as("v"))).as("__best"))
+      .select(col(id), col("__best.v").as(vec), col("__best.cid").as("cell"))
 
   /** Deterministic id-stride seed centroids. */
   def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,

@@ -314,6 +314,24 @@ class PlanAuditSpec extends SparkSpec {
       s"centroid assignment should broadcast the K centroids:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"the within-cell pair join regressed to a cross join:\n$p")
+    // the N·K candidate expansion must collapse map-side: a partial
+    // max-of-struct BELOW the exchange, never a rank window (which
+    // would shuffle all N·K expanded rows hash-partitioned by id)
+    assert(p.contains("partial_max(struct(cos"),
+      s"centroid argmax lost its map-side partial aggregate:\n$p")
+    assert(!p.contains("windowspecdefinition(vid"),
+      s"centroid argmax regressed to a rank window over the N·K expansion:\n$p")
+  }
+
+  test("c7b: IVF assignment shuffles N rows, not N·K — partial argmax agg, no rank window") {
+    val p = plan("c7b_ann_ivf")
+    assert(p.split("partial_max\\(struct\\(cos").length - 1 == 2,
+      s"both corpus and query assignment need the map-side partial argmax:\n$p")
+    assert(!p.contains("windowspecdefinition(corpus_id"),
+      s"assignment regressed to a rank window over the N·K expansion:\n$p")
+    // the only window left is the final per-query top-k, and it prunes early
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k window lost its group-limit pruning:\n$p")
   }
 
   test("c39: substring scrub is generator + keyed joins — no cross join, codegen'd ngrams") {
