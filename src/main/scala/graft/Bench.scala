@@ -69,17 +69,29 @@ object Bench {
     // Locale-fixed formatting: f"" uses the JVM default locale, which
     // under de_DE/fr_FR emits "12,345" and corrupts the JSON line.
     def ms3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
-      .mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"queries":$qs,"metric":"total","value":${ms3(total)},"unit":"sec","sf":"$sfDir"}"""
-    println(line)
-    // sbt prints "[success] ..." AFTER this line, so a collector that
-    // parses the last stdout line gets sbt noise (BENCH_r03/r04 both
-    // recorded parsed: null). Drop the same JSON in a file too.
+    val full = s"""{"queries":${qmap(results)},"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    // The FULL per-query map always goes to a file...
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_local_latest.json"), line + "\n")
+      java.nio.file.Paths.get("BENCH_local_latest.json"), full + "\n")
     catch { case _: Throwable => () }
+    // ...but the collector keeps only the LAST ~2000 characters of
+    // stdout, and a 170+-entry map is ~5 KB: a full line can NEVER
+    // survive that window intact, so the collector's json parse fails
+    // on the truncated head (BENCH_r03..r05 all recorded parsed:
+    // null). Emit a stdout line guaranteed to fit: headline fields +
+    // only the slowest queries, budgeted to stay well under the
+    // window with room for sbt's trailing "[success]" noise.
+    val line = if (full.length <= 1500) full else {
+      val slowest = results.sortBy(-_._2)
+        .foldLeft(Vector.empty[(String, Double)]) { (acc, kv) =>
+          if (qmap(acc :+ kv).length <= 1100) acc :+ kv else acc
+        }
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":${qmap(slowest)},"queries_omitted":${results.size - slowest.size},"queries_full":"BENCH_local_latest.json"}"""
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -287,14 +287,30 @@ object SparkEntry {
   }
 
   /** B8: per-type daily rollup — the canonical MergeTree query the
-    * reference's tables exist to serve. */
+    * reference's tables exist to serve. Collapse-first: aggregate to
+    * (type, date, user) once, then roll that small table up — the
+    * mixed countDistinct+sum form would plan an Expand that doubles
+    * every event row through the shuffle; here events cross one
+    * exchange once, partially combined map-side, and the distinct
+    * count is a plain count over the collapsed table (b80/b92's
+    * shape). */
   private def b8DailyRollup(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")
       .groupBy(col("event_type"),
-        date_format(Fns.nanosToTimestamp(col("ts")), "yyyy-MM-dd").as("event_date"))
-      .agg(count(lit(1)).as("n_events"),
-        Fns.sumExact(col("value")).as("sum_value"),
-        countDistinct(col("user_id")).as("n_users"))
+        Fns.floorDivLong(col("ts"), 86400L * 1000000000L).as("__day"),
+        col("user_id"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("value").cast("decimal(18,2)")).as("__sv"))
+      .groupBy(col("event_type"), col("__day"))
+      .agg(sum(col("__n")).as("n_events"),
+        sum(col("__sv")).cast("double").as("sum_value"),
+        count(lit(1)).as("n_users"))
+      .select(col("event_type"),
+        // format the 150-row rollup, not the raw events (UTC session
+        // tz: epoch-day ≡ the date_format of the nanos timestamp)
+        date_format(timestamp_seconds(col("__day") * 86400L), "yyyy-MM-dd")
+          .as("event_date"),
+        col("n_events"), col("sum_value"), col("n_users"))
       .orderBy(col("event_type"), col("event_date"))
 
   // ---------------------------------------------------------------

@@ -323,6 +323,18 @@ class PlanAuditSpec extends SparkSpec {
       s"centroid argmax regressed to a rank window over the N·K expansion:\n$p")
   }
 
+  test("b8: rollup collapses first — no Expand; distinct users counted off the collapsed table") {
+    val p = plan("b8_daily_rollup")
+    assert(!p.contains("Expand"),
+      s"mixed distinct+sum aggregate reintroduced the 2x Expand:\n$p")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 2,
+      s"expected the (type,day,user) collapse + (type,day) rollup exchanges only:\n$p")
+    // date strings are formatted on the rollup, never the raw events
+    assert(!p.contains("date_format") ||
+      p.indexOf("date_format") < p.indexOf("FileScan"),
+      s"date_format ran below the aggregation (per-event string work):\n$p")
+  }
+
   test("c7b: IVF assignment shuffles N rows, not N·K — partial argmax agg, no rank window") {
     val p = plan("c7b_ann_ivf")
     assert(p.split("partial_max\\(struct\\(cos").length - 1 == 2,
