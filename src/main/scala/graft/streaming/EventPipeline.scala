@@ -153,11 +153,12 @@ object EventPipeline {
     * schema independently (CREATE on first batch, ADD COLUMN nullable,
     * widen-to-String — reference batch-client:492-568).
     *
-    * Per-type tables with divergent schemas can't share one
-    * `partitionBy` write, so inside each (small, bounded) micro-batch
-    * the router fans out per present type — exactly the reference's
-    * one-bulker-per-type shape, with the 100 TB work still done by the
-    * streaming partition-parallelism within each write.
+    * Schema evolution is per-type METADATA (driver-side merges); the
+    * DATA write is ONE routed `partitionBy` job per micro-batch for
+    * every cast-free type, staged then file-moved into the per-type
+    * tables ([[writeEvolvedBatch]]) — the batch router's one-shuffle
+    * shape, not a per-type job loop. Only a table needing a cast or
+    * widen rewrite falls back to its own aligned append.
     *
     * Delivery is at-least-once at the table level: a crash between a
     * type's append and the checkpoint commit replays the batch, and
@@ -202,17 +203,86 @@ object EventPipeline {
             try {
               val types = enriched.select(col("event_type")).distinct()
                 .collect().map(_.getString(0))
-              types.foreach { t =>
-                SchemaEvolution.evolveAppend(spark,
-                  enriched.filter(col("event_type") === t).drop("event_type"),
-                  s"${cfg.outputDir}/event_type=${escapeType(t)}")
-              }
+              writeEvolvedBatch(spark, enriched, types, cfg.outputDir, batchId)
             } finally { enriched.unpersist(); () }
           }
         } finally { valid.unpersist(); () }
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** One micro-batch's routed write with per-type schema evolution.
+    *
+    * Schema EVOLUTION is metadata: each present type's target schema
+    * merges driver-side (a handful of parquet-footer reads, bounded by
+    * table count — the reference's one-Bulker-per-type assumption).
+    * The DATA write is one job whenever it can be: every type whose
+    * append is cast-free — no existing column widens, every column
+    * shared with its table already has the table's dtype (new columns
+    * are metadata-only via mergeSchema, like evolveAppend's ADD
+    * COLUMN) — rides a single salted-by-type `partitionBy` write to a
+    * staging dir (the batch router's one-shuffle shape,
+    * EventRouter.writeRouted), whose part files then MOVE into the
+    * per-type tables driver-side. The batch crosses the cluster once
+    * per trigger, not once per present type — at high type
+    * cardinality the per-type loop serialized N jobs per micro-batch.
+    *
+    * Only a type whose table needs a cast or a widen rewrite (rare by
+    * construction: the reference risks exactly one ALTER) falls back
+    * to the per-type aligned `evolveAppend`.
+    *
+    * The staging dir lives under the output root with a `__` prefix,
+    * which Spark's partition discovery ignores; a crash mid-move
+    * replays the batch (at-least-once, deduped downstream by
+    * `message_id` — same contract as before). NOTE the move is a
+    * same-filesystem rename — O(1) on HDFS/local; on an object store
+    * front it with a rename-capable committer or layer. */
+  private[graft] def writeEvolvedBatch(spark: SparkSession, enriched: DataFrame,
+                                       types: Seq[String], outputDir: String,
+                                       batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val batchSchema = StructType(enriched.drop("event_type").schema.fields)
+    def tablePath(t: String) = s"$outputDir/event_type=${escapeType(t)}"
+    val existing: Map[String, Option[StructType]] = types.map { t =>
+      t -> (try Some(spark.read.parquet(tablePath(t)).schema)
+            catch { case _: Exception => None })
+    }.toMap
+    def castFree(t: String): Boolean = existing(t) match {
+      case None => true // first batch CREATEs the table at batch schema
+      case Some(ex) =>
+        val target = SchemaEvolution.merge(ex, batchSchema)
+        ex.fields.forall(f => target(f.name).dataType == f.dataType) &&
+          batchSchema.fields.filter(f => ex.fieldNames.contains(f.name))
+            .forall(f => ex(f.name).dataType == f.dataType)
+    }
+    val (fast, slow) = types.partition(castFree)
+    if (fast.nonEmpty) {
+      val staging = s"$outputDir/__graft_stage_$batchId"
+      enriched.filter(col("event_type").isin(fast: _*))
+        .repartition(col("event_type"))
+        .sortWithinPartitions(col("event_type"), col("received_at"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(staging)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
+      fast.foreach { t =>
+        val from = new Path(s"$staging/event_type=" +
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(t))
+        val to = new Path(tablePath(t))
+        if (!fs.exists(to)) fs.mkdirs(to)
+        fs.listStatus(from).foreach { f =>
+          if (f.getPath.getName.startsWith("part-")) {
+            fs.rename(f.getPath, new Path(to, f.getPath.getName)); ()
+          }
+        }
+      }
+      fs.delete(new Path(staging), true); ()
+    }
+    slow.foreach { t =>
+      SchemaEvolution.evolveAppend(spark,
+        enriched.filter(col("event_type") === t).drop("event_type"),
+        tablePath(t))
+    }
   }
 
   /** Read one evolving per-type table back (schema-merged). */
