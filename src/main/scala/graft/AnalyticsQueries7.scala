@@ -236,8 +236,13 @@ object AnalyticsQueries7 {
   }
 
   /** B82: trailing-window anomaly flags — each (type, day)'s event
-    * count vs the mean/σ of its PRECEDING 7 days (self-excluded:
-    * yesterday's spike can't vouch for today's), |z| > 2 flags. The
+    * count vs the mean/σ of its preceding 7 OBSERVED days
+    * (self-excluded: yesterday's spike can't vouch for today's),
+    * |z| > 2 flags. rowsBetween(-7,-1) counts ROWS of the daily
+    * rollup, so a type with zero-event days looks back past 7
+    * calendar days — the ClickHouse-dashboard convention this
+    * mirrors (a rangeBetween on a day number would give strict
+    * calendar-window semantics); the oracle mirrors rows. The
     * corpus collapses to |types|·|days| daily rows first; the trailing
     * frame runs over that tiny table. Sample σ from integral sums;
     * warm-up days (< 3 prior) stay unflagged with null z. */

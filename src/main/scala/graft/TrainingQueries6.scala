@@ -98,7 +98,9 @@ object TrainingQueries6 {
         floor(col("n_pop").cast("double") * col("sd") * 10000.0).cast("long"))
       .withColumn("w_total",
         sum(col("w_int")).over(Window.partitionBy()))
-      .withColumn("alloc", expr(s"$budget * w_int div w_total"))
+      .withColumn("alloc", // w_total=0 iff every stratum is degenerate
+        when(col("w_total") > 0, expr(s"$budget * w_int div w_total"))
+          .otherwise(lit(0L)))
     val ranked = T(s, dir, "documents")
       .select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
       .withColumn("rn", row_number().over(
@@ -322,7 +324,9 @@ object TrainingQueries6 {
       .agg(count(lit(1)).as("n_candidates"),
         sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_verified"))
       .select(col("n_candidates"), col("n_verified"),
-        expr("n_verified * 1000000 div n_candidates").as("precision_ppm"))
+        when(col("n_candidates") > 0,
+          expr("n_verified * 1000000 div n_candidates"))
+          .otherwise(lit(0L)).as("precision_ppm"))
 
   /** C62: leakage-safe splitting — near-dup CLUSTERS must land in one
     * split (a train doc whose near-twin sits in valid leaks the
@@ -517,7 +521,9 @@ object TrainingQueries6 {
             FROM cand c LEFT JOIN verified v
               ON c.id1 = v.id1 AND c.id2 = v.id2)
           SELECT n_candidates, n_verified,
-            n_verified * 1000000 // n_candidates AS precision_ppm
+            CASE WHEN n_candidates > 0
+              THEN n_verified * 1000000 // n_candidates
+              ELSE 0 END AS precision_ppm
           FROM a""",
     "c60_doc_entropy" ->
       s"""WITH d AS (
@@ -726,7 +732,9 @@ object TrainingQueries6 {
            FROM a),
          al AS (
            SELECT lang, source, n_pop, sd,
-             1000 * w_int // (SELECT sum(w_int) FROM w) AS alloc
+             CASE WHEN (SELECT sum(w_int) FROM w) > 0
+               THEN 1000 * w_int // (SELECT sum(w_int) FROM w)
+               ELSE 0 END AS alloc
            FROM w),
          r AS (
            SELECT lang, source, doc_id, n_chars,

@@ -162,10 +162,15 @@ object Stats {
     * DOUBLED units (2·minrank + ties − 1, always an integer — the
     * [[mannWhitney]] trick per-row), and Pearson over the doubled
     * ranks equals Pearson over the true average ranks because
-    * correlation is affine-invariant. Sufficient statistics stay
-    * integral (exact in int64 up to ~10⁵ rows per group; the 100 TB
-    * path swaps the sums to decimal(38,0) — DuckDB's HUGEINT does
-    * this automatically); only the final ρ finalizes in double.
+    * correlation is affine-invariant. Sufficient statistics run in
+    * decimal(38,0) — integral and EXACT to ~3·10¹² rows per group
+    * (the rank-product sums grow as 4n³, past int64 at n≈1.3·10⁶,
+    * where a long sum would silently wrap under non-ANSI Spark;
+    * DuckDB's HUGEINT promotion is the same fix) — and the
+    * numerator/denominators n·Σxy−ΣxΣy are formed in decimal too
+    * (4n⁴ < 10³⁸), because double-casting the near-equal terms first
+    * loses the difference to cancellation; only the final ratio
+    * finalizes in double.
     * Scale: two keyed sort windows + one keyed aggregation, all on
     * the SAME group key — one hash exchange, two in-partition sorts.
     * Output: keys..., n, rho (unrounded double; null when either
@@ -182,17 +187,15 @@ object Stats {
       .withColumn("__ry", rank2("__y"))
       .groupBy(kc: _*)
       .agg(count(lit(1)).as("n"),
-        sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
-        sum(col("__rx") * col("__ry")).as("__sxy"),
-        sum(col("__rx") * col("__rx")).as("__sxx"),
-        sum(col("__ry") * col("__ry")).as("__syy"))
-    val n = col("n").cast("double")
-    val num = n * col("__sxy").cast("double") -
-      col("__sx").cast("double") * col("__sy").cast("double")
-    val dx = n * col("__sxx").cast("double") -
-      col("__sx").cast("double") * col("__sx").cast("double")
-    val dy = n * col("__syy").cast("double") -
-      col("__sy").cast("double") * col("__sy").cast("double")
+        sum(col("__rx").cast("decimal(38,0)")).as("__sx"),
+        sum(col("__ry").cast("decimal(38,0)")).as("__sy"),
+        sum(col("__rx").cast("decimal(19,0)") * col("__ry")).as("__sxy"),
+        sum(col("__rx").cast("decimal(19,0)") * col("__rx")).as("__sxx"),
+        sum(col("__ry").cast("decimal(19,0)") * col("__ry")).as("__syy"))
+    val nD = col("n").cast("decimal(38,0)")
+    val num = (nD * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val dx = (nD * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val dy = (nD * col("__syy") - col("__sy") * col("__sy")).cast("double")
     agg.select((kc :+ col("n") :+
       when(dx > 0 && dy > 0, num / sqrt(dx * dy)).as("rho")): _*)
   }

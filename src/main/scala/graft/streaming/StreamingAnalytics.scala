@@ -280,7 +280,11 @@ object StreamingAnalytics {
     * (ts, id, type) triple per user. Downstream, the matrix is a
     * plain streaming aggregation over the emitted edges; same
     * per-user ordering contract as [[funnelStream]] (in-batch sort,
-    * in-order across batches). */
+    * in-order across batches). An out-of-order event arriving in a
+    * LATER batch emits edges that diverge from the batch b89 lag
+    * semantics (StreamingAnalyticsSpec pins the exact divergence) —
+    * buffer by watermark upstream if batch parity under disorder is
+    * required. */
   def transitionStream(events: Dataset[Event]): Dataset[TransitionOut] = {
     implicit val stateEnc = Encoders.product[TransState]
     implicit val outEnc = Encoders.product[TransitionOut]
