@@ -183,6 +183,37 @@ object TrainingQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+
+  /** C65: ANN recall audit — the measurement that justifies c7's
+    * plane count and c7b's stride: each approximate method's top-5
+    * against c6's brute-force top-5 ground truth, recall in exact
+    * ppm (the c50/c61 discipline, applied to the embedding chain).
+    * Hits are a (query_id, corpus_id) semi-join of two
+    * |queries|·k-row tables — the corpus-sized work is the three
+    * searches themselves, each already audited for plan shape. */
+  private def c65AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 8)
+    def pairs(df: DataFrame): DataFrame =
+      df.select(col("query_id"), col("corpus_id"))
+    val exact = pairs(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+      k = 5, roundScale = 4)).persist()
+    def audit(method: String, ann: DataFrame): DataFrame = {
+      val hits = exact.join(ann, Seq("query_id", "corpus_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(lit(method).as("method"), col("n_exact"), col("n_hit"),
+          when(col("n_exact") > 0,
+            expr("(n_hit * 1000000L) div n_exact")).otherwise(0L)
+            .as("recall_ppm"))
+    }
+    audit("ivf", pairs(Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        k = 5, stride = 100, roundScale = 4)))
+      .unionAll(audit("lsh", pairs(Similarity.lshTopK(emb, q, "vec_id",
+        "embedding", k = 5, planes = 8, dim = 64, roundScale = 4))))
+      .orderBy(col("method"))
+  }
+
   // ------------------------------------------------------------------
   // C8-C11: text analysis
   // ------------------------------------------------------------------
@@ -250,6 +281,7 @@ object TrainingQueries {
     "c6_ann_topk" -> (c6AnnTopK _),
     "c7_ann_lsh" -> (c7AnnLsh _),
     "c7b_ann_ivf" -> (c7bAnnIvf _),
+    "c65_ann_recall" -> (c65AnnRecall _),
     "c8_lang_id" -> (c8LangId _),
     "c9_quality" -> (c9Quality _),
     "c10_token_count" -> (c10TokenCount _),
@@ -417,6 +449,70 @@ object TrainingQueries {
         SELECT query_id, rnk, corpus_id, cell, cosine_sim FROM ranked
         WHERE rnk <= 5 ORDER BY query_id, rnk"""
 
+
+  /** c65 mirror: the three searches as CTEs, then two audit rows. */
+  private def c65OracleSql: String =
+    s"""WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q0 AS (SELECT vec_id AS query_id, v AS qv FROM ve WHERE vec_id < 8),
+        ex_scored AS (
+          SELECT query_id, vec_id AS corpus_id,
+            ${cosineSql("qv", "v", 4)} AS cs
+          FROM ve CROSS JOIN q0 WHERE query_id <> vec_id),
+        exact AS (
+          SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cs DESC, corpus_id) AS rnk
+            FROM ex_scored) WHERE rnk <= 5),
+        b AS (SELECT vec_id, v, $bucketSql AS bucket FROM ve),
+        lq AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b WHERE vec_id < 8),
+        l_scored AS (
+          SELECT query_id, c.vec_id AS corpus_id,
+            ${cosineSql("qv", "c.v", 4)} AS cs
+          FROM b c JOIN lq ON c.bucket = lq.bucket
+          WHERE query_id <> c.vec_id),
+        lsh AS (
+          SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cs DESC, corpus_id) AS rnk
+            FROM l_scored) WHERE rnk <= 5),
+        cents AS (SELECT vec_id AS cent_id, v AS centv FROM ve WHERE vec_id % 100 = 0),
+        assigned AS (
+          SELECT vec_id, v, cent_id AS cell FROM (
+            SELECT vec_id, v, cent_id,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY ${cosineSql("v", "centv", 4)} DESC, cent_id) AS rn
+            FROM ve CROSS JOIN cents)
+          WHERE rn = 1),
+        iq AS (SELECT vec_id AS query_id, v AS qv, cell FROM assigned WHERE vec_id < 8),
+        i_scored AS (
+          SELECT query_id, c.vec_id AS corpus_id,
+            ${cosineSql("qv", "c.v", 4)} AS cs
+          FROM assigned c JOIN iq ON c.cell = iq.cell
+          WHERE query_id <> c.vec_id),
+        ivf AS (
+          SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cs DESC, corpus_id) AS rnk
+            FROM i_scored) WHERE rnk <= 5),
+        audit AS (
+          SELECT 'ivf' AS method,
+            (SELECT count(*) FROM exact) AS n_exact,
+            (SELECT count(*) FROM exact e JOIN ivf a
+              ON e.query_id = a.query_id AND e.corpus_id = a.corpus_id) AS n_hit
+          UNION ALL
+          SELECT 'lsh' AS method,
+            (SELECT count(*) FROM exact) AS n_exact,
+            (SELECT count(*) FROM exact e JOIN lsh a
+              ON e.query_id = a.query_id AND e.corpus_id = a.corpus_id) AS n_hit)
+        SELECT method, CAST(n_exact AS BIGINT) AS n_exact,
+          CAST(n_hit AS BIGINT) AS n_hit,
+          CASE WHEN n_exact > 0 THEN n_hit * 1000000 // n_exact
+            ELSE 0 END AS recall_ppm
+        FROM audit ORDER BY method"""
+
   private[graft] def markersIn(ms: Seq[String]): String =
     ms.map(m => s"'$m'").mkString("(", ", ", ")")
 
@@ -503,6 +599,7 @@ object TrainingQueries {
     "c6_ann_topk" -> c6OracleSql,
     "c7_ann_lsh" -> c7OracleSql,
     "c7b_ann_ivf" -> c7bOracleSql,
+    "c65_ann_recall" -> c65OracleSql,
     "c8_lang_id" -> c8OracleSql,
     "c9_quality" -> c9OracleSql,
     "c10_token_count" -> c10OracleSql,
