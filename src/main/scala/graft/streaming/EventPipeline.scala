@@ -68,13 +68,23 @@ object EventPipeline {
     * key / unparseable body) instead of dropping them — the reference
     * never loses a row (main.ts:463-514); replay them later with
     * `EventRouter.replayDlq`. None keeps the drop behavior. */
+  /** `sinkPing = Some(f)` is the connection-watchdog seam (reference
+    * main.ts:244-260 pings ClickHouse and main.ts:464 gates inserts on
+    * `lastPingShowsDisconnectedDestination`): evaluated once per
+    * micro-batch BEFORE any table write. A false ping — or a table
+    * write that throws — diverts the affected rows to `dlqDir` with a
+    * reason + attempt counter instead of failing the stream; recovery
+    * is the existing a12 replay path. Without a `dlqDir` the failure
+    * propagates (fail-the-batch, checkpoint replays — the pre-watchdog
+    * behavior). */
   case class Config(
       inputDir: String,
       outputDir: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 1,
       transform: EventFlattener.RowTransform = EventFlattener.defaultTransform,
-      dlqDir: Option[String] = None)
+      dlqDir: Option[String] = None,
+      sinkPing: Option[() => Boolean] = None)
 
   /** The enrichment applied to each micro-batch (shared with tests and
     * with the batch path, so batch/streaming parity is testable). */
@@ -191,20 +201,40 @@ object EventPipeline {
         val valid = batch
           .filter(col("event_type").isNotNull && length(col("event_type")) > 0)
           .persist()
+        // watchdog: rows divert here instead of failing the stream
+        def divert(rows: DataFrame, reason: String): Unit = {
+          rows.withColumn("dlq_reason", lit(reason))
+            .withColumn("retry_attempt", lit(1))
+            .withColumn("stream_batch_id", lit(batchId))
+            .write.mode("append").parquet(cfg.dlqDir.get)
+        }
         try {
           if (!valid.isEmpty) {
-            val keep = valid.columns.filterNot(_ == jsonCol).toSeq
-            val reserved = EventFlattener.defaultReserved ++ keep ++ enrichmentCols
-            val flat = EventFlattener.flatten(valid, jsonCol, keep = keep,
-              opts = EventFlattener.Options(reserved = reserved))
-            val enriched = enrich(flat, cfg.transform)
-              .withColumn("stream_batch_id", lit(batchId))
-              .persist()
-            try {
-              val types = enriched.select(col("event_type")).distinct()
-                .collect().map(_.getString(0))
-              writeEvolvedBatch(spark, enriched, types, cfg.outputDir, batchId)
-            } finally { enriched.unpersist(); () }
+            if (cfg.dlqDir.isDefined && !cfg.sinkPing.forall(_())) {
+              // destination reported down BEFORE writing (main.ts:464's
+              // insert gate): the whole batch dead-letters raw —
+              // replayable through the pipeline unchanged
+              divert(valid, "destination_unhealthy")
+            } else {
+              val keep = valid.columns.filterNot(_ == jsonCol).toSeq
+              val reserved = EventFlattener.defaultReserved ++ keep ++ enrichmentCols
+              val flat = EventFlattener.flatten(valid, jsonCol, keep = keep,
+                opts = EventFlattener.Options(reserved = reserved))
+              val enriched = enrich(flat, cfg.transform)
+                .withColumn("stream_batch_id", lit(batchId))
+                .persist()
+              try {
+                val types = enriched.select(col("event_type")).distinct()
+                  .collect().map(_.getString(0))
+                val onFail: Option[(Seq[String], Throwable) => Unit] =
+                  cfg.dlqDir.map { _ => (failed: Seq[String], _: Throwable) =>
+                    divert(valid.filter(col("event_type").isin(failed: _*)),
+                      "sink_write_failed")
+                  }
+                writeEvolvedBatch(spark, enriched, types, cfg.outputDir,
+                  batchId, onFail)
+              } finally { enriched.unpersist(); () }
+            }
           }
         } finally { valid.unpersist(); () }
         ()
@@ -240,8 +270,18 @@ object EventPipeline {
     * front it with a rename-capable committer or layer. */
   private[graft] def writeEvolvedBatch(spark: SparkSession, enriched: DataFrame,
                                        types: Seq[String], outputDir: String,
-                                       batchId: Long): Unit = {
+                                       batchId: Long,
+                                       onWriteFailure: Option[(Seq[String], Throwable) => Unit] = None): Unit = {
     import org.apache.hadoop.fs.Path
+    // a write failure either diverts the affected types' rows (the
+    // sink watchdog) or propagates (fail-the-batch, checkpoint replays)
+    def guarded(affected: Seq[String])(body: => Unit): Unit =
+      try body catch {
+        case scala.util.control.NonFatal(e) => onWriteFailure match {
+          case Some(h) => h(affected, e)
+          case None => throw e
+        }
+      }
     val batchSchema = StructType(enriched.drop("event_type").schema.fields)
     def tablePath(t: String) = s"$outputDir/event_type=${escapeType(t)}"
     val existing: Map[String, Option[StructType]] = types.map { t =>
@@ -259,29 +299,41 @@ object EventPipeline {
     val (fast, slow) = types.partition(castFree)
     if (fast.nonEmpty) {
       val staging = s"$outputDir/__graft_stage_$batchId"
-      enriched.filter(col("event_type").isin(fast: _*))
-        .repartition(col("event_type"))
-        .sortWithinPartitions(col("event_type"), col("received_at"))
-        .write.mode("overwrite").partitionBy("event_type").parquet(staging)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
-      fast.foreach { t =>
-        val from = new Path(s"$staging/event_type=" +
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(t))
-        val to = new Path(tablePath(t))
-        if (!fs.exists(to)) fs.mkdirs(to)
-        fs.listStatus(from).foreach { f =>
-          if (f.getPath.getName.startsWith("part-")) {
-            fs.rename(f.getPath, new Path(to, f.getPath.getName)); ()
+      var staged = false
+      guarded(fast) {
+        enriched.filter(col("event_type").isin(fast: _*))
+          .repartition(col("event_type"))
+          .sortWithinPartitions(col("event_type"), col("received_at"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(staging)
+        staged = true
+      }
+      if (staged) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
+        fast.foreach { t =>
+          guarded(Seq(t)) {
+            val from = new Path(s"$staging/event_type=" +
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(t))
+            val to = new Path(tablePath(t))
+            if (!fs.exists(to) && !fs.mkdirs(to))
+              throw new java.io.IOException(s"cannot create table dir $to")
+            fs.listStatus(from).foreach { f =>
+              if (f.getPath.getName.startsWith("part-") &&
+                  !fs.rename(f.getPath, new Path(to, f.getPath.getName)))
+                throw new java.io.IOException(
+                  s"rename ${f.getPath} -> $to failed (destination unwritable?)")
+            }
           }
         }
+        fs.delete(new Path(staging), true); ()
       }
-      fs.delete(new Path(staging), true); ()
     }
     slow.foreach { t =>
-      SchemaEvolution.evolveAppend(spark,
-        enriched.filter(col("event_type") === t).drop("event_type"),
-        tablePath(t))
+      guarded(Seq(t)) {
+        SchemaEvolution.evolveAppend(spark,
+          enriched.filter(col("event_type") === t).drop("event_type"),
+          tablePath(t))
+      }
     }
   }
 
