@@ -46,15 +46,26 @@ object EventRouter {
     * so one hot event type still fans across the cluster), sorted
     * within partitions on the time column (MergeTree ORDER BY). */
   def writeRouted(df: DataFrame, baseDir: String, sortCol: String,
-                  saltBuckets: Int = 1): Unit = {
-    val routed =
-      if (saltBuckets <= 1) df.repartition(col(RouteCol))
-      else df.repartition(col(RouteCol), pmod(crc32(col(sortCol).cast("string")), lit(saltBuckets)))
-    routed
-      .sortWithinPartitions(col(RouteCol), col(sortCol))
+                  saltBuckets: Int = 1): Unit =
+    routedFrame(df, sortCol, saltBuckets)
       .write.mode("overwrite")
       .partitionBy(RouteCol)
       .parquet(baseDir)
+
+  /** The routed frame writeRouted writes — exposed so plan guards can
+    * pin the shape: ONE exchange on (event_type [, salt]), data sorted
+    * within partitions on the time column. The salt is
+    * xxhash64(sortCol) mod buckets — structured time columns (fixed
+    * prefixes, trailing zeros) defeat weaker mixers: crc32-of-string
+    * measurably collided sequential-nanos timestamps into half the
+    * buckets, and a salt that doesn't spread IS the skew it exists to
+    * fix. */
+  private[graft] def routedFrame(df: DataFrame, sortCol: String,
+                                 saltBuckets: Int): DataFrame = {
+    val routed =
+      if (saltBuckets <= 1) df.repartition(col(RouteCol))
+      else df.repartition(col(RouteCol), pmod(xxhash64(col(sortCol)), lit(saltBuckets.toLong)))
+    routed.sortWithinPartitions(col(RouteCol), col(sortCol))
   }
 
   /** Read one routed table back (partition pruning applies). */

@@ -38,6 +38,53 @@ class EventRouterSpec extends SparkSpec {
     assert(hotFiles > 1, s"expected salt fan-out, got $hotFiles file(s)")
   }
 
+  test("hot-type skew: the salt splits one dominant type across buckets, evenly") {
+    // 90% of rows are ONE type -- the distribution where an unsalted
+    // route write serializes the cluster behind a single partition
+    val skewed = (0 until 2000).map { i =>
+      (i.toLong, 1700000000000000000L + i * 1000000000L, i.toLong % 5,
+        if (i % 10 != 0) "hot" else s"t${i % 3}", i * 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = tmpDir("route") + "/skewed"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // size buckets ~ shuffle partitions (32): with only a handful of
+    // salt values, hash collisions into the 32 partitions re-create
+    // the very hot partition the salt exists to break
+    spark.conf.set("spark.sql.shuffle.partitions", "32") // test default is 4
+    try EventRouter.writeRouted(skewed, out, sortCol = "ts", saltBuckets = 32)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+
+    val hotDir = new java.io.File(s"$out/event_type=hot")
+    val hotFiles = hotDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(hotFiles.length >= 8,
+      s"32 salt buckets should split the 90% type into several writers, got ${hotFiles.length}")
+    // the split is EFFECTIVE: no single file holds the hot partition
+    val counts = hotFiles.map(f =>
+      spark.read.parquet(f.getPath).count().toDouble)
+    assert(counts.max / counts.sum < 0.3,
+      s"salting left ${counts.max}/${counts.sum} rows in one file")
+    assert(counts.sum == 1800.0 && spark.read.parquet(out).count() == 2000)
+  }
+
+  test("plan guard: salted route is ONE exchange keyed by (event_type, crc32 salt)") {
+    val p = EventRouter.routedFrame(events(300), "ts", saltBuckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+      s"route should shuffle exactly once:\n$p")
+    assert(p.contains("xxhash64") && p.contains("pmod"),
+      s"salt missing from the partitioning expression:\n$p")
+    assert(p.contains("Exchange hashpartitioning(event_type"),
+      s"route key must lead the partitioning:\n$p")
+    // unsalted: same single exchange, no salt term
+    val u = EventRouter.routedFrame(events(300), "ts", saltBuckets = 1)
+      .queryExecution.executedPlan.toString
+    assert(u.split("\n").count(_.contains("Exchange hashpartitioning")) == 1 &&
+      !u.contains("xxhash64"), s"unsalted shape regressed:\n$u")
+  }
+
   test("readRoute prunes partitions (filter reaches PartitionFilters)") {
     val out = tmpDir("route") + "/pruned"
     EventRouter.writeRouted(events(300), out, sortCol = "ts")
