@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Honest-cluster smoke (SURVEY r6 / VERDICT r5 #10): the 10 most
+  * expensive queries under `local-cluster[2,16,...]` — real executor
+  * JVMs, real task serialization, real broadcasts over RPC — catching
+  * the driver-side assumptions `local[*]` hides (closures capturing
+  * the session, driver-only file paths, oversized broadcast values).
+  * Run via spark-submit (see tools/cluster_smoke.sh); asserts rows > 0
+  * per query and prints one OK line each. */
+object ClusterSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .appName("graft-cluster-smoke")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "c4_ngram_jaccard", "c21_corpus_pipeline", "c35_cluster_split",
+      "c19_dup_clusters", "a11_pipeline_e2e", "c3_dedup_simhash",
+      "c41_line_chunks", "c42_keep_best", "c37_semdedup", "c2_dedup_minhash")
+    var failed = 0
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      try {
+        val rows = SparkEntry.queries(n)(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(rows > 0, s"$n returned 0 rows")
+        println(f"CLUSTER_SMOKE OK   $n%-24s rows=$rows%-8d ${sec}%6.2f s")
+      } catch { case e: Throwable =>
+        failed += 1
+        println(s"CLUSTER_SMOKE FAIL $n: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    println(s"CLUSTER_SMOKE DONE failed=$failed/${names.size}")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}
