@@ -335,11 +335,11 @@ object SparkEntry {
   ) ++ AnalyticsQueries.queries ++ AnalyticsQueries2.queries ++
     AnalyticsQueries3.queries ++ AnalyticsQueries4.queries ++
     AnalyticsQueries5.queries ++ AnalyticsQueries6.queries ++
-    AnalyticsQueries7.queries ++
+    AnalyticsQueries7.queries ++ AnalyticsQueries8.queries ++
     TrainingQueries.queries ++
     TrainingQueries2.queries ++ TrainingQueries3.queries ++
     TrainingQueries4.queries ++ TrainingQueries5.queries ++
-    TrainingQueries6.queries
+    TrainingQueries6.queries ++ TrainingQueries7.queries
 
   def oracleSql: Map[String, String] = Map(
     "a1_ingest" ->
@@ -468,11 +468,11 @@ object SparkEntry {
   ) ++ AnalyticsQueries.oracleSql ++ AnalyticsQueries2.oracleSql ++
     AnalyticsQueries3.oracleSql ++ AnalyticsQueries4.oracleSql ++
     AnalyticsQueries5.oracleSql ++ AnalyticsQueries6.oracleSql ++
-    AnalyticsQueries7.oracleSql ++
+    AnalyticsQueries7.oracleSql ++ AnalyticsQueries8.oracleSql ++
     TrainingQueries.oracleSql ++
     TrainingQueries2.oracleSql ++ TrainingQueries3.oracleSql ++
     TrainingQueries4.oracleSql ++ TrainingQueries5.oracleSql ++
-    TrainingQueries6.oracleSql
+    TrainingQueries6.oracleSql ++ TrainingQueries7.oracleSql
 
   /** DuckDB mirror of ChTypes.inferFromStrings over the same 5 keys. */
   private def inferTypesOracle: String = {

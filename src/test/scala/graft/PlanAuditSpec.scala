@@ -335,6 +335,32 @@ class PlanAuditSpec extends SparkSpec {
       s"date_format ran below the aggregation (per-event string work):\n$p")
   }
 
+  test("b93: growth accounting collapses to (user,day) first; windows ride the collapsed table") {
+    val p = plan("b93_growth_accounting")
+    assert(!p.contains("Expand"), s"no Expand expected:\n$p")
+    // one raw-data exchange (the distinct collapse), one user-keyed
+    // window exchange over the COLLAPSED table, then the |days| rollup
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning(user_id")) == 1,
+      s"expected exactly one user-keyed exchange (the lag window):\n$p")
+    assert(p.contains("partial_"), s"the collapse lost its map-side partial agg:\n$p")
+  }
+
+  test("c66: dedup savings rides one fingerprint exchange + a |sources| rollup") {
+    val p = plan("c66_dedup_savings")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning(fp")) == 1,
+      s"expected one fingerprint exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the report must not join the corpus:\n$p")
+  }
+
+  test("c67: length histogram is one map-side-combined aggregation") {
+    val p = plan("c67_length_histogram")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected a single (source, magnitude) exchange:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"aggregation lost map-side combine:\n$p")
+  }
+
   test("c7b: IVF assignment shuffles N rows, not N·K — partial argmax agg, no rank window") {
     val p = plan("c7b_ann_ivf")
     assert(p.split("partial_max\\(struct\\(cos").length - 1 == 2,
