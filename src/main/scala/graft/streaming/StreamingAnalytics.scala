@@ -36,6 +36,12 @@ case class TransState(lastTs: Long, lastId: Long, lastType: String)
 
 case class TransitionOut(from_type: String, to_type: String)
 
+/** Streaming growth state: the user's last ACTIVE epoch-day — O(1)
+  * per user, whatever the history length. -1 = never seen. */
+case class GrowthState(lastDay: Long)
+
+case class GrowthOut(day: Long, user_id: Long, status: String)
+
 /** Streaming OHLC state: one fixed-size record per (type, hour) —
   * open/close carry their (ts, id) rank keys so late events resolve
   * identically to the batch rank windows. */
@@ -299,6 +305,43 @@ object StreamingAnalytics {
             st = TransState(e.ts, e.event_id, e.event_type)
           }
           if (st != null) state.update(st)
+          outs.iterator
+      }
+  }
+
+  /** Streaming growth accounting (b93's unbounded twin): each
+    * (user, active-day) classified new / retained / resurrected as it
+    * happens, via flatMapGroupsWithState in Append mode — state is ONE
+    * epoch-day per user. Downstream, b93's daily decomposition is a
+    * plain streaming aggregation over the emitted rows (churn, being
+    * forward-looking, stays a batch read of yesterday). Same ordering
+    * contract as [[transitionStream]]: in-batch sort, in-order across
+    * batches; a day arriving LATE (≤ the user's last active day)
+    * cannot re-classify history and is dropped — the divergence spec
+    * documents it. */
+  def growthStream(events: Dataset[Event]): Dataset[GrowthOut] = {
+    implicit val stateEnc = Encoders.product[GrowthState]
+    implicit val outEnc = Encoders.product[GrowthOut]
+    implicit val keyEnc = Encoders.scalaLong
+    val dayNs = 86400L * 1000000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[GrowthState]) =>
+          val outs = scala.collection.mutable.ListBuffer[GrowthOut]()
+          var last = state.getOption.map(_.lastDay).getOrElse(-1L)
+          val seen = state.exists
+          it.map(e => java.lang.Math.floorDiv(e.ts, dayNs))
+            .toSeq.distinct.sorted.foreach { day =>
+              if (day > last) {
+                val status =
+                  if (last < 0 && !seen) "new"
+                  else if (day - last == 1) "retained"
+                  else "resurrected"
+                outs += GrowthOut(day, uid, status)
+                last = day
+              } // day <= last: late arrival, history already classified
+            }
+          state.update(GrowthState(last))
           outs.iterator
       }
   }

@@ -307,4 +307,38 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got == Map(("a", "c") -> 1L, ("c", "b") -> 1L))
     assert(got != Map(("a", "b") -> 1L, ("b", "c") -> 1L))
   }
+
+  test("streaming growth accounting equals the batch b93 classification across micro-batch splits") {
+    val day = 86400L // ev() takes seconds
+    // user 1: day0 (b1), day1 (b2) -> retained needs STATE across the
+    // split; day4 (b2) -> resurrected. user 2: single day in b1.
+    val rows1 = Seq(ev(1, 10, 1, "a", 1.0), ev(2, day * 1 + 10, 1, "a", 1.0),
+      ev(3, 20, 2, "x", 1.0))
+    val rows2 = Seq(ev(4, day * 1 + 50, 1, "b", 1.0), // same day, no re-emit
+      ev(5, day * 4 + 10, 1, "a", 1.0),
+      ev(6, day * 2 + 10, 2, "x", 1.0)) // gap of 2 days -> resurrected
+    val dir = tmpDir("growth")
+    rows1.toDF().coalesce(1).write.mode("append").parquet(s"$dir/in")
+    rows2.toDF().coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    val stream = spark.readStream.schema(rows1.toDF().schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in").as[Event]
+    val q = StreamingAnalytics.growthStream(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ck")
+      .format("memory").queryName("growth")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("growth").collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("user_id")) ->
+        r.getAs[String]("status")).toMap
+    // batch b93 reference classification over the union
+    assert(got == Map(
+      (0L, 1L) -> "new", (1L, 1L) -> "retained", (4L, 1L) -> "resurrected",
+      (0L, 2L) -> "new", (2L, 2L) -> "resurrected"))
+    // exactly one row per (user, active day) — the same-day second
+    // event in batch 2 must not re-emit
+    assert(spark.table("growth").count() == 5)
+  }
 }
