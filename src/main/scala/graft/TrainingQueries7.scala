@@ -72,12 +72,49 @@ object TrainingQueries7 {
         max(col("n_tok")).as("max_tokens"))
       .orderBy(col("source"), col("magnitude"))
 
+
+  /** C68: duplicate-cluster size histogram — the dedup diagnostics
+    * report over c19's clusters (how big do near-dup families get, and
+    * how much of the corpus sits in them): singleton docs count as
+    * size-1 clusters, so n_docs sums back to the corpus. Cost is the
+    * c2→c19 chain this audits plus a two-level rollup; the histogram
+    * itself is |distinct sizes| rows. */
+  private def c68ClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val corpus = TrainingQueries.corpusWithDups(T(s, dir, "documents"))
+      .select(col("doc_id"))
+    val pairs = Dedup.minHashLsh(
+      TrainingQueries.corpusWithDups(T(s, dir, "documents")), "doc_id", "text",
+      n = 5, k = 8, bands = 4, threshold = 0.5)
+    val cc = Dedup.connectedComponents(pairs, "id1", "id2")
+      .select(col("node").as("doc_id"), col("component"))
+    corpus.join(cc, Seq("doc_id"), "left")
+      .select(coalesce(col("component"), col("doc_id")).as("cluster"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c66_dedup_savings" -> (c66DedupSavings _),
+    "c68_cluster_sizes" -> (c68ClusterSizes _),
     "c67_length_histogram" -> (c67LengthHistogram _)
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c68_cluster_sizes" ->
+      s"""WITH RECURSIVE ${TrainingQueries.clusterCteSql},
+          allc AS (
+            SELECT c.doc_id, coalesce(cl.cluster, c.doc_id) AS cluster
+            FROM corpus c LEFT JOIN cl ON c.doc_id = cl.doc_id),
+          sz AS (
+            SELECT cluster, count(*) AS cluster_size
+            FROM allc GROUP BY cluster)
+          SELECT cluster_size, count(*) AS n_clusters,
+            CAST(sum(cluster_size) AS BIGINT) AS n_docs
+          FROM sz GROUP BY cluster_size ORDER BY cluster_size""",
     "c66_dedup_savings" ->
       """WITH corpus AS (
            SELECT doc_id, text, source FROM documents
