@@ -97,13 +97,122 @@ object TrainingQueries7 {
       .orderBy(col("cluster_size"))
   }
 
+
+  /** C69: contamination by source — c45's fractional-overlap signal
+    * rolled up to the dataset-card grain: per source, how many docs
+    * exceed the 5% eval-overlap gate and what share of all shingles
+    * hit the eval set (exact ppm). Same broadcast-eval-grams shape as
+    * c45 (zero corpus shuffle for the join); the rollup exchanges
+    * |sources| rows. */
+  private def c69ContamBySource(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Decontaminate
+    val docs = T(s, dir, "documents")
+    val eval = docs.filter(col("doc_id") % 13 === 0)
+      .select(concat_ws(" ",
+        slice(Fns.tokens(col("text")), 11, 16)).as("text"))
+    val perDoc = Decontaminate.overlapFraction(docs, "doc_id", "text",
+      eval, "text", n = 8)
+    perDoc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("frac") > 0.05).cast("long")).as("n_flagged"),
+        sum(col("n_shingles")).as("n_shingles"),
+        sum(col("n_hits")).as("n_hits"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        col("n_shingles"), col("n_hits"),
+        when(col("n_shingles") > 0,
+          expr("n_hits * 1000000 div n_shingles")).otherwise(0L)
+          .as("hit_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** C70: dedup threshold sensitivity — the tuning curve for the c2
+    * banding: of the LSH chain's candidate pairs, how many verify at
+    * Jaccard ≥ t for t ∈ {0.5, 0.6, 0.7, 0.8, 0.9}. One candidate
+    * generation + exact verification (the expensive part, shared),
+    * then a 5-way threshold explode over the |pairs| table — the
+    * sweep itself adds nothing corpus-sized. */
+  private def c70ThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val scored = Dedup.minHashCandidates(
+      TrainingQueries.corpusWithDups(T(s, dir, "documents")), "doc_id", "text",
+      n = 5, k = 8, bands = 4)
+    scored
+      .select(col("jaccard"),
+        explode(array(Seq(50, 60, 70, 80, 90).map(lit): _*)).as("threshold_pct"))
+      .groupBy(col("threshold_pct"))
+      .agg(sum((col("jaccard") * 100 >= col("threshold_pct")).cast("long"))
+        .as("n_pairs"))
+      .orderBy(col("threshold_pct"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c66_dedup_savings" -> (c66DedupSavings _),
+    "c69_contam_by_source" -> (c69ContamBySource _),
+    "c70_threshold_sweep" -> (c70ThresholdSweep _),
     "c68_cluster_sizes" -> (c68ClusterSizes _),
     "c67_length_histogram" -> (c67LengthHistogram _)
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c69_contam_by_source" ->
+      s"""WITH evals AS (
+            SELECT array_to_string(list_slice(${TrainingQueries.toksSql}, 11, 26), ' ') AS text
+            FROM documents WHERE doc_id % 13 = 0),
+          eg AS (
+            SELECT DISTINCT unnest(CASE WHEN len(tk) >= 8
+              THEN list_transform(generate_series(1, len(tk) - 7),
+                     i -> array_to_string(tk[i:i+7], ' '))
+              ELSE [] END) AS gram, 1 AS hit
+            FROM (SELECT ${TrainingQueries.toksSql} AS tk FROM evals) _),
+          cg AS (
+            SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 8
+              THEN list_transform(generate_series(1, len(tk) - 7),
+                     i -> array_to_string(tk[i:i+7], ' '))
+              ELSE [] END)) AS gram
+            FROM (SELECT doc_id, ${TrainingQueries.toksSql} AS tk FROM documents) _),
+          j AS (
+            SELECT doc_id, count(*) AS n_shingles,
+              CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_hits
+            FROM cg LEFT JOIN eg USING (gram) GROUP BY doc_id),
+          per AS (
+            SELECT d.source, j.n_shingles, j.n_hits,
+              CASE WHEN CAST(j.n_hits AS DOUBLE) / j.n_shingles > 0.05
+                THEN 1 ELSE 0 END AS flagged
+            FROM j JOIN documents d USING (doc_id))
+          SELECT source, count(*) AS n_docs,
+            CAST(sum(flagged) AS BIGINT) AS n_flagged,
+            CAST(sum(n_shingles) AS BIGINT) AS n_shingles,
+            CAST(sum(n_hits) AS BIGINT) AS n_hits,
+            CASE WHEN sum(n_shingles) > 0
+              THEN CAST(sum(n_hits) AS BIGINT) * 1000000
+                // CAST(sum(n_shingles) AS BIGINT)
+              ELSE 0 END AS hit_ppm
+          FROM per GROUP BY source ORDER BY source""",
+    "c70_threshold_sweep" ->
+      s"""WITH ${TrainingQueries.corpusSql},
+          toks AS (SELECT doc_id, ${TrainingQueries.toksSql} AS tk
+            FROM corpus),
+          shd AS (SELECT doc_id,
+            list_distinct(${TrainingQueries.ngramsSql(5)}) AS shs
+            FROM toks),
+          ${TrainingQueries.minhashSigSql(8)},
+          ${TrainingQueries.bandedSql(4, 2)},
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+          ${TrainingQueries.jaccardSql(0.0)},
+          cj AS (
+            SELECT c.id1, c.id2, coalesce(j.jaccard, 0.0) AS jaccard
+            FROM cand c LEFT JOIN jac j
+              ON c.id1 = j.id1 AND c.id2 = j.id2),
+          t AS (SELECT unnest([50, 60, 70, 80, 90]) AS threshold_pct)
+          SELECT t.threshold_pct,
+            CAST(sum(CASE WHEN cj.jaccard * 100 >= t.threshold_pct
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+          FROM cj CROSS JOIN t
+          GROUP BY t.threshold_pct ORDER BY t.threshold_pct""",
     "c68_cluster_sizes" ->
       s"""WITH RECURSIVE ${TrainingQueries.clusterCteSql},
           allc AS (

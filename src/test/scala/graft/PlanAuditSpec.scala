@@ -361,6 +361,21 @@ class PlanAuditSpec extends SparkSpec {
       s"aggregation lost map-side combine:\n$p")
   }
 
+  test("b94: seasonality cells aggregate map-side; the share window sees 168 rows") {
+    val p = plan("b94_dow_profile")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected one (dow,hour) exchange:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"cells lost map-side combine:\n$p")
+  }
+
+  test("c69: contamination-by-source broadcasts eval grams; corpus never shuffles for the join") {
+    val p = plan("c69_contam_by_source")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a corpus-side shuffle crept into the gram join:\n$p")
+  }
+
   test("c7b: IVF assignment shuffles N rows, not N·K — partial argmax agg, no rank window") {
     val p = plan("c7b_ann_ivf")
     assert(p.split("partial_max\\(struct\\(cos").length - 1 == 2,
