@@ -1,13 +1,21 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed loaders for the driver-generated test tables.
   *
-  * One quirk: `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4
-  * refuses to read unless `spark.sql.legacy.parquet.nanosAsLong` is on
-  * (it then surfaces as a BIGINT of epoch nanos). We set that runtime
-  * conf defensively on every load so callers don't have to know.
+  * One quirk: `events.ts` is epoch NANOS by contract — every query's
+  * time arithmetic is integer math over that long. The driver's
+  * generator has shipped it both as parquet TIMESTAMP(NANOS) (Spark 4
+  * reads it only with `spark.sql.legacy.parquet.nanosAsLong`, which
+  * surfaces the column as a BIGINT of epoch nanos) and as
+  * TIMESTAMP(MICROS) (surfaces as a timestamp type). We normalize
+  * both shapes to the epoch-nanos BIGINT here so callers don't have
+  * to know which vintage of testdata is on disk. The DuckDB oracles
+  * are invariant to this: `epoch_ns(ts)` reads the same nanos off
+  * either physical type.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -16,8 +24,24 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeTs(df) else df
   }
+
+  /** events.ts → epoch-nanos BIGINT regardless of the physical type
+    * on disk (in place, column order preserved). Micros→nanos is an
+    * exact ×1000; session tz is UTC so the NTZ cast is identity. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case Some(LongType) | None => df
+      case Some(other) =>
+        throw new IllegalStateException(
+          s"events.ts has unexpected type $other — expected a " +
+            "timestamp or an epoch-nanos long")
+    }
 
   /** Events from JSON-lines files — the wire shape the reference's
     * queue carries (one JSON job per line). Schema inferred unless

