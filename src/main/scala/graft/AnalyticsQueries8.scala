@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
@@ -120,13 +120,143 @@ object AnalyticsQueries8 {
       .orderBy(col("lag"))
   }
 
+  /** B96: seasonal-naive forecast error — each day's per-type event
+    * count "predicted" by the count exactly 7 days earlier, the
+    * baseline every real forecast must beat (and the cheapest data
+    * check for a broken day: wMAPE jumps). Error stays integer-exact:
+    * MAE is one double division at the end, wMAPE is exact-ppm
+    * integer division of two integer sums — no float accumulates.
+    *
+    * Scale: events collapse once to the (type, day) rollup; the
+    * prediction is a self-join of that |days × types| table on
+    * (type, day−7) — broadcast-sized at any corpus scale. */
+  private def b96SeasonalNaive(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val daily = T(s, dir, "events")
+      .select(col("event_type"), Fns.floorDivLong(col("ts"), dayNs).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val pred = daily.select(col("event_type"), (col("day") + 7L).as("day"),
+      col("n").as("pred"))
+    daily.join(pred, Seq("event_type", "day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("n") - col("pred"))).as("sum_abs_err"),
+        sum(col("n")).as("sum_actual"))
+      .select(col("event_type"), col("n_days"), col("sum_abs_err"),
+        round(col("sum_abs_err").cast("double") / col("n_days"), 4).as("mae"),
+        expr("sum_abs_err * 1000000 div sum_actual").as("wmape_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** B97: RFM segmentation — every customer scored into recency /
+    * frequency / monetary quintiles, reported as the 5×5×5 segment
+    * grid (counts + exact monetary cents). The quintile boundaries
+    * come from ONE exact-percentile aggregation over the |customers|
+    * rollup, broadcast back for a map-side bucket assignment — NOT an
+    * ntile window, which would range-sort every customer through a
+    * near-single-partition exchange three times. Monetary sums in
+    * decimal cents so no float ever crosses an engine boundary; the
+    * strict `>` against each boundary makes tie handling explicit.
+    *
+    * 100 TB note: swap the exact percentile for approx_percentile
+    * (sketch, partial-combinable) — boundaries move by the sketch
+    * error but the plan shape is identical; exact here for the
+    * oracle. */
+  private def b97Rfm(s: SparkSession, dir: String): DataFrame = {
+    // the |customers| rollup feeds four branches (max date, three
+    // percentile boundaries, the bucket pass) — materialize it once;
+    // it is bounded by |customers|, the thing this query exists to
+    // keep small relative to orders
+    val cust = T(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("mon"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxd = cust.agg(max(col("last_order")).as("max_d"))
+    val rfm = cust.crossJoin(broadcast(maxd))
+      .select(col("o_custkey"),
+        datediff(col("max_d"), col("last_order")).cast("long").as("recency"),
+        col("frequency"),
+        (col("mon") * 100).cast("long").as("monetary_cents"))
+    val qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+    val bnd = rfm.agg(
+      expr(s"percentile(recency, $qs)").as("rb"),
+      expr(s"percentile(frequency, $qs)").as("fb"),
+      expr(s"percentile(monetary_cents, $qs)").as("mb"))
+    def seg(v: Column, b: Column): Column =
+      (1 to 4).map(i => (v > element_at(b, i)).cast("long"))
+        .reduce(_ + _) + lit(1L)
+    rfm.crossJoin(broadcast(bnd))
+      .select(seg(col("recency"), col("rb")).as("r_seg"),
+        seg(col("frequency"), col("fb")).as("f_seg"),
+        seg(col("monetary_cents"), col("mb")).as("m_seg"),
+        col("monetary_cents"))
+      .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary_cents")).as("sum_monetary_cents"))
+      .orderBy(col("r_seg"), col("f_seg"), col("m_seg"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b93_growth_accounting" -> (b93GrowthAccounting _),
     "b94_dow_profile" -> (b94DowProfile _),
-    "b95_lag_corr" -> (b95LagCorr _)
+    "b95_lag_corr" -> (b95LagCorr _),
+    "b96_seasonal_naive" -> (b96SeasonalNaive _),
+    "b97_rfm" -> (b97Rfm _)
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b96_seasonal_naive" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         j AS (
+           SELECT d.event_type, d.n, p.n AS pred
+           FROM daily d JOIN daily p
+             ON p.event_type = d.event_type AND p.day = d.day - 7),
+         g AS (
+           SELECT event_type, count(*) AS n_days,
+             CAST(sum(abs(n - pred)) AS BIGINT) AS sum_abs_err,
+             CAST(sum(n) AS BIGINT) AS sum_actual
+           FROM j GROUP BY 1)
+         SELECT event_type, n_days, sum_abs_err,
+           round(CAST(sum_abs_err AS DOUBLE) / n_days, 4) AS mae,
+           sum_abs_err * 1000000 // sum_actual AS wmape_ppm
+         FROM g ORDER BY event_type""",
+    "b97_rfm" ->
+      """WITH cust AS (
+           SELECT o_custkey, max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+           FROM orders GROUP BY 1),
+         mx AS (SELECT max(last_order) AS max_d FROM cust),
+         rfm AS (
+           SELECT o_custkey,
+             CAST(date_diff('day', CAST(last_order AS DATE),
+               CAST(max_d AS DATE)) AS BIGINT) AS recency,
+             frequency,
+             CAST(mon * 100 AS BIGINT) AS monetary_cents
+           FROM cust, mx),
+         b AS (
+           SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS rb,
+             quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
+             quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8]) AS mb
+           FROM rfm),
+         seg AS (
+           SELECT
+             1 + CAST(recency > rb[1] AS BIGINT) + CAST(recency > rb[2] AS BIGINT)
+               + CAST(recency > rb[3] AS BIGINT) + CAST(recency > rb[4] AS BIGINT) AS r_seg,
+             1 + CAST(frequency > fb[1] AS BIGINT) + CAST(frequency > fb[2] AS BIGINT)
+               + CAST(frequency > fb[3] AS BIGINT) + CAST(frequency > fb[4] AS BIGINT) AS f_seg,
+             1 + CAST(monetary_cents > mb[1] AS BIGINT) + CAST(monetary_cents > mb[2] AS BIGINT)
+               + CAST(monetary_cents > mb[3] AS BIGINT) + CAST(monetary_cents > mb[4] AS BIGINT) AS m_seg,
+             monetary_cents
+           FROM rfm, b)
+         SELECT r_seg, f_seg, m_seg, count(*) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS sum_monetary_cents
+         FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "b94_dow_profile" ->
       """WITH cells AS (
            SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,

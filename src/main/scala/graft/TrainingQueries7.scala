@@ -146,7 +146,88 @@ object TrainingQueries7 {
       .orderBy(col("threshold_pct"))
   }
 
+  /** C71: MinHash estimation-error audit — the third leg of the LSH
+    * accounting stool (c50 prices misses, c61 prices wasted verify
+    * work; this prices the SIGNATURE itself): over every candidate
+    * pair, the signature's Jaccard estimate (matching components / 8)
+    * against the exact shingle Jaccard, bucketed by exact-Jaccard
+    * decile. Mean estimate, mean exact, and MAE are exact-ppm integer
+    * divisions — the number that tells you whether k=8 components is
+    * enough or the banding is riding luck.
+    *
+    * Scale: the per-pair work is bounded by the banded candidate set
+    * (the property the whole chain exists for); the signature join is
+    * |pairs|-keyed; the decile rollup is 10 rows. */
+  private def c71MinhashError(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val corpus = TrainingQueries.corpusWithDups(T(s, dir, "documents"))
+    val cand = Dedup.minHashCandidates(corpus, "doc_id", "text",
+      n = 5, k = 8, bands = 4)
+    val sig = Dedup.minHashSignatures(corpus, "doc_id", "text", n = 5, k = 8)
+    val sa = sig.select(col("doc_id").as("id1") +:
+      (0 until 8).map(j => col(s"h$j").as(s"a$j")): _*)
+    val sb = sig.select(col("doc_id").as("id2") +:
+      (0 until 8).map(j => col(s"h$j").as(s"b$j")): _*)
+    val per = cand.join(sa, "id1").join(sb, "id2")
+      .select(
+        ((0 until 8).map(j => (col(s"a$j") === col(s"b$j")).cast("long"))
+          .reduce(_ + _) * 125000L).as("est_ppm"),
+        round(col("jaccard") * 1000000).cast("long").as("ex_ppm"))
+    per
+      .select(expr("least(9L, ex_ppm div 100000)").as("decile"),
+        col("est_ppm"), col("ex_ppm"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("est_ppm")).as("__se"), sum(col("ex_ppm")).as("__sx"),
+        sum(abs(col("est_ppm") - col("ex_ppm"))).as("__sae"))
+      .select(col("decile"), col("n_pairs"),
+        expr("__se div n_pairs").as("mean_est_ppm"),
+        expr("__sx div n_pairs").as("mean_exact_ppm"),
+        expr("__sae div n_pairs").as("mae_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  /** C72: IVF cell-occupancy balance — the index-health card for the
+    * c7b/c37 assignment kernel: vectors per cell, share in exact ppm,
+    * and the imbalance factor K·max/N (1.0 = perfectly balanced; the
+    * probe cost multiplier a skewed index silently pays). Cost is one
+    * assignment pass (broadcast centroids, map-side argmax, N rows
+    * through the exchange) plus a |cells|-row finalization window. */
+  private def c72CellBalance(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val assigned = Similarity.cellAssignments(
+      T(s, dir, "embeddings"), "vec_id", "embedding",
+      stride = 100, roundScale = 4)
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+      .withColumn("__tot", sum(col("n_vectors")).over(Window.partitionBy()))
+      .withColumn("__max", max(col("n_vectors")).over(Window.partitionBy()))
+      .withColumn("__k", count(lit(1)).over(Window.partitionBy()))
+      .select(col("cell"), col("n_vectors"),
+        expr("n_vectors * 1000000 div __tot").as("share_ppm"),
+        expr("__k * __max * 1000000 div __tot").as("imbalance_ppm"))
+      .orderBy(col("cell"))
+  }
+
+  /** C73: language × source token matrix — the mix-planner's input at
+    * the grain mixes are actually specified at (c28 weights by source,
+    * c8 labels by lang; a real mix is both): docs, tokens, and token
+    * share in exact ppm per (lang, source) cell. One map-side-combined
+    * aggregation; the share window runs over |langs × sources| cells. */
+  private def c73LangMix(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(Fns.tokens(col("text"))).cast("long").as("__ntok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("n_tokens"))
+      .withColumn("__tot", sum(col("n_tokens")).over(Window.partitionBy()))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000 div __tot").as("share_ppm"))
+      .orderBy(col("lang"), col("source"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c71_minhash_error" -> (c71MinhashError _),
+    "c72_cell_balance" -> (c72CellBalance _),
+    "c73_lang_mix" -> (c73LangMix _),
     "c66_dedup_savings" -> (c66DedupSavings _),
     "c69_contam_by_source" -> (c69ContamBySource _),
     "c70_threshold_sweep" -> (c70ThresholdSweep _),
@@ -155,6 +236,76 @@ object TrainingQueries7 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c71_minhash_error" -> {
+      val matches = (0 until 8)
+        .map(j => s"CAST(sa.h$j = sb.h$j AS BIGINT)").mkString(" + ")
+      s"""WITH ${TrainingQueries.corpusSql},
+          toks AS (SELECT doc_id, ${TrainingQueries.toksSql} AS tk
+            FROM corpus),
+          shd AS (SELECT doc_id,
+            list_distinct(${TrainingQueries.ngramsSql(5)}) AS shs
+            FROM toks),
+          ${TrainingQueries.minhashSigSql(8)},
+          ${TrainingQueries.bandedSql(4, 2)},
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+          ${TrainingQueries.jaccardSql(0.0)},
+          est AS (
+            SELECT ($matches) * 125000 AS est_ppm,
+              CAST(round(COALESCE(v.jaccard, 0) * 1000000) AS BIGINT) AS ex_ppm
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.id1
+            JOIN sig sb ON sb.doc_id = c.id2
+            LEFT JOIN verified v ON v.id1 = c.id1 AND v.id2 = c.id2),
+          d AS (
+            SELECT least(9, ex_ppm // 100000) AS decile, est_ppm, ex_ppm
+            FROM est),
+          g AS (
+            SELECT decile, count(*) AS n_pairs,
+              CAST(sum(est_ppm) AS BIGINT) AS se,
+              CAST(sum(ex_ppm) AS BIGINT) AS sx,
+              CAST(sum(abs(est_ppm - ex_ppm)) AS BIGINT) AS sae
+            FROM d GROUP BY 1)
+          SELECT decile, n_pairs, se // n_pairs AS mean_est_ppm,
+            sx // n_pairs AS mean_exact_ppm, sae // n_pairs AS mae_ppm
+          FROM g ORDER BY decile"""
+    },
+    "c72_cell_balance" ->
+      s"""WITH ve AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cents AS (
+            SELECT vec_id AS cent_id, v AS centv FROM ve
+            WHERE vec_id % 100 = 0),
+          assigned AS (
+            SELECT vec_id, cent_id AS cell FROM (
+              SELECT vec_id, cent_id,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY ${TrainingQueries.cosineSql("v", "centv", 4)} DESC,
+                    cent_id) AS rn
+              FROM ve CROSS JOIN cents)
+            WHERE rn = 1),
+          cells AS (
+            SELECT cell, count(*) AS n_vectors FROM assigned GROUP BY 1),
+          t AS (
+            SELECT CAST(sum(n_vectors) AS BIGINT) AS tot,
+              CAST(max(n_vectors) AS BIGINT) AS mx,
+              count(*) AS k
+            FROM cells)
+          SELECT cell, n_vectors,
+            n_vectors * 1000000 // tot AS share_ppm,
+            k * mx * 1000000 // tot AS imbalance_ppm
+          FROM cells, t ORDER BY cell""",
+    "c73_lang_mix" ->
+      s"""WITH cells AS (
+            SELECT lang, source, count(*) AS n_docs,
+              CAST(sum(len(${TrainingQueries.toksSql})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1, 2)
+          SELECT lang, source, n_docs, n_tokens,
+            n_tokens * 1000000 //
+              CAST((SELECT sum(n_tokens) FROM cells) AS BIGINT) AS share_ppm
+          FROM cells ORDER BY lang, source""",
     "c69_contam_by_source" ->
       s"""WITH evals AS (
             SELECT array_to_string(list_slice(${TrainingQueries.toksSql}, 11, 26), ' ') AS text

@@ -110,6 +110,21 @@ object Similarity {
         transform(col("pm"), p => p.getField("mean")).as("centv"))
   }
 
+  /** Public view of the assignment kernel: every corpus vector's
+    * nearest seed centroid (same stride/tie rules as [[ivfTopK]]).
+    * The occupancy diagnostics (c72) read this — cell balance is
+    * what decides whether the IVF probe cost is really ~N/K. Shape
+    * inherits assignCells: broadcast centroids, map-side argmax
+    * combine, N rows through the one exchange. */
+  def cellAssignments(corpus: DataFrame, idCol: String, vecCol: String,
+                      stride: Long = 100, roundScale: Int = 4): DataFrame = {
+    val v = corpus.select(col(idCol).as("__aid"),
+      col(vecCol).cast("array<double>").as("__av"))
+    assignCells(v, seedCentroids(corpus, idCol, vecCol, stride),
+        "__aid", "__av", roundScale)
+      .select(col("__aid").as(idCol), col("cell"))
+  }
+
   /** IVF with optional Lloyd-refined centroids (iters=0 ≡ ivfTopK). */
   def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int, stride: Long = 100,

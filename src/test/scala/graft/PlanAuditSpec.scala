@@ -550,6 +550,53 @@ class PlanAuditSpec extends SparkSpec {
       s"expected one user-keyed exchange before the global rank:\n$p")
   }
 
+  test("b97: RFM buckets assign map-side off broadcast boundaries — never an ntile sort") {
+    val p = plan("b97_rfm")
+    // the only Window allowed would be none at all: boundaries are a
+    // global percentile aggregate broadcast back, buckets a projection
+    assert(!p.contains("windowspecdefinition"),
+      s"segmentation regressed to a window (ntile-style customer sort):\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"quintile boundaries must broadcast back to the customer rollup:\n$p")
+    // every branch must read the ONE persisted customer rollup: the
+    // o_custkey exchange may print once per InMemoryRelation, but all
+    // prints carry the same physical plan_id
+    val custExchangeIds = p.split("\n")
+      .filter(_.contains("Exchange hashpartitioning(o_custkey"))
+      .flatMap("plan_id=(\\d+)".r.findFirstMatchIn(_).map(_.group(1))).toSet
+    assert(custExchangeIds.size <= 1,
+      s"customer rollup computed more than once (distinct exchanges):\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the four branches must share the persisted customer rollup:\n$p")
+  }
+
+  test("b96: forecast join rides the one (type,day) rollup") {
+    val p = plan("b96_seasonal_naive")
+    // both join sides are the same daily rollup: the raw events must
+    // cross exactly one data exchange per branch, nothing per-day
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning(event_type")) <= 3,
+      s"daily rollup shape broke (extra exchanges):\n$p")
+    assert(!p.contains("Expand"), s"no Expand expected:\n$p")
+  }
+
+  test("c72: cell balance inherits the N-row assignment — partial argmax, no rank window") {
+    val p = plan("c72_cell_balance")
+    assert(p.contains("partial_max(struct(cos"),
+      s"assignment lost its map-side partial argmax:\n$p")
+    assert(!p.contains("windowspecdefinition(__aid"),
+      s"assignment regressed to a rank window over the N·K expansion:\n$p")
+  }
+
+  test("c71: signature-error audit joins pairs, never the corpus to itself") {
+    val p = plan("c71_minhash_error")
+    assert(!p.contains("CartesianProduct"),
+      s"the audit must not cross-join:\n$p")
+    // exact work is bounded by the banded candidates: the only joins
+    // are band-key and pair-keyed
+    assert(!p.contains("Exchange hashpartitioning(sh"),
+      s"a shingle self-join crept in (corpus-sized exact work):\n$p")
+  }
+
   test("c46: perplexity scores in two corpus passes — totals read the cached trigram counts") {
     val p = plan("c46_perplexity")
     val explodes = p.split("Generate explode").length - 1
