@@ -198,7 +198,87 @@ object AnalyticsQueries8 {
       .orderBy(col("r_seg"), col("f_seg"), col("m_seg"))
   }
 
+  /** B98: daily percentile bands — p50/p90/p99 of event value per
+    * (type, day), the latency-dashboard staple. Values quantize to
+    * integer cents BEFORE the percentile (one deterministic rounding;
+    * interpolation over integers is then bit-identical on any
+    * engine), and each percentile divides back to currency at the
+    * end. One (type, day) exchange, map-side combined.
+    *
+    * 100 TB note: exact percentile holds a per-group value→count
+    * map — bounded by a day's distinct cents here; swap in
+    * approx_percentile (t-digest sketch, partial-combinable) when a
+    * group's value cardinality is unbounded. Same plan shape. */
+  private def b98PercentileBands(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    T(s, dir, "events")
+      .select(col("event_type"),
+        Fns.floorDivLong(col("ts"), dayNs).as("__day"),
+        round(col("value") * 100).cast("long").as("__cents"))
+      .groupBy(col("event_type"), col("__day"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("percentile(__cents, array(0.5D, 0.9D, 0.99D))").as("__p"))
+      .select(col("event_type"),
+        date_format(timestamp_seconds(col("__day") * 86400L), "yyyy-MM-dd")
+          .as("event_date"),
+        col("n_events"),
+        round(element_at(col("__p"), 1) / 100, 4).as("p50"),
+        round(element_at(col("__p"), 2) / 100, 4).as("p90"),
+        round(element_at(col("__p"), 3) / 100, 4).as("p99"))
+      .orderBy(col("event_type"), col("event_date"))
+  }
+
+  /** B99: CUSUM change-point flags over each type's daily count
+    * series — the sequential-drift detector b82's trailing z-score
+    * can't be (CUSUM accumulates small persistent shifts). The
+    * recursion S_t = max(0, S_{t−1} + y_t) is re-expressed closed
+    * form as cum_t − min(0, min_{j≤t} cum_j): two windows over the
+    * \|days\| rollup, no iteration. The drift-adjusted deviation
+    * quantizes ONCE to integer micro-units (k = mean + σ/2, h = 4σ,
+    * both deterministic closed forms of integer sufficient stats), so
+    * the running sums are BIGINT — engines can't drift apart on
+    * window-fold association order, the classic segment-tree-vs-
+    * sequential float trap. */
+  private def b99Cusum(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    // the |days × types| rollup feeds both the stats pass and the
+    // window pass — materialize it once so events cross ONE exchange
+    // (without this the stats branch re-collapses the raw corpus)
+    val daily = T(s, dir, "events")
+      .select(col("event_type"), Fns.floorDivLong(col("ts"), dayNs).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nd"), sum(col("n")).as("sn"),
+        sum(col("n") * col("n")).as("snn"))
+      .select(col("event_type"),
+        // population σ from integer sufficient stats (closed form)
+        round((col("sn").cast("double") / col("nd") +
+          sqrt((col("snn").cast("double") -
+            col("sn").cast("double") * col("sn") / col("nd")) / col("nd")) / 2)
+          * 1e6).cast("long").as("k_mu"),
+        round(sqrt((col("snn").cast("double") -
+          col("sn").cast("double") * col("sn") / col("nd")) / col("nd"))
+          * 4e6).cast("long").as("h_mu"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("__y_mu", col("n") * 1000000L - col("k_mu"))
+      .withColumn("__cum", sum(col("__y_mu")).over(w))
+      .withColumn("__cusum_mu",
+        col("__cum") - least(lit(0L), min(col("__cum")).over(w)))
+      .select(col("event_type"),
+        date_format(timestamp_seconds(col("day") * 86400L), "yyyy-MM-dd")
+          .as("day"),
+        col("n"),
+        round(col("__cusum_mu") / 1e6, 4).as("cusum"),
+        (col("__cusum_mu") > col("h_mu")).cast("long").as("is_changepoint"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b98_percentile_bands" -> (b98PercentileBands _),
+    "b99_cusum" -> (b99Cusum _),
     "b93_growth_accounting" -> (b93GrowthAccounting _),
     "b94_dow_profile" -> (b94DowProfile _),
     "b95_lag_corr" -> (b95LagCorr _),
@@ -207,6 +287,52 @@ object AnalyticsQueries8 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b98_percentile_bands" ->
+      """WITH e AS (
+           SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         g AS (
+           SELECT event_type, event_date, count(*) AS n_events,
+             quantile_cont(cents, [0.5, 0.9, 0.99]) AS p
+           FROM e GROUP BY 1, 2)
+         SELECT event_type, event_date, n_events,
+           round(p[1] / 100, 4) AS p50,
+           round(p[2] / 100, 4) AS p90,
+           round(p[3] / 100, 4) AS p99
+         FROM g ORDER BY event_type, event_date""",
+    "b99_cusum" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT event_type, count(*) AS nd,
+             CAST(sum(n) AS BIGINT) AS sn, CAST(sum(n * n) AS BIGINT) AS snn
+           FROM daily GROUP BY 1),
+         kh AS (
+           SELECT event_type,
+             CAST(round((CAST(sn AS DOUBLE) / nd
+               + sqrt((CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / nd) / nd) / 2)
+               * 1e6) AS BIGINT) AS k_mu,
+             CAST(round(sqrt((CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / nd) / nd)
+               * 4e6) AS BIGINT) AS h_mu
+           FROM st),
+         c AS (
+           SELECT d.event_type, d.day, d.n, kh.h_mu,
+             sum(d.n * 1000000 - kh.k_mu) OVER (PARTITION BY d.event_type
+               ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS cum
+           FROM daily d JOIN kh USING (event_type)),
+         m AS (
+           SELECT event_type, day, n, h_mu,
+             cum - least(0, min(cum) OVER (PARTITION BY event_type
+               ORDER BY day ROWS UNBOUNDED PRECEDING)) AS cusum_mu
+           FROM c)
+         SELECT event_type,
+           strftime(make_timestamp(day * 86400 * 1000000), '%Y-%m-%d') AS day,
+           n, round(cusum_mu / 1e6, 4) AS cusum,
+           CAST(cusum_mu > h_mu AS BIGINT) AS is_changepoint
+         FROM m ORDER BY event_type, day""",
     "b96_seasonal_naive" ->
       """WITH daily AS (
            SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,

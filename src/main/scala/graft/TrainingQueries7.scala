@@ -224,7 +224,53 @@ object TrainingQueries7 {
         expr("n_tokens * 1000000 div __tot").as("share_ppm"))
       .orderBy(col("lang"), col("source"))
 
+  /** C74: n-gram novelty per source — distinct-8-gram and hapax rates
+    * in exact ppm (LOW novelty = the source repeats itself across
+    * docs: templates, mirrors, spam farms; c23/c60 measure repetition
+    * WITHIN a doc, this measures it across the source). One gram-keyed
+    * exchange with map-side partial counts, then a \|sources\| rollup.
+    *
+    * 100 TB note: the distinct-gram count is the HLL-swap candidate
+    * (b9b's trade) — the exchange stays, the per-key state shrinks to
+    * a sketch. Exact here for the oracle. */
+  private def c74GramNovelty(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("source"),
+        explode(Fns.wordNGrams(Fns.tokens(col("text")), 8)).as("gram"))
+      .groupBy(col("source"), col("gram")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("source"))
+      .agg(sum(col("occ")).as("total_grams"),
+        count(lit(1)).as("distinct_grams"),
+        sum((col("occ") === 1).cast("long")).as("hapax_grams"))
+      .select(col("source"), col("total_grams"), col("distinct_grams"),
+        expr("distinct_grams * 1000000 div total_grams").as("novelty_ppm"),
+        expr("hapax_grams * 1000000 div distinct_grams").as("hapax_ppm"))
+      .orderBy(col("source"))
+
+  /** C75: LSH band-bucket load audit — per band: bucket count, max
+    * bucket size, and Σ s·(s−1)/2 (the EXACT number of candidate
+    * pairs the band self-join will emit — the join's work, priced
+    * before running it). A hot bucket here is the skew that would
+    * stall the c2 chain's join stage at corpus scale; the audit is
+    * one (band, bk) aggregation over the banded table, nothing
+    * corpus-pairwise. */
+  private def c75BandLoad(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.bandBuckets(
+        TrainingQueries.corpusWithDups(T(s, dir, "documents")),
+        "doc_id", "text", n = 5, k = 8, bands = 4)
+      .groupBy(col("band"), col("bk")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("sz")).as("n_docs"),
+        max(col("sz")).as("max_bucket"),
+        sum(expr("sz * (sz - 1) div 2")).as("candidate_pairs"))
+      .orderBy(col("band"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c74_gram_novelty" -> (c74GramNovelty _),
+    "c75_band_load" -> (c75BandLoad _),
     "c71_minhash_error" -> (c71MinhashError _),
     "c72_cell_balance" -> (c72CellBalance _),
     "c73_lang_mix" -> (c73LangMix _),
@@ -236,6 +282,40 @@ object TrainingQueries7 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c74_gram_novelty" ->
+      s"""WITH toks AS (
+            SELECT source, ${TrainingQueries.toksSql} AS tk FROM documents),
+          gr AS (
+            SELECT source, unnest(${TrainingQueries.ngramsSql(8)}) AS gram
+            FROM toks),
+          og AS (
+            SELECT source, gram, count(*) AS occ FROM gr GROUP BY 1, 2),
+          g AS (
+            SELECT source, CAST(sum(occ) AS BIGINT) AS total_grams,
+              count(*) AS distinct_grams,
+              CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS hapax_grams
+            FROM og GROUP BY 1)
+          SELECT source, total_grams, distinct_grams,
+            distinct_grams * 1000000 // total_grams AS novelty_ppm,
+            hapax_grams * 1000000 // distinct_grams AS hapax_ppm
+          FROM g ORDER BY source""",
+    "c75_band_load" ->
+      s"""WITH ${TrainingQueries.corpusSql},
+          toks AS (SELECT doc_id, ${TrainingQueries.toksSql} AS tk
+            FROM corpus),
+          shd AS (SELECT doc_id,
+            list_distinct(${TrainingQueries.ngramsSql(5)}) AS shs
+            FROM toks),
+          ${TrainingQueries.minhashSigSql(8)},
+          ${TrainingQueries.bandedSql(4, 2)},
+          bs AS (
+            SELECT band, bk, count(*) AS sz FROM banded GROUP BY 1, 2)
+          SELECT band, count(*) AS n_buckets,
+            CAST(sum(sz) AS BIGINT) AS n_docs,
+            CAST(max(sz) AS BIGINT) AS max_bucket,
+            CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+          FROM bs GROUP BY band ORDER BY band""",
     "c71_minhash_error" -> {
       val matches = (0 until 8)
         .map(j => s"CAST(sa.h$j = sb.h$j AS BIGINT)").mkString(" + ")

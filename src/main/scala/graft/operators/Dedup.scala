@@ -164,13 +164,7 @@ object Dedup {
     // this is a bounded, columnar materialization, not a luxury).
     val sets = shingleSets(docs, idCol, textCol, n)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sig = signaturesFromSets(sets, k)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        Fns.bandKey((0 until rows).map(r => col(s"h${b * rows + r}"))).as("bk"))
-    }
-    val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val banded = bandedOf(signaturesFromSets(sets, k), k, bands)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
@@ -183,6 +177,30 @@ object Dedup {
       .join(sets.select(col("doc_id").as("id2"), col("shs").as("shs2")), "id2")
       .select(col("id1"), col("id2"),
         round(inter / (size(col("shs1")) + size(col("shs2")) - inter), 6).as("jaccard"))
+  }
+
+  /** (doc_id, band, bk) rows from a signature table — the LSH join's
+    * actual key space. */
+  private def bandedOf(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        Fns.bandKey((0 until rows).map(r => col(s"h${b * rows + r}"))).as("bk"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+  }
+
+  /** Public band-bucket view: each doc's (band, bk) LSH keys — what
+    * the candidate self-join joins on. The load audit (c75) reads
+    * this: bucket occupancy is the banding join's skew exposure, and
+    * Σ s·(s−1)/2 over buckets is the exact candidate-pair count the
+    * join will emit. Same plan as the [[minHashCandidates]] interior. */
+  def bandBuckets(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 5, k: Int = 8, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands ($bands) must divide k ($k)")
+    bandedOf(minHashSignatures(docs, idCol, textCol, n, k), k, bands)
   }
 
   /** SimHash fingerprint (32-bit: one ±1 vote per md5 hex-digit parity,

@@ -597,6 +597,51 @@ class PlanAuditSpec extends SparkSpec {
       s"a shingle self-join crept in (corpus-sized exact work):\n$p")
   }
 
+  test("b98: percentile bands are one map-side-combined (type,day) aggregation") {
+    val p = plan("b98_percentile_bands")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected one (type,day) exchange:\n$p")
+    assert(p.contains("partial_percentile") || p.contains("partial_count"),
+      s"percentile lost its map-side partial aggregate:\n$p")
+    assert(!p.contains("Expand"), s"no Expand expected:\n$p")
+  }
+
+  test("b99: CUSUM windows ride the |days| rollup; stats broadcast back") {
+    val p = plan("b99_cusum")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"per-type stats must broadcast, not shuffle-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 5-row stats join regressed to sort-merge:\n$p")
+    // raw events cross once (the persisted daily collapse); the two
+    // windows and the stats rollup all run over |days × types| rows.
+    // InMemoryRelation reprints the cached exchange, so count DISTINCT
+    // physical exchanges by plan_id
+    val exchangeIds = p.split("\n")
+      .filter(_.contains("Exchange hashpartitioning"))
+      .flatMap("plan_id=(\\d+)".r.findFirstMatchIn(_).map(_.group(1))).toSet
+    assert(exchangeIds.size <= 3,
+      s"windows re-shuffled beyond the rollup shape:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"stats and window branches must share the persisted rollup:\n$p")
+  }
+
+  test("c74: gram novelty is two nested aggregations, no join") {
+    val p = plan("c74_gram_novelty")
+    assert(!p.contains("Join"), s"novelty must not join:\n$p")
+    assert(p.split("Generate explode").length - 1 == 1,
+      s"grams must explode exactly once:\n$p")
+    assert(p.contains("partial_count"),
+      s"gram counts lost map-side combine:\n$p")
+  }
+
+  test("c75: band load is pure aggregation over the banded view") {
+    val p = plan("c75_band_load")
+    assert(!p.contains("Join"),
+      s"the load audit must price the join, not run it:\n$p")
+    assert(p.contains("partial_count"),
+      s"bucket sizes lost map-side combine:\n$p")
+  }
+
   test("c46: perplexity scores in two corpus passes — totals read the cached trigram counts") {
     val p = plan("c46_perplexity")
     val explodes = p.split("Generate explode").length - 1
