@@ -268,7 +268,68 @@ object TrainingQueries7 {
       .orderBy(col("band"))
   }
 
+  /** C76: incremental (cross-corpus) dedup — today's batch flagged
+    * against yesterday's immutable training set, within-batch and
+    * within-reference pairs never formed (every dedup so far pairs one
+    * corpus with itself; real ingestion dedups the DELTA against the
+    * accumulated corpus). Planted batch: ' zz tail' variants of every
+    * 10th ref doc (near-dups, must flag) + token-reversed copies of
+    * the %10==3 docs (no shared 5-gram with their originals — novel,
+    * must pass).
+    *
+    * Scale: the band join crosses new×ref only, so the incremental
+    * cost scales with the batch; the reference contributes banded
+    * keys a pipeline would precompute once. Exact verify stays
+    * per-candidate. */
+  private def c76IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = T(s, dir, "documents")
+    val ref = docs.select(col("doc_id"), col("text"))
+    val newBatch = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zz tail")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ", reverse(Fns.tokens(col("text")))).as("text")))
+    Dedup.crossCorpusFlags(newBatch, ref, "doc_id", "text",
+        n = 5, k = 8, bands = 4, threshold = 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** C77: sequence-packing efficiency — the utilization audit of
+    * c33's 2048-token greedy bins: bins and docs per fill-rate decade
+    * (ppm of capacity), plus the packed-token share. The number that
+    * says whether the packer wastes context length. Rides c33's exact
+    * per-lang cumulative-sum assignment (one window over the \|docs\|
+    * token-count table), then two tiny rollups. */
+  private def c77PackEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(Fns.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bins = d
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col("lang"),
+        expr("(__cum - n_tokens) div 2048").as("bin_id"),
+        col("n_tokens"))
+      .groupBy(col("lang"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("toks"))
+    bins
+      .select(expr("least(10L, toks * 10 div 2048)").as("fill_decade"),
+        col("n_docs"), col("toks"))
+      .groupBy(col("fill_decade"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+        sum(col("toks")).as("n_tokens"))
+      .withColumn("__tot", sum(col("n_tokens")).over(Window.partitionBy()))
+      .select(col("fill_decade"), col("n_bins"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000 div __tot").as("token_share_ppm"))
+      .orderBy(col("fill_decade"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c76_incremental_dedup" -> (c76IncrementalDedup _),
+    "c77_pack_efficiency" -> (c77PackEfficiency _),
     "c74_gram_novelty" -> (c74GramNovelty _),
     "c75_band_load" -> (c75BandLoad _),
     "c71_minhash_error" -> (c71MinhashError _),
@@ -282,6 +343,63 @@ object TrainingQueries7 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "c76_incremental_dedup" ->
+      s"""WITH newb AS (
+            SELECT doc_id + 1000000 AS doc_id, text || ' zz tail' AS text
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 3000000 AS doc_id,
+              array_to_string(list_transform(
+                generate_series(len(tk), 1, -1), i -> tk[i]), ' ') AS text
+            FROM (SELECT doc_id, ${TrainingQueries.toksSql} AS tk
+              FROM documents WHERE doc_id % 10 = 3)),
+          corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id, text FROM newb),
+          toks AS (SELECT doc_id, ${TrainingQueries.toksSql} AS tk
+            FROM corpus),
+          shd AS (SELECT doc_id,
+            list_distinct(${TrainingQueries.ngramsSql(5)}) AS shs
+            FROM toks),
+          ${TrainingQueries.minhashSigSql(8)},
+          ${TrainingQueries.bandedSql(4, 2)},
+          cand AS (
+            SELECT DISTINCT b.doc_id AS id1, a.doc_id AS id2
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bk = b.bk
+             AND a.doc_id >= 1000000 AND b.doc_id < 1000000),
+          ${TrainingQueries.jaccardSql(0.5)},
+          flagged AS (
+            SELECT DISTINCT c.id2 AS doc_id
+            FROM cand c JOIN verified v ON v.id1 = c.id1 AND v.id2 = c.id2)
+          SELECT n.doc_id, CAST(f.doc_id IS NOT NULL AS BIGINT) AS is_dup
+          FROM newb n LEFT JOIN flagged f ON f.doc_id = n.doc_id
+          ORDER BY n.doc_id""",
+    "c77_pack_efficiency" ->
+      s"""WITH d AS (
+            SELECT doc_id, lang,
+              CAST(len(${TrainingQueries.toksSql}) AS BIGINT) AS n_tokens
+            FROM documents),
+          c AS (
+            SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d),
+          bins AS (
+            SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id,
+              count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS toks
+            FROM c GROUP BY 1, 2),
+          f AS (
+            SELECT least(10, toks * 10 // 2048) AS fill_decade, n_docs, toks
+            FROM bins),
+          g AS (
+            SELECT fill_decade, count(*) AS n_bins,
+              CAST(sum(n_docs) AS BIGINT) AS n_docs,
+              CAST(sum(toks) AS BIGINT) AS n_tokens
+            FROM f GROUP BY 1)
+          SELECT fill_decade, n_bins, n_docs, n_tokens,
+            n_tokens * 1000000 //
+              CAST((SELECT sum(n_tokens) FROM g) AS BIGINT) AS token_share_ppm
+          FROM g ORDER BY fill_decade""",
     "c74_gram_novelty" ->
       s"""WITH toks AS (
             SELECT source, ${TrainingQueries.toksSql} AS tk FROM documents),

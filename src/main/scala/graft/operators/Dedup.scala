@@ -203,6 +203,51 @@ object Dedup {
     bandedOf(minHashSignatures(docs, idCol, textCol, n, k), k, bands)
   }
 
+  /** Cross-corpus near-dup flags — which NEW docs near-duplicate an
+    * EXISTING reference corpus (the continuous-ingestion shape:
+    * yesterday's training set is immutable, today's crawl batch must
+    * dedup against it without re-pairing the reference with itself).
+    *
+    * The band join crosses new×ref ONLY — never within-new or
+    * within-ref — so incremental cost scales with the batch, not the
+    * accumulated corpus: the reference side contributes its banded
+    * keys (a bounded-width table that an ingestion pipeline would
+    * precompute once and keep), and the exact verify is per-candidate,
+    * the same contract as [[minHashCandidates]]. Returns one row per
+    * new doc: (idCol, is_dup 0/1). */
+  def crossCorpusFlags(newDocs: DataFrame, refDocs: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int = 5, k: Int = 8, bands: Int = 4,
+                       threshold: Double = 0.5): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands ($bands) must divide k ($k)")
+    val newSets = shingleSets(newDocs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val refSets = shingleSets(refDocs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nb = bandedOf(signaturesFromSets(newSets, k), k, bands)
+    val rb = bandedOf(signaturesFromSets(refSets, k), k, bands)
+    val cand = nb.as("a").join(rb.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("ref_id"))
+      .distinct()
+    val inter = size(array_intersect(col("shs1"), col("shs2")))
+    val flagged = cand
+      .join(newSets.select(col("doc_id").as("new_id"), col("shs").as("shs1")),
+        "new_id")
+      .join(refSets.select(col("doc_id").as("ref_id"), col("shs").as("shs2")),
+        "ref_id")
+      .select(col("new_id"),
+        round(inter / (size(col("shs1")) + size(col("shs2")) - inter), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id")).distinct()
+    newDocs.select(col(idCol))
+      .join(flagged.withColumnRenamed("new_id", idCol)
+        .withColumn("__f", lit(1L)), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__f"), lit(0L)).as("is_dup"))
+  }
+
   /** SimHash fingerprint (32-bit: one ±1 vote per md5 hex-digit parity,
     * summed over all tokens, sign → bit). Near-identical texts land
     * within small hamming distance; pairing is then a band join on

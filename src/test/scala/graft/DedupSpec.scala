@@ -216,4 +216,23 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(keep2 === Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("crossCorpusFlags: flags new-vs-ref dups only — within-batch pairs are out of scope") {
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark query engines and columnar formats here")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      // near-dup of ref doc 1 → must flag
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      // identical twins WITHIN the batch, novel vs ref → must both pass
+      // (the operator's contract: within-batch dedup is c1/c2's job)
+      (11L, "totally novel sentences describing embedding sketches and banded joins at scale"),
+      (12L, "totally novel sentences describing embedding sketches and banded joins at scale")
+    ).toDF("doc_id", "text")
+    val flags = Dedup.crossCorpusFlags(fresh, ref, "doc_id", "text",
+        n = 3, k = 8, bands = 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("is_dup")).toMap
+    assert(flags === Map(10L -> 1L, 11L -> 0L, 12L -> 0L))
+  }
 }
