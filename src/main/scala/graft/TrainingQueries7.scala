@@ -327,7 +327,59 @@ object TrainingQueries7 {
       .orderBy(col("fill_decade"))
   }
 
+  /** Label centroids as ordered double arrays — c17's micro-unit
+    * integer sums (order-independent, engine-exact) finalized to one
+    * deterministic division per dimension. Shared by c78/c79. */
+  private def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings")
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("x") * 1000000).cast("long")).as("sm"),
+        count(lit(1)).as("n"))
+      .withColumn("c", col("sm").cast("double") / (col("n") * 1000000L))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), expr("transform(pc, p -> p.c)").as("cv"))
+
+  /** C78: label-affinity matrix — pairwise cosine between label
+    * centroids (which classes are semantically confusable: high
+    * affinity predicts boundary noise in c35/c62 splits and IVF cell
+    * bleed). Centroids via c17's order-independent integer sums; the
+    * pair join is \|labels\|², broadcast-trivial at any corpus scale —
+    * the corpus-sized work is one posexplode aggregation. */
+  private def c78LabelAffinity(s: SparkSession, dir: String): DataFrame = {
+    val cents = labelCentroids(s, dir)
+    cents.as("a").join(broadcast(cents.as("b")),
+        col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        Fns.cosine(col("a.cv"), col("b.cv"), 6).as("centroid_cosine"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  /** C79: label cohesion — per label, each vector's cosine to its OWN
+    * centroid (micro-unit integers: mean/min/max are exact, the
+    * class-compactness card that pairs with c78's between-class
+    * affinity; low cohesion + high affinity = the label is noise).
+    * One centroid pass + one broadcast join back over the corpus. */
+  private def c79LabelCohesion(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings")
+      .select(col("label"), col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .join(broadcast(labelCentroids(s, dir)), "label")
+      .select(col("label"),
+        round(Fns.cosine(col("v"), col("cv"), 6) * 1000000).cast("long")
+          .as("cm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(cm) div count(1)").as("cohesion_ppm"),
+        min(col("cm")).as("min_cos_ppm"),
+        max(col("cm")).as("max_cos_ppm"))
+      .orderBy(col("label"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c78_label_affinity" -> (c78LabelAffinity _),
+    "c79_label_cohesion" -> (c79LabelCohesion _),
     "c76_incremental_dedup" -> (c76IncrementalDedup _),
     "c77_pack_efficiency" -> (c77PackEfficiency _),
     "c74_gram_novelty" -> (c74GramNovelty _),
@@ -342,7 +394,39 @@ object TrainingQueries7 {
     "c67_length_histogram" -> (c67LengthHistogram _)
   )
 
+  private val centroidsSql =
+    """pd AS (
+         SELECT label, pos,
+           CAST(sum(CAST(round(CAST(embedding[pos + 1] AS DOUBLE) * 1000000)
+             AS BIGINT)) AS BIGINT) AS sm,
+           count(*) AS n
+         FROM embeddings
+         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) g
+         GROUP BY 1, 2),
+       ce AS (
+         SELECT label,
+           list(CAST(sm AS DOUBLE) / (n * 1000000) ORDER BY pos) AS cv
+         FROM pd GROUP BY label)"""
+
   def oracleSql: Map[String, String] = Map(
+    "c78_label_affinity" ->
+      s"""WITH $centroidsSql
+          SELECT a.label AS label_a, b.label AS label_b,
+            ${TrainingQueries.cosineSql("a.cv", "b.cv", 6)} AS centroid_cosine
+          FROM ce a JOIN ce b ON a.label < b.label
+          ORDER BY label_a, label_b""",
+    "c79_label_cohesion" ->
+      s"""WITH $centroidsSql,
+          pc AS (
+            SELECT e.label,
+              CAST(round(${TrainingQueries.cosineSql("v", "cv", 6)} * 1000000)
+                AS BIGINT) AS cm
+            FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) e
+            JOIN ce ON ce.label = e.label)
+          SELECT label, count(*) AS n_vecs,
+            CAST(sum(cm) AS BIGINT) // count(*) AS cohesion_ppm,
+            min(cm) AS min_cos_ppm, max(cm) AS max_cos_ppm
+          FROM pc GROUP BY label ORDER BY label""",
     "c76_incremental_dedup" ->
       s"""WITH newb AS (
             SELECT doc_id + 1000000 AS doc_id, text || ' zz tail' AS text

@@ -642,6 +642,19 @@ class PlanAuditSpec extends SparkSpec {
       s"bucket sizes lost map-side combine:\n$p")
   }
 
+  test("c78/c79: centroid work is one posexplode agg; label joins broadcast") {
+    val a = plan("c78_label_affinity")
+    assert(a.contains("partial_sum"),
+      s"centroid sums lost map-side combine:\n$a")
+    assert(!a.contains("SortMergeJoin"),
+      s"the |labels|^2 pair join regressed to sort-merge:\n$a")
+    val c = plan("c79_label_cohesion")
+    assert(c.contains("BroadcastHashJoin"),
+      s"the centroid join back over the corpus must broadcast:\n$c")
+    assert(!c.contains("SortMergeJoin"),
+      s"the centroid join regressed to sort-merge:\n$c")
+  }
+
   test("c46: perplexity scores in two corpus passes — totals read the cached trigram counts") {
     val p = plan("c46_perplexity")
     val explodes = p.split("Generate explode").length - 1
