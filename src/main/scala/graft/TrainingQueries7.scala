@@ -377,7 +377,39 @@ object TrainingQueries7 {
         max(col("cm")).as("max_cos_ppm"))
       .orderBy(col("label"))
 
+  /** C80: perplexity-bucket calibration — the CCNet move: per source,
+    * docs ranked by c46's trigram perplexity and cut into deciles
+    * (head/middle/tail quality strata), reporting docs, tokens, and
+    * exact fixed-point mean/max perplexity per bucket. This is the
+    * table a ppl-filter threshold is READ off — c40 calibrates the
+    * heuristic score, this calibrates the model-based one.
+    *
+    * Scale: ntile runs per-source (each source sorts within its own
+    * partition); a pathologically hot source degrades to one
+    * partition's sort — the documented swap is percentile-boundary
+    * bucketing (b97's shape). Ordering ties break on doc_id, and the
+    * ORDER key is the ROUNDED ppl both engines agree on. */
+  private def c80PplBuckets(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Importance
+    val docs = T(s, dir, "documents")
+    val ppl = Importance.trigramPerplexity(docs, "doc_id", "text")
+      .select(col("doc_id"), round(col("ppl"), 4).as("ppl"))
+    val src = docs.select(col("doc_id"), col("source"),
+      size(Fns.tokens(col("text"))).cast("long").as("n_toks"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("ppl"), col("doc_id"))
+    ppl.join(src, "doc_id")
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("__pm", round(col("ppl") * 10000).cast("long"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        expr("sum(__pm) div count(1)").as("mean_ppl_x4"),
+        max(col("__pm")).as("max_ppl_x4"))
+      .orderBy(col("source"), col("decile"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c80_ppl_buckets" -> (c80PplBuckets _),
     "c78_label_affinity" -> (c78LabelAffinity _),
     "c79_label_cohesion" -> (c79LabelCohesion _),
     "c76_incremental_dedup" -> (c76IncrementalDedup _),
@@ -409,6 +441,45 @@ object TrainingQueries7 {
          FROM pd GROUP BY label)"""
 
   def oracleSql: Map[String, String] = Map(
+    "c80_ppl_buckets" ->
+      s"""WITH d AS (
+            SELECT doc_id, ${TrainingQueries.normTextSql} AS s
+            FROM documents),
+          tris AS (
+            SELECT doc_id, unnest(CASE WHEN len(s) >= 3
+              THEN list_transform(generate_series(1, len(s) - 2),
+                     i -> s[i:i+2])
+              ELSE [] END) AS tri
+            FROM d),
+          tc AS (SELECT tri, count(*) AS c FROM tris GROUP BY tri),
+          tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM tc),
+          p AS (
+            SELECT tri, log2(CAST(c + 1 AS DOUBLE) / (n + v)) AS lp
+            FROM tc, tot),
+          ds AS (
+            SELECT doc_id, -sum(lp) / count(*) AS h
+            FROM tris JOIN p USING (tri) GROUP BY doc_id),
+          pp AS (
+            SELECT doc_id, round(power(2.0, h), 4) AS ppl FROM ds),
+          srcs AS (
+            SELECT doc_id, source,
+              CAST(len(${TrainingQueries.toksSql}) AS BIGINT) AS n_toks
+            FROM documents),
+          j AS (
+            SELECT srcs.source, srcs.n_toks,
+              CAST(round(pp.ppl * 10000) AS BIGINT) AS pm,
+              ntile(10) OVER (PARTITION BY srcs.source
+                ORDER BY pp.ppl, pp.doc_id) AS decile
+            FROM pp JOIN srcs USING (doc_id)),
+          m AS (
+            SELECT source, decile, count(*) AS n_docs,
+              CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+              CAST(sum(pm) AS BIGINT) AS sp, max(pm) AS mx
+            FROM j GROUP BY 1, 2)
+          SELECT source, CAST(decile AS BIGINT) AS decile, n_docs, n_tokens,
+            sp // n_docs AS mean_ppl_x4, mx AS max_ppl_x4
+          FROM m ORDER BY source, decile""",
     "c78_label_affinity" ->
       s"""WITH $centroidsSql
           SELECT a.label AS label_a, b.label AS label_b,
