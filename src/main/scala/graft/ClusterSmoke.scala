@@ -22,7 +22,11 @@ object ClusterSmoke {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "c4_ngram_jaccard", "c21_corpus_pipeline", "c35_cluster_split",
       "c19_dup_clusters", "a11_pipeline_e2e", "c3_dedup_simhash",
-      "c41_line_chunks", "c42_keep_best", "c37_semdedup", "c2_dedup_minhash")
+      "c41_line_chunks", "c42_keep_best", "c37_semdedup", "c2_dedup_minhash",
+      // r6 additions: the new operator kernels that most depend on
+      // serialization/broadcast behavior local[32] can't exercise
+      "c76_incremental_dedup", "b97_rfm", "c80_ppl_buckets",
+      "c72_cell_balance", "c50_lsh_recall")
     var failed = 0
     names.foreach { n =>
       val t0 = System.nanoTime()
