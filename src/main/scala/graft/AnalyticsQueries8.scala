@@ -276,7 +276,37 @@ object AnalyticsQueries8 {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** B100: last-touch revenue attribution — every purchase credited
+    * to the user's most recent NON-purchase event type strictly
+    * before it (the marketing-analytics staple; purchases with no
+    * prior touch credit "(none)"). One user-keyed window (last-value
+    * ignore-nulls over an unbounded-preceding frame shares the b12
+    * funnel family's single sort), then a \|types\|-row rollup with
+    * revenue in exact integer cents and share in exact ppm. */
+  private def b100Attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    T(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("attr",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("attr"), lit("(none)")).as("attributed_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("attributed_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("revenue_cents"))
+      .withColumn("__tot", sum(col("revenue_cents")).over(Window.partitionBy()))
+      .select(col("attributed_type"), col("n_purchases"), col("revenue_cents"),
+        expr("revenue_cents * 1000000 div __tot").as("share_ppm"))
+      .orderBy(col("attributed_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b100_attribution" -> (b100Attribution _),
     "b98_percentile_bands" -> (b98PercentileBands _),
     "b99_cusum" -> (b99Cusum _),
     "b93_growth_accounting" -> (b93GrowthAccounting _),
@@ -287,6 +317,26 @@ object AnalyticsQueries8 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b100_attribution" ->
+      """WITH a AS (
+           SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                 THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+           FROM events),
+         p AS (
+           SELECT coalesce(attr, '(none)') AS attributed_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM a WHERE event_type = 'purchase'),
+         g AS (
+           SELECT attributed_type, count(*) AS n_purchases,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+           FROM p GROUP BY 1)
+         SELECT attributed_type, n_purchases, revenue_cents,
+           revenue_cents * 1000000 //
+             CAST((SELECT sum(revenue_cents) FROM g) AS BIGINT) AS share_ppm
+         FROM g ORDER BY attributed_type""",
     "b98_percentile_bands" ->
       """WITH e AS (
            SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,

@@ -408,7 +408,37 @@ object TrainingQueries7 {
       .orderBy(col("source"), col("decile"))
   }
 
+  /** C82: band-provenance audit — the "can I drop a band" table
+    * completing the banding accounting (c50 recall, c61 precision,
+    * c70 threshold, c71 signature, c75 load): per band, candidates
+    * caught and candidates caught by NO other band (its marginal
+    * value — a band with near-zero exclusives costs its shuffle
+    * share for nothing). One (id1,id2,band)-distinct self-join on
+    * the persisted banded view, then a pair-keyed count and a
+    * 4-row rollup. */
+  private def c82BandProvenance(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val banded = Dedup.bandBuckets(
+        TrainingQueries.corpusWithDups(T(s, dir, "documents")),
+        "doc_id", "text", n = 5, k = 8, bands = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candB = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.band").as("band"))
+      .distinct()
+    val perPair = candB.groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("nb"))
+    candB.join(perPair, Seq("id1", "id2"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum((col("nb") === 1).cast("long")).as("n_exclusive"))
+      .orderBy(col("band"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c82_band_provenance" -> (c82BandProvenance _),
     "c80_ppl_buckets" -> (c80PplBuckets _),
     "c78_label_affinity" -> (c78LabelAffinity _),
     "c79_label_cohesion" -> (c79LabelCohesion _),
@@ -441,6 +471,26 @@ object TrainingQueries7 {
          FROM pd GROUP BY label)"""
 
   def oracleSql: Map[String, String] = Map(
+    "c82_band_provenance" ->
+      s"""WITH ${TrainingQueries.corpusSql},
+          toks AS (SELECT doc_id, ${TrainingQueries.toksSql} AS tk
+            FROM corpus),
+          shd AS (SELECT doc_id,
+            list_distinct(${TrainingQueries.ngramsSql(5)}) AS shs
+            FROM toks),
+          ${TrainingQueries.minhashSigSql(8)},
+          ${TrainingQueries.bandedSql(4, 2)},
+          cb AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+              a.band AS band
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+          pp AS (SELECT id1, id2, count(*) AS nb FROM cb GROUP BY 1, 2)
+          SELECT band, count(*) AS n_candidates,
+            CAST(sum(CASE WHEN nb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_exclusive
+          FROM cb JOIN pp USING (id1, id2)
+          GROUP BY band ORDER BY band""",
     "c80_ppl_buckets" ->
       s"""WITH d AS (
             SELECT doc_id, ${TrainingQueries.normTextSql} AS s
