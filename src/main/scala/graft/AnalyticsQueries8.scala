@@ -305,7 +305,38 @@ object AnalyticsQueries8 {
       .orderBy(col("attributed_type"))
   }
 
+  /** B101: order-to-ship lag bands — per order month, p50/p90 and
+    * mean of days-from-order-to-ship across line items, plus late
+    * share (>30 days) in exact ppm. The suite's one deliberate
+    * FACT×FACT join: lineitem⋈orders on orderkey is genuinely
+    * shuffle-sized on both sides, so the correct plan IS the
+    * co-partitioned sort-merge join (AQE-sized); at warehouse scale
+    * both tables bucket by orderkey and the exchange disappears —
+    * the note every star-schema broadcast query here doesn't need.
+    * Lag is integer days (date difference), percentiles interpolate
+    * over integers. */
+  private def b101ShipLag(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag"))
+      .groupBy(col("order_month"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("percentile(lag, array(0.5D, 0.9D))").as("__p"),
+        sum(col("lag")).as("__sl"),
+        sum((col("lag") > 30).cast("long")).as("__late"))
+      .select(col("order_month"), col("n_lines"),
+        round(element_at(col("__p"), 1), 1).as("p50_days"),
+        round(element_at(col("__p"), 2), 1).as("p90_days"),
+        round(col("__sl").cast("double") / col("n_lines"), 4).as("mean_days"),
+        expr("__late * 1000000 div n_lines").as("late_ppm"))
+      .orderBy(col("order_month"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b101_ship_lag" -> (b101ShipLag _),
     "b100_attribution" -> (b100Attribution _),
     "b98_percentile_bands" -> (b98PercentileBands _),
     "b99_cusum" -> (b99Cusum _),
@@ -317,6 +348,24 @@ object AnalyticsQueries8 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b101_ship_lag" ->
+      """WITH j AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+               CAST(l_shipdate AS DATE)) AS BIGINT) AS lag
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         g AS (
+           SELECT order_month, count(*) AS n_lines,
+             quantile_cont(lag, [0.5, 0.9]) AS p,
+             CAST(sum(lag) AS BIGINT) AS sl,
+             CAST(sum(CASE WHEN lag > 30 THEN 1 ELSE 0 END) AS BIGINT)
+               AS late
+           FROM j GROUP BY 1)
+         SELECT order_month, n_lines,
+           round(p[1], 1) AS p50_days, round(p[2], 1) AS p90_days,
+           round(CAST(sl AS DOUBLE) / n_lines, 4) AS mean_days,
+           late * 1000000 // n_lines AS late_ppm
+         FROM g ORDER BY order_month""",
     "b100_attribution" ->
       """WITH a AS (
            SELECT event_type, value,

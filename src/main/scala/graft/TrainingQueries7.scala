@@ -437,7 +437,36 @@ object TrainingQueries7 {
       .orderBy(col("band"))
   }
 
+  /** C83: release manifest — the reproducibility artifact a dataset
+    * release ships next to c48's card and c49's shards: per
+    * (md5-assigned) shard, doc/char counts, id range, and a content
+    * fingerprint (md5 over the doc-ordered per-doc md5s) that any
+    * consumer can recompute to byte-verify their copy. Shard
+    * assignment is the repo's md5-bucket convention (hex digit of
+    * md5(doc_id) → 8 shards) — engine-exact, no hash seed.
+    *
+    * Scale: one shard-keyed exchange; the fingerprint folds each
+    * shard's ordered digest list — at warehouse scale the manifest
+    * goes per-part (Merkle-style, digests of part digests), same
+    * plan one level deeper. */
+  private def c83ReleaseManifest(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .withColumn("shard_id",
+        expr("(instr('0123456789abcdef', " +
+          "substr(md5(cast(doc_id as string)), 1, 1)) - 1) div 2"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("n_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        md5(concat_ws("",
+          expr("transform(array_sort(collect_list(struct(doc_id, " +
+            "md5(text) as h))), x -> x.h)")))
+          .as("manifest_md5"))
+      .orderBy(col("shard_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c83_release_manifest" -> (c83ReleaseManifest _),
     "c82_band_provenance" -> (c82BandProvenance _),
     "c80_ppl_buckets" -> (c80PplBuckets _),
     "c78_label_affinity" -> (c78LabelAffinity _),
@@ -471,6 +500,18 @@ object TrainingQueries7 {
          FROM pd GROUP BY label)"""
 
   def oracleSql: Map[String, String] = Map(
+    "c83_release_manifest" ->
+      """WITH d AS (
+           SELECT doc_id, text,
+             (instr('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) // 2
+               AS shard_id
+           FROM documents)
+         SELECT shard_id, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS manifest_md5
+         FROM d GROUP BY 1 ORDER BY shard_id""",
     "c82_band_provenance" ->
       s"""WITH ${TrainingQueries.corpusSql},
           toks AS (SELECT doc_id, ${TrainingQueries.toksSql} AS tk
