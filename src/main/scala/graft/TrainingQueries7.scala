@@ -465,7 +465,31 @@ object TrainingQueries7 {
           .as("manifest_md5"))
       .orderBy(col("shard_id"))
 
+  /** C84: media similarity search — the full multimodal bridge run
+    * end-to-end: binary media column → decode (stub) → fixed-dim
+    * feature vector → brute-force cosine top-3. A real pipeline swaps
+    * the two stubs (codec, model forward pass) and keeps every
+    * Spark-side shape: the binary column, the digest, the bounded
+    * array feature, and c6's broadcast-query ANN kernel. Feature
+    * arithmetic is engine-exact hex math, so the whole chain is
+    * oracle-checked — the only multimodal path here whose SEARCH
+    * results are verified, not just its metadata. */
+  private def c84MediaAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Multimodal, Similarity}
+    val media = Multimodal.withMedia(
+      T(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", col("text"))
+    val featured = Multimodal.featureStub(media, dim = 16)
+      .select(col("doc_id"), col("feature_vec"))
+    Similarity.bruteForceTopK(featured, featured.filter(col("doc_id") < 5),
+        "doc_id", "feature_vec", k = 3, roundScale = 6)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("cosine_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c84_media_ann" -> (c84MediaAnn _),
     "c83_release_manifest" -> (c83ReleaseManifest _),
     "c82_band_provenance" -> (c82BandProvenance _),
     "c80_ppl_buckets" -> (c80PplBuckets _),
@@ -500,6 +524,33 @@ object TrainingQueries7 {
          FROM pd GROUP BY label)"""
 
   def oracleSql: Map[String, String] = Map(
+    "c84_media_ann" -> {
+      val dot = "list_sum(list_transform(generate_series(1, 16), " +
+        "i -> qv[i] * cv[i]))"
+      val den = "sqrt(list_sum(list_transform(qv, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(cv, x -> x * x)))"
+      s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+          f AS (
+            SELECT doc_id, list_transform(generate_series(0, 15), i ->
+              (((instr('0123456789abcdef', substr(h, 2 * i + 1, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(h, 2 * i + 2, 1)) - 1)
+               - 127.5) / 127.5) AS v
+            FROM m),
+          q AS (SELECT doc_id AS query_id, v AS qv FROM f WHERE doc_id < 5),
+          scored AS (
+            SELECT query_id, f.doc_id AS corpus_id,
+              round(CASE WHEN ($den) <> 0 THEN ($dot) / ($den) ELSE 0.0 END, 6)
+                AS cosine_sim
+            FROM (SELECT doc_id, v AS cv FROM f) f CROSS JOIN q
+            WHERE query_id <> doc_id),
+          ranked AS (
+            SELECT query_id, corpus_id, cosine_sim,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, corpus_id) AS rank
+            FROM scored)
+          SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine_sim
+          FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""
+    },
     "c83_release_manifest" ->
       """WITH d AS (
            SELECT doc_id, text,

@@ -97,6 +97,24 @@ object Multimodal {
       .withColumn("n_sampled", size(col("sampled_frames")).cast("bigint"))
   }
 
+  /** STUB feature extraction: a fixed-dim double embedding derived
+    * deterministically from the media digest — byte i of the md5,
+    * centered and scaled to [−1, 1]. A real extractor replaces the
+    * arithmetic with a model forward pass; the Spark-side shape — a
+    * bounded array column ready for [[Similarity]]'s ANN kernels —
+    * is exactly what the media→embedding→search bridge needs, and
+    * the hex arithmetic is engine-exact (mirrored in the DuckDB
+    * oracle). Requires a `feature_md5` column (from the decode step). */
+  def featureStub(df: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim >= 1 && dim <= 16, "the md5 digest yields 16 bytes")
+    val vals = (0 until dim).map { i =>
+      ((expr(s"(instr('0123456789abcdef', substr(feature_md5, ${2 * i + 1}, 1)) - 1) * 16" +
+        s" + instr('0123456789abcdef', substr(feature_md5, ${2 * i + 2}, 1)) - 1")
+        .cast("double") - lit(127.5)) / lit(127.5))
+    }
+    df.withColumn("feature_vec", array(vals: _*))
+  }
+
   /** Attach a binary media column + decoded metadata to a table. */
   def withMedia(df: DataFrame, idCol: String, payload: org.apache.spark.sql.Column): DataFrame = {
     val blob = encode(payload, "UTF-8")

@@ -57,4 +57,22 @@ class MultimodalSpec extends SparkSpec {
     assert(colPath.orderBy("media_id").collect().toSeq ==
       batchPath.orderBy("media_id").collect().toSeq)
   }
+
+  test("featureStub: fixed-dim, bounded, deterministic, digest-sensitive") {
+    val featured = Multimodal.featureStub(
+      Multimodal.withMedia(media, "media_id", col("payload")), dim = 16)
+    val rows = featured.select(col("media_id"), col("feature_vec"))
+      .orderBy("media_id").collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      assert(v.length == 16)
+      assert(v.forall(x => x >= -1.0 && x <= 1.0))
+    }
+    // deterministic: same input → same vector; distinct payloads differ
+    val again = Multimodal.featureStub(
+      Multimodal.withMedia(media, "media_id", col("payload")), dim = 16)
+      .select(col("media_id"), col("feature_vec")).orderBy("media_id").collect()
+    assert(rows.map(_.getSeq[Double](1)).toSeq == again.map(_.getSeq[Double](1)).toSeq)
+    assert(rows.map(_.getSeq[Double](1)).distinct.length == rows.length)
+  }
 }
