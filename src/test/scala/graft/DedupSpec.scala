@@ -235,4 +235,14 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("is_dup")).toMap
     assert(flags === Map(10L -> 1L, 11L -> 0L, 12L -> 0L))
   }
+
+  test("crossCorpusFlags edges: empty reference passes everything; empty batch is empty") {
+    val some = Seq((1L, "a perfectly ordinary sentence with enough words to shingle"))
+      .toDF("doc_id", "text")
+    val none = some.filter(col("doc_id") < 0)
+    val vsEmptyRef = Dedup.crossCorpusFlags(some, none, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("is_dup")).toMap
+    assert(vsEmptyRef === Map(1L -> 0L))
+    assert(Dedup.crossCorpusFlags(none, some, "doc_id", "text", n = 3).count() == 0)
+  }
 }

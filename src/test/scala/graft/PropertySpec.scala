@@ -373,4 +373,19 @@ class PropertySpec extends SparkSpec {
       assert(chunks.init.forall(_.size == 7)) // only the tail is short
     }
   }
+
+  test("CUSUM closed form (cum - min(0, runmin(cum))) == the max(0, S+y) recursion") {
+    // b99's re-expression: the recursion S_t = max(0, S_{t-1} + y_t) is
+    // what window functions can't do directly; the closed form is what
+    // the query computes. They must agree on every integer series.
+    val series = Gen.listOf(Gen.choose(-1000000L, 1000000L))
+    forAll1(series, trials = 500) { ys =>
+      val recursive = ys.scanLeft(0L)((s, y) => math.max(0L, s + y)).tail
+      val cums = ys.scanLeft(0L)(_ + _).tail
+      val closed = cums.zipWithIndex.map { case (c, i) =>
+        c - math.min(0L, cums.take(i + 1).min)
+      }
+      assert(closed == recursive)
+    }
+  }
 }
