@@ -335,7 +335,44 @@ object AnalyticsQueries8 {
         expr("__late * 1000000 div n_lines").as("late_ppm"))
       .orderBy(col("order_month"))
 
+  /** B102: market-basket lift — part pairs co-ordered within an order,
+    * lift vs independence in exact ppm, top-100 by lift (the retail
+    * affinity report; b88 is the behavioral sibling on events). Pair
+    * emission is b88's in-basket generator — sorted part set per
+    * order, pairs via indexed slice/transform, fan-out bounded by
+    * basket size² (TPC-H baskets ≤ 7 lines) — never a corpus-scale
+    * (order,part) self-join. Margins broadcast; every statistic is
+    * integer (lift_ppm = n_ab·N·10⁶ div n_a·n_b). */
+  private def b102BasketLift(s: SparkSession, dir: String): DataFrame = {
+    val op = T(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nOrders = op.select(countDistinct(col("o")).as("n_orders"))
+    val marg = op.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val pairs = op.groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p"))).as("parts"))
+      .select(explode(expr(
+        "flatten(transform(parts, (x, i) -> " +
+          "transform(slice(parts, i + 2, size(parts)), " +
+          "y -> struct(x as pa, y as pb))))")).as("pp"))
+      .select(col("pp.pa").as("pa"), col("pp.pb").as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    pairs
+      .join(broadcast(marg.withColumnRenamed("p", "pa")
+        .withColumnRenamed("n_p", "n_a")), "pa")
+      .join(broadcast(marg.withColumnRenamed("p", "pb")
+        .withColumnRenamed("n_p", "n_b")), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("n_ab"),
+        expr("n_ab * n_orders * 1000000 div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("pa"), col("pb"))
+      .limit(100)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b102_basket_lift" -> (b102BasketLift _),
     "b101_ship_lag" -> (b101ShipLag _),
     "b100_attribution" -> (b100Attribution _),
     "b98_percentile_bands" -> (b98PercentileBands _),
@@ -348,6 +385,25 @@ object AnalyticsQueries8 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b102_basket_lift" ->
+      """WITH op AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         n AS (SELECT count(DISTINCT o) AS n_orders FROM op),
+         m AS (SELECT p, count(*) AS n_p FROM op GROUP BY p),
+         pr AS (
+           SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+           FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2),
+         l AS (
+           SELECT pa, pb, n_ab,
+             n_ab * n_orders * 1000000 // (ma.n_p * mb.n_p) AS lift_ppm
+           FROM pr
+           CROSS JOIN n
+           JOIN m ma ON ma.p = pr.pa
+           JOIN m mb ON mb.p = pr.pb
+           WHERE n_ab >= 2)
+         SELECT pa, pb, n_ab, lift_ppm FROM l
+         ORDER BY lift_ppm DESC, pa, pb LIMIT 100""",
     "b101_ship_lag" ->
       """WITH j AS (
            SELECT strftime(o_orderdate, '%Y-%m') AS order_month,

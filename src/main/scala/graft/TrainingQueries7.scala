@@ -488,7 +488,45 @@ object TrainingQueries7 {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** C85: NEAR-dup savings by source — c66's dataset-card row for the
+    * MinHash chain: per source, docs/chars the c2→c19 cluster rule
+    * (keep the min-id member) removes, savings in exact ppm. Exact
+    * and fuzzy dedup price differently per source (mirrors dup
+    * verbatim, template farms dup fuzzily) — a release card carries
+    * both rows. Rides the LSH chain it reports on plus a \|sources\|
+    * rollup; the keeper rule IS the cluster's min label, so no extra
+    * window. */
+  private def c85NeardupSavings(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = T(s, dir, "documents")
+    val corpus = TrainingQueries.corpusWithDups(docs)
+    val srcmap = docs.select(col("doc_id"), col("source"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source")))
+    val pairs = Dedup.minHashLsh(corpus, "doc_id", "text",
+      n = 5, k = 8, bands = 4, threshold = 0.5)
+    val cc = Dedup.connectedComponents(pairs, "id1", "id2")
+      .select(col("node").as("doc_id"), col("component"))
+    corpus.join(cc, Seq("doc_id"), "left")
+      .withColumn("removed",
+        (col("doc_id") =!= coalesce(col("component"), col("doc_id")))
+          .cast("long"))
+      .join(srcmap, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("removed")).as("n_removed"),
+        sum(length(col("text"))).as("total_chars"),
+        sum(col("removed") * length(col("text"))).as("chars_removed"))
+      .select(col("source"), col("n_docs"), col("n_removed"),
+        col("total_chars"), col("chars_removed"),
+        when(col("total_chars") > 0,
+          expr("chars_removed * 1000000 div total_chars")).otherwise(0L)
+          .as("savings_ppm"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c85_neardup_savings" -> (c85NeardupSavings _),
     "c84_media_ann" -> (c84MediaAnn _),
     "c83_release_manifest" -> (c83ReleaseManifest _),
     "c82_band_provenance" -> (c82BandProvenance _),
@@ -524,6 +562,32 @@ object TrainingQueries7 {
          FROM pd GROUP BY label)"""
 
   def oracleSql: Map[String, String] = Map(
+    "c85_neardup_savings" ->
+      s"""WITH RECURSIVE ${TrainingQueries.clusterCteSql},
+          srcmap AS (
+            SELECT doc_id, source FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, source
+            FROM documents WHERE doc_id % 10 = 0),
+          a AS (
+            SELECT c.doc_id, s.source, length(c.text) AS nch,
+              coalesce(cl.cluster, c.doc_id) AS cluster
+            FROM corpus c
+            LEFT JOIN cl ON cl.doc_id = c.doc_id
+            JOIN srcmap s ON s.doc_id = c.doc_id),
+          g AS (
+            SELECT source, count(*) AS n_docs,
+              CAST(sum(CASE WHEN doc_id <> cluster THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+              CAST(sum(nch) AS BIGINT) AS total_chars,
+              CAST(sum(CASE WHEN doc_id <> cluster THEN nch ELSE 0 END)
+                AS BIGINT) AS chars_removed
+            FROM a GROUP BY 1)
+          SELECT source, n_docs, n_removed, total_chars, chars_removed,
+            CASE WHEN total_chars > 0
+              THEN chars_removed * 1000000 // total_chars ELSE 0 END
+              AS savings_ppm
+          FROM g ORDER BY source""",
     "c84_media_ann" -> {
       val dot = "list_sum(list_transform(generate_series(1, 16), " +
         "i -> qv[i] * cv[i]))"
