@@ -371,7 +371,39 @@ object AnalyticsQueries8 {
       .limit(100)
   }
 
+  /** B103: new-vs-returning revenue split — each day's purchases and
+    * revenue attributed to users on their FIRST active day (any event
+    * counts as activity) vs returning users: b93's growth
+    * decomposition applied to money, the "is growth buying or
+    * retention buying" report. The event projection persists and
+    * feeds both branches (first-day per user, purchase rollup); one
+    * user-keyed join classifies, the final rollup is \|days × 2\|
+    * rows. Revenue in exact integer cents. */
+  private def b103NewVsReturning(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val e = T(s, dir, "events")
+      .select(col("user_id"), Fns.floorDivLong(col("ts"), dayNs).as("day"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstDay = e.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val purch = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("pc"))
+    purch.join(firstDay, "user_id")
+      .withColumn("seg",
+        when(col("day") === col("first_day"), "new").otherwise("returning"))
+      .groupBy(col("day"), col("seg"))
+      .agg(sum(col("n")).as("n_purchases"), sum(col("pc")).as("revenue_cents"),
+        count(lit(1)).as("n_users"))
+      .select(
+        date_format(timestamp_seconds(col("day") * 86400L), "yyyy-MM-dd")
+          .as("day"),
+        col("seg"), col("n_purchases"), col("revenue_cents"), col("n_users"))
+      .orderBy(col("day"), col("seg"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b103_new_vs_returning" -> (b103NewVsReturning _),
     "b102_basket_lift" -> (b102BasketLift _),
     "b101_ship_lag" -> (b101ShipLag _),
     "b100_attribution" -> (b100Attribution _),
@@ -385,6 +417,28 @@ object AnalyticsQueries8 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b103_new_vs_returning" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+             event_type, CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         fd AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY 1),
+         p AS (
+           SELECT user_id, day, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS pc
+           FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+         j AS (
+           SELECT p.day,
+             CASE WHEN p.day = fd.first_day THEN 'new'
+               ELSE 'returning' END AS seg,
+             n, pc
+           FROM p JOIN fd USING (user_id))
+         SELECT strftime(make_timestamp(day * 86400 * 1000000),
+             '%Y-%m-%d') AS day,
+           seg, CAST(sum(n) AS BIGINT) AS n_purchases,
+           CAST(sum(pc) AS BIGINT) AS revenue_cents,
+           count(*) AS n_users
+         FROM j GROUP BY 1, 2 ORDER BY day, seg""",
     "b102_basket_lift" ->
       """WITH op AS (
            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
