@@ -132,9 +132,13 @@ object AnalyticsQueries8 {
     * (type, day−7) — broadcast-sized at any corpus scale. */
   private def b96SeasonalNaive(s: SparkSession, dir: String): DataFrame = {
     val dayNs = 86400L * 1000000000L
+    // persist the rollup: actuals and predictions are the SAME table
+    // read twice — without the cache Spark re-collapses the raw
+    // events for the prediction branch (no common-subplan reuse)
     val daily = T(s, dir, "events")
       .select(col("event_type"), Fns.floorDivLong(col("ts"), dayNs).as("day"))
       .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pred = daily.select(col("event_type"), (col("day") + 7L).as("day"),
       col("n").as("pred"))
     daily.join(pred, Seq("event_type", "day"))

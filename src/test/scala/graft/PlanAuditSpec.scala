@@ -570,12 +570,17 @@ class PlanAuditSpec extends SparkSpec {
       s"the four branches must share the persisted customer rollup:\n$p")
   }
 
-  test("b96: forecast join rides the one (type,day) rollup") {
+  test("b96: forecast join rides ONE persisted (type,day) rollup — events scan once") {
     val p = plan("b96_seasonal_naive")
-    // both join sides are the same daily rollup: the raw events must
-    // cross exactly one data exchange per branch, nothing per-day
-    assert(p.split("\n").count(_.contains("Exchange hashpartitioning(event_type")) <= 3,
-      s"daily rollup shape broke (extra exchanges):\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"actuals and predictions must share the persisted rollup:\n$p")
+    // one physical events collapse: all (type,day) exchanges print from
+    // the same cached plan (InMemoryRelation reprints it per reader)
+    val ids = p.split("\n")
+      .filter(_.contains("Exchange hashpartitioning(event_type"))
+      .flatMap("plan_id=(\\d+)".r.findFirstMatchIn(_).map(_.group(1))).toSet
+    assert(ids.size <= 2, // the rollup + the final per-type error agg
+      s"prediction branch re-collapsed the raw events:\n$p")
     assert(!p.contains("Expand"), s"no Expand expected:\n$p")
   }
 
@@ -653,6 +658,16 @@ class PlanAuditSpec extends SparkSpec {
       s"the centroid join back over the corpus must broadcast:\n$c")
     assert(!c.contains("SortMergeJoin"),
       s"the centroid join regressed to sort-merge:\n$c")
+  }
+
+  test("b102: basket pairs come from the in-basket generator; margins broadcast") {
+    val p = plan("b102_basket_lift")
+    assert(!p.contains("SortMergeJoin"),
+      s"a shuffle join crept into the lift computation:\n$p")
+    assert(p.contains("Generate explode"),
+      s"pairs must come from the bounded in-basket generator:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the three branches must share the persisted (order,part) table:\n$p")
   }
 
   test("c46: perplexity scores in two corpus passes — totals read the cached trigram counts") {
