@@ -374,6 +374,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("in-basket pair generator == naive pair enumeration on random baskets") {
+    // b88/b102's indexed slice/transform pair emission must equal the
+    // obvious all-pairs spec on every sorted distinct basket
+    import spark.implicits._
+    val baskets = (0 until 100).map { i =>
+      val g = Gen.listOf(Gen.choose(1L, 40L))
+      val parts = g.apply(Gen.Parameters.default, Seed(42L + i))
+        .getOrElse(Nil).distinct.sorted
+      (i.toLong, parts)
+    }
+    val got = baskets.toDF("basket_id", "parts")
+      .select(col("basket_id"), explode_outer(expr(
+        "flatten(transform(parts, (x, i) -> " +
+          "transform(slice(parts, i + 2, size(parts)), " +
+          "y -> struct(x as pa, y as pb))))")).as("pp"))
+      .select(col("basket_id"), col("pp.pa"), col("pp.pb"))
+      .collect()
+      .filter(r => !r.isNullAt(1))
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    baskets.foreach { case (id, parts) =>
+      val expected = (for {
+        a <- parts; b <- parts if a < b
+      } yield (a, b)).toSet
+      assert(got.getOrElse(id, Set.empty) == expected,
+        s"basket $id: generator pairs diverge from the naive spec")
+    }
+  }
+
   test("CUSUM closed form (cum - min(0, runmin(cum))) == the max(0, S+y) recursion") {
     // b99's re-expression: the recursion S_t = max(0, S_{t-1} + y_t) is
     // what window functions can't do directly; the closed form is what
