@@ -660,6 +660,35 @@ class PlanAuditSpec extends SparkSpec {
       s"the centroid join regressed to sort-merge:\n$c")
   }
 
+  test("b100: attribution is one user-keyed window + a |types| rollup") {
+    val p = plan("b100_attribution")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning(user_id")) == 1,
+      s"expected exactly one user-keyed exchange (the carry-forward window):\n$p")
+    assert(!p.contains("Expand"), s"no Expand expected:\n$p")
+  }
+
+  test("b101: the fact-fact join stays size-appropriate — broadcast small-sf, SMJ at scale, never nested-loop") {
+    val p = plan("b101_ship_lag")
+    // at sf0.001 orders fits the broadcast threshold (correct!); at
+    // warehouse scale the statistics flip it to the co-partitioned
+    // SMJ — what must NEVER appear is a nested-loop/cartesian shape
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on orderkey:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"orderkey equi-join degenerated:\n$p")
+    // month rollup partial-aggregates before its exchange
+    assert(p.contains("Exchange hashpartitioning(order_month"),
+      s"monthly rollup lost its keyed exchange:\n$p")
+  }
+
+  test("c83: the manifest is one shard-keyed aggregation, no join") {
+    val p = plan("c83_release_manifest")
+    assert(!p.contains("Join"), s"manifest must not join:\n$p")
+    assert(p.split("\n").count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected one shard_id exchange:\n$p")
+  }
+
   test("b102: basket pairs come from the in-basket generator; margins broadcast") {
     val p = plan("b102_basket_lift")
     assert(!p.contains("SortMergeJoin"),
