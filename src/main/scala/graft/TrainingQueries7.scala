@@ -525,7 +525,42 @@ object TrainingQueries7 {
       .orderBy(col("source"))
   }
 
+  /** C86: SimHash precision audit — the c61 discipline applied to the
+    * OTHER near-dup chain: per hamming distance (0-3), how many c3
+    * pairs there are, how many verify at exact 5-gram Jaccard ≥ 0.5,
+    * precision and mean Jaccard in exact ppm. The hamming→Jaccard
+    * calibration table that says whether "hamming ≤ 3" means
+    * near-dup on THIS corpus (SimHash correlates with cosine over
+    * token multisets, not Jaccard — the audit prices the gap). Work
+    * is bounded by the c3 pair set; the verify join is \|pairs\|-
+    * keyed; pairs where either side has no 5-gram shingles are out
+    * of scope on both engines. */
+  private def c86SimhashPrecision(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val corpus = TrainingQueries.corpusWithDups(T(s, dir, "documents"))
+    val pairs = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 3)
+    val sets = corpus.select(col("doc_id"),
+        array_distinct(Fns.wordNGrams(Fns.tokens(col("text")), 5)).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val inter = size(array_intersect(col("shs1"), col("shs2")))
+    pairs
+      .join(sets.select(col("doc_id").as("id1"), col("shs").as("shs1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("shs").as("shs2")), "id2")
+      .select(col("hamming"),
+        round(round(inter / (size(col("shs1")) + size(col("shs2")) - inter), 6)
+          * 1000000).cast("long").as("jp"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("jp") >= 500000L).cast("long")).as("n_verified"),
+        expr("sum(jp) div count(1)").as("mean_jaccard_ppm"))
+      .select(col("hamming"), col("n_pairs"), col("n_verified"),
+        expr("n_verified * 1000000 div n_pairs").as("precision_ppm"),
+        col("mean_jaccard_ppm"))
+      .orderBy(col("hamming"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c86_simhash_precision" -> (c86SimhashPrecision _),
     "c85_neardup_savings" -> (c85NeardupSavings _),
     "c84_media_ann" -> (c84MediaAnn _),
     "c83_release_manifest" -> (c83ReleaseManifest _),
@@ -562,6 +597,50 @@ object TrainingQueries7 {
          FROM pd GROUP BY label)"""
 
   def oracleSql: Map[String, String] = Map(
+    "c86_simhash_precision" -> {
+      val odd = "('1','3','5','7','9','b','d','f')"
+      val sums = (0 until 32).map(i =>
+        s"sum(CASE WHEN substr(md5(tok), ${i + 1}, 1) IN $odd THEN 1 ELSE -1 END) AS s$i")
+        .mkString(", ")
+      val fpBits = (0 until 32).map(i =>
+        s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH ${TrainingQueries.corpusSql},
+          toks AS (SELECT doc_id, unnest(${TrainingQueries.toksSql}) AS tok
+            FROM corpus),
+          sums AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
+          fp AS (SELECT doc_id, $fpBits AS simhash32 FROM sums),
+          sp AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+              bit_count(xor(a.simhash32, b.simhash32)) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3),
+          tk AS (SELECT doc_id, ${TrainingQueries.toksSql} AS tk FROM corpus),
+          shd AS (
+            SELECT doc_id, shs FROM (
+              SELECT doc_id,
+                list_distinct(${TrainingQueries.ngramsSql(5)}) AS shs
+              FROM tk) _ WHERE len(shs) > 0),
+          jp AS (
+            SELECT hamming,
+              CAST(round(round(
+                len(list_intersect(s1.shs, s2.shs)) /
+                  (len(s1.shs) + len(s2.shs)
+                    - len(list_intersect(s1.shs, s2.shs))), 6)
+                * 1000000) AS BIGINT) AS jpv
+            FROM sp
+            JOIN shd s1 ON s1.doc_id = sp.id1
+            JOIN shd s2 ON s2.doc_id = sp.id2),
+          g AS (
+            SELECT hamming, count(*) AS n_pairs,
+              CAST(sum(CASE WHEN jpv >= 500000 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_verified,
+              CAST(sum(jpv) AS BIGINT) AS sj
+            FROM jp GROUP BY 1)
+          SELECT hamming, n_pairs, n_verified,
+            n_verified * 1000000 // n_pairs AS precision_ppm,
+            sj // n_pairs AS mean_jaccard_ppm
+          FROM g ORDER BY hamming"""
+    },
     "c85_neardup_savings" ->
       s"""WITH RECURSIVE ${TrainingQueries.clusterCteSql},
           srcmap AS (
