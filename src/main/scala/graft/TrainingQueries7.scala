@@ -559,7 +559,35 @@ object TrainingQueries7 {
       .orderBy(col("hamming"))
   }
 
+  /** C87: winnowing overlap detection — shared-fingerprint counts per
+    * doc pair from the MOSS selection scheme (Dedup
+    * .winnowingFingerprints): any shared run of ≥ w+k−1 = 8 tokens is
+    * guaranteed at least one shared fingerprint, so this catches long
+    * common SPANS (plagiarism, licensing boilerplate, mirrored
+    * sections) that whole-document MinHash under-weights. Hot
+    * fingerprints (doc-frequency > 10 — corpus boilerplate) are
+    * dropped before pairing, the standard inverted-index cap that
+    * bounds the per-fingerprint join fan-out at any corpus scale;
+    * pairs need ≥ 3 shared fingerprints. */
+  private def c87Winnowing(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val fps = Dedup.winnowingFingerprints(
+        TrainingQueries.corpusWithDups(T(s, dir, "documents")),
+        "doc_id", "text", k = 5, w = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") <= 10).select(col("fp"))
+    val fk = fps.join(keep, "fp")
+    fk.as("a").join(fk.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c87_winnowing" -> (c87Winnowing _),
     "c86_simhash_precision" -> (c86SimhashPrecision _),
     "c85_neardup_savings" -> (c85NeardupSavings _),
     "c84_media_ann" -> (c84MediaAnn _),
@@ -597,6 +625,32 @@ object TrainingQueries7 {
          FROM pd GROUP BY label)"""
 
   def oracleSql: Map[String, String] = Map(
+    "c87_winnowing" ->
+      s"""WITH ${TrainingQueries.corpusSql},
+          toks AS (SELECT doc_id, ${TrainingQueries.toksSql} AS tk
+            FROM corpus),
+          gs AS (
+            SELECT doc_id,
+              CASE WHEN len(tk) >= 5
+                THEN list_transform(generate_series(1, len(tk) - 4),
+                  i -> substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 8))
+                ELSE [] END AS hs
+            FROM toks),
+          fps AS (
+            SELECT doc_id, unnest(list_distinct(
+              CASE WHEN len(hs) < 4 THEN hs
+                ELSE list_transform(generate_series(1, len(hs) - 3),
+                  i -> list_min(hs[i:i+3])) END)) AS fp
+            FROM gs WHERE len(hs) > 0),
+          df AS (SELECT fp, count(*) AS nd FROM fps GROUP BY fp),
+          keep AS (SELECT fp FROM df WHERE nd <= 10),
+          fk AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
+          pr AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+            FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT id1, id2, n_shared FROM pr WHERE n_shared >= 3
+          ORDER BY id1, id2""",
     "c86_simhash_precision" -> {
       val odd = "('1','3','5','7','9','b','d','f')"
       val sums = (0 until 32).map(i =>

@@ -248,6 +248,34 @@ object Dedup {
       .select(col(idCol), coalesce(col("__f"), lit(0L)).as("is_dup"))
   }
 
+  /** Winnowing fingerprint selection (MOSS-style, Schleimer et al.
+    * 2003): hash every k-gram, slide a w-window over the hash
+    * sequence, keep each window's minimum — guaranteeing any shared
+    * run of ≥ w+k−1 tokens yields at least one shared fingerprint,
+    * with ~2/(w+1) of positions selected. The overlap-detection
+    * scheme for long shared SPANS (plagiarism/boilerplate), where
+    * MinHash answers whole-document similarity.
+    *
+    * Returns distinct (doc_id, fp) rows. Docs with fewer than w
+    * k-gram hashes select all of them (the degenerate window).
+    * Selection is a projection + generator — no shuffle; hashes are
+    * 8-hex-char md5 windows so the oracle mirrors them exactly. */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    docs
+      .select(col(idCol).as("doc_id"),
+        Fns.wordNGrams(Fns.tokens(col(textCol)), k).as("gs"))
+      .select(col("doc_id"),
+        expr("transform(gs, g -> substring(md5(g), 1, 8))").as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), explode(array_distinct(
+        when(size(col("hs")) < w, col("hs"))
+          .otherwise(expr(
+            s"transform(sequence(1, size(hs) - ${w - 1}), " +
+              s"i -> array_min(slice(hs, i, $w)))")))).as("fp"))
+  }
+
   /** SimHash fingerprint (32-bit: one ±1 vote per md5 hex-digit parity,
     * summed over all tokens, sign → bit). Near-identical texts land
     * within small hamming distance; pairing is then a band join on

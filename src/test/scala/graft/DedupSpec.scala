@@ -236,6 +236,23 @@ class DedupSpec extends SparkSpec {
     assert(flags === Map(10L -> 1L, 11L -> 0L, 12L -> 0L))
   }
 
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens yields a shared fingerprint") {
+    // k=3, w=2: any shared run of >= 4 tokens must produce at least
+    // one common selected fingerprint (the Schleimer et al. bound)
+    val two = Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "x y r s t u z"),   // shares the 4-token run "r s t u" with 1
+      (3L, "a b c d e f g")    // no 3-gram shared with anyone
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(two, "doc_id", "text", k = 3, w = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = fps.groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty)
+    // density: winnowing selects a strict subset once hs is longer than w
+    assert(byDoc(1L).size < 6) // 6 k-grams in doc 1
+  }
+
   test("crossCorpusFlags edges: empty reference passes everything; empty batch is empty") {
     val some = Seq((1L, "a perfectly ordinary sentence with enough words to shingle"))
       .toDF("doc_id", "text")

@@ -689,6 +689,16 @@ class PlanAuditSpec extends SparkSpec {
       s"expected one shard_id exchange:\n$p")
   }
 
+  test("c87: winnowing selection is a generator; pairing is the capped fp join") {
+    val p = plan("c87_winnowing")
+    assert(!p.contains("CartesianProduct"),
+      s"fingerprint pairing degenerated to a cross join:\n$p")
+    assert(p.contains("Generate explode"),
+      s"fingerprint selection must be the projection+generator:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the df-cap and pair branches must share the persisted fp table:\n$p")
+  }
+
   test("b102: basket pairs come from the in-basket generator; margins broadcast") {
     val p = plan("b102_basket_lift")
     assert(!p.contains("SortMergeJoin"),
