@@ -26,7 +26,8 @@ object ClusterSmoke {
       // r6 additions: the new operator kernels that most depend on
       // serialization/broadcast behavior local[32] can't exercise
       "c76_incremental_dedup", "b97_rfm", "c80_ppl_buckets",
-      "c72_cell_balance", "c50_lsh_recall")
+      "c72_cell_balance", "c50_lsh_recall", "c87_winnowing",
+      "c86_simhash_precision")
     var failed = 0
     names.foreach { n =>
       val t0 = System.nanoTime()
