@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench collector json-parses the LAST line of stdout;
+// sbt's default forked-output strategy routes the child's stdout
+// through the logger, prefixing every line with "[info] " and breaking
+// the parse (BENCH_r03..r06 all recorded parsed: null). StdoutOutput
+// inherits sbt's raw stdout/stderr instead — the Bench JSON line lands
+// bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -218,24 +218,59 @@ object Dedup {
   def crossCorpusFlags(newDocs: DataFrame, refDocs: DataFrame,
                        idCol: String, textCol: String,
                        n: Int = 5, k: Int = 8, bands: Int = 4,
-                       threshold: Double = 0.5): DataFrame = {
+                       threshold: Double = 0.5): DataFrame =
+    flagsAgainstIndex(newDocs, idCol,
+      buildCorpusIndex(newDocs, idCol, textCol, n, k, bands),
+      buildCorpusIndex(refDocs, idCol, textCol, n, k, bands),
+      threshold)
+
+  /** Precomputed LSH index for one corpus side: shingle sets + banded
+    * keys. This is the bounded-width table a continuous-ingestion
+    * pipeline computes ONCE per corpus release and reuses across every
+    * incoming batch (graft.streaming.StreamingIngest holds one for its
+    * reference corpus). Lifetime is the caller's: `persist()` before
+    * reuse, `unpersist()` when the corpus release is retired — the
+    * deterministic-release answer to the lazy-output caching contract
+    * in the object doc above. */
+  final case class CorpusIndex(sets: DataFrame, banded: DataFrame) {
+    def persist(): CorpusIndex = {
+      sets.persist(StorageLevel.MEMORY_AND_DISK)
+      banded.persist(StorageLevel.MEMORY_AND_DISK)
+      this
+    }
+    def unpersist(): Unit = { sets.unpersist(); banded.unpersist(); () }
+  }
+
+  /** Build the [[CorpusIndex]] for one corpus (unpersisted — both
+    * members are projection-only plans; persist only when reusing the
+    * index across batches). */
+  def buildCorpusIndex(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 5, k: Int = 8,
+                       bands: Int = 4): CorpusIndex = {
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"bands ($bands) must divide k ($k)")
-    val newSets = shingleSets(newDocs, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val refSets = shingleSets(refDocs, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nb = bandedOf(signaturesFromSets(newSets, k), k, bands)
-    val rb = bandedOf(signaturesFromSets(refSets, k), k, bands)
-    val cand = nb.as("a").join(rb.as("b"),
+    val sets = shingleSets(docs, idCol, textCol, n)
+    CorpusIndex(sets, bandedOf(signaturesFromSets(sets, k), k, bands))
+  }
+
+  /** Flag `newDocs` against a reference [[CorpusIndex]] using the new
+    * side's own index. The band join crosses new×ref only; exact
+    * verify per candidate; one (idCol, is_dup 0/1) row per new doc.
+    * Holds NO caches of its own — with both indexes projection-only,
+    * each side's text is scanned at most twice (band keys + verify),
+    * and a caller that persists the indexes pays one scan each. */
+  def flagsAgainstIndex(newDocs: DataFrame, idCol: String,
+                        newIdx: CorpusIndex, refIdx: CorpusIndex,
+                        threshold: Double = 0.5): DataFrame = {
+    val cand = newIdx.banded.as("a").join(refIdx.banded.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("ref_id"))
       .distinct()
     val inter = size(array_intersect(col("shs1"), col("shs2")))
     val flagged = cand
-      .join(newSets.select(col("doc_id").as("new_id"), col("shs").as("shs1")),
+      .join(newIdx.sets.select(col("doc_id").as("new_id"), col("shs").as("shs1")),
         "new_id")
-      .join(refSets.select(col("doc_id").as("ref_id"), col("shs").as("shs2")),
+      .join(refIdx.sets.select(col("doc_id").as("ref_id"), col("shs").as("shs2")),
         "ref_id")
       .select(col("new_id"),
         round(inter / (size(col("shs1")) + size(col("shs2")) - inter), 6)

@@ -51,5 +51,18 @@ class StreamingIngestSpec extends SparkSpec {
       .crossCorpusFlags(all, ref, "doc_id", "text", threshold = 0.5)
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("is_dup")).toMap
     assert(out === batchFlags)
+
+    // replay idempotence: wipe the checkpoint so EVERY batch replays
+    // against the existing output dir — the per-partition dynamic
+    // overwrite must rewrite the same rows, not append duplicates
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/ck"))
+    val q2 = StreamingIngest.flagAgainstReference(stream, ref,
+      "doc_id", "text", s"$dir/out", s"$dir/ck", threshold = 0.5)
+    q2.awaitTermination()
+    val replayed = spark.read.parquet(s"$dir/out")
+      .select(col("doc_id"), col("is_dup"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(replayed.length === 4, "replay must overwrite, not append")
+    assert(replayed.toMap === out)
   }
 }
