@@ -183,6 +183,22 @@ object TrainingQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** C7c: the TRAINED IVF path — one Lloyd refinement over the seed
+    * centroids before the probe. The refinement's determinism claim
+    * (decimal-exact per-dimension means, so refined centroids are
+    * identical across partitionings/replays) is exactly what the
+    * DuckDB oracle pins: the mirror recomputes the same assignment →
+    * decimal-mean → reassignment chain relationally and must land on
+    * bit-identical cells and ranks. */
+  private def c7cAnnIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, stride = 100, iters = 1, roundScale = 4)
+      .select(col("query_id"), col("rank").as("rnk"), col("corpus_id"),
+        col("cell"), col("cosine_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
 
   /** C65: ANN recall audit — the measurement that justifies c7's
     * plane count and c7b's stride: each approximate method's top-5
@@ -281,6 +297,7 @@ object TrainingQueries {
     "c6_ann_topk" -> (c6AnnTopK _),
     "c7_ann_lsh" -> (c7AnnLsh _),
     "c7b_ann_ivf" -> (c7bAnnIvf _),
+    "c7c_ann_ivf_trained" -> (c7cAnnIvfTrained _),
     "c65_ann_recall" -> (c65AnnRecall _),
     "c8_lang_id" -> (c8LangId _),
     "c9_quality" -> (c9Quality _),
@@ -449,6 +466,49 @@ object TrainingQueries {
         SELECT query_id, rnk, corpus_id, cell, cosine_sim FROM ranked
         WHERE rnk <= 5 ORDER BY query_id, rnk"""
 
+  /** Trained-IVF mirror: seed-assign → decimal-exact per-dimension
+    * means (the Lloyd step, CAST(.. AS DECIMAL(28,12)) sums exactly as
+    * Similarity.refineCentroids) → reassign → cell probe. Positions
+    * come from generate_series (embeddings are fixed 64-dim); refined
+    * cells keep their seed cent_id, empty cells disappear — both
+    * standard Lloyd, both mirrored. */
+  private def c7cOracleSql: String = {
+    def assign(src: String, cents: String): String =
+      s"""SELECT vec_id, v, cent_id AS cell FROM (
+            SELECT vec_id, v, cent_id,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY ${cosineSql("v", "centv", 4)} DESC, cent_id) AS rn
+            FROM $src CROSS JOIN $cents)
+          WHERE rn = 1"""
+    s"""WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents0 AS (SELECT vec_id AS cent_id, v AS centv FROM ve WHERE vec_id % 100 = 0),
+        a0 AS (${assign("ve", "cents0")}),
+        dims AS (
+          SELECT cell, t.pos AS pos, v[t.pos] AS x
+          FROM a0, generate_series(1, 64) AS t(pos)),
+        means AS (
+          SELECT cell, pos,
+            CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean
+          FROM dims GROUP BY cell, pos),
+        cents1 AS (
+          SELECT cell AS cent_id, list(mean ORDER BY pos) AS centv
+          FROM means GROUP BY cell),
+        a1 AS (${assign("ve", "cents1")}),
+        q AS (SELECT vec_id AS query_id, v AS qv, cell FROM a1 WHERE vec_id < 8),
+        c AS (SELECT vec_id AS corpus_id, v AS cv, cell FROM a1),
+        scored AS (
+          SELECT query_id, corpus_id, c.cell AS cell,
+            ${cosineSql("qv", "cv", 4)} AS cosine_sim
+          FROM c JOIN q ON c.cell = q.cell
+          WHERE query_id <> corpus_id),
+        ranked AS (
+          SELECT query_id, corpus_id, cell, cosine_sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, corpus_id) AS rnk
+          FROM scored)
+        SELECT query_id, rnk, corpus_id, cell, cosine_sim FROM ranked
+        WHERE rnk <= 5 ORDER BY query_id, rnk"""
+  }
 
   /** c65 mirror: the three searches as CTEs, then two audit rows. */
   private def c65OracleSql: String =
@@ -599,6 +659,7 @@ object TrainingQueries {
     "c6_ann_topk" -> c6OracleSql,
     "c7_ann_lsh" -> c7OracleSql,
     "c7b_ann_ivf" -> c7bOracleSql,
+    "c7c_ann_ivf_trained" -> c7cOracleSql,
     "c65_ann_recall" -> c65OracleSql,
     "c8_lang_id" -> c8OracleSql,
     "c9_quality" -> c9OracleSql,
