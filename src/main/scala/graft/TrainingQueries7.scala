@@ -296,6 +296,41 @@ object TrainingQueries7 {
       .orderBy(col("doc_id"))
   }
 
+  /** C81: streaming ingest dedup, driver-checked — the a14/c49
+    * promotion pattern applied to the ingest stream: replay the
+    * [[graft.streaming.StreamingIngest]] foreachBatch kernel over a
+    * DETERMINISTIC two-micro-batch split (maxFilesPerTrigger=1 over
+    * two single-file batch dirs) and emit the flag log. Flags are vs
+    * the STATIC reference only, so the result is batch-split
+    * invariant and the DuckDB oracle is the one-shot cross-corpus
+    * mirror over the same doc sets. All streamed ids sit above the
+    * reference id space (+500000/+1000000/+2000000) so the oracle's
+    * ordered pair join stays ref<new. */
+  private def c81StreamingIngest(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    def novel(m: Int): DataFrame = docs.filter(col("doc_id") % 3 === m)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    def dups(m: Int, shift: Long): DataFrame =
+      docs.filter(col("doc_id") % 9 === m)
+        .select((col("doc_id") + shift).as("doc_id"),
+          concat(col("text"), lit(" zz tail")).as("text"))
+    val b1 = novel(1).unionAll(dups(0, 1000000L))
+    val b2 = novel(2).unionAll(dups(3, 2000000L))
+    val root = java.nio.file.Files.createTempDirectory("graft_c81").toString
+    b1.coalesce(1).write.parquet(s"$root/in/b1")
+    b2.coalesce(1).write.parquet(s"$root/in/b2")
+    val stream = s.readStream.schema(ref.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+    graft.streaming.StreamingIngest.flagAgainstReference(stream, ref,
+      "doc_id", "text", s"$root/out", s"$root/ck", threshold = 0.5)
+      .awaitTermination()
+    s.read.parquet(s"$root/out")
+      .select(col("doc_id"), col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C77: sequence-packing efficiency — the utilization audit of
     * c33's 2048-token greedy bins: bins and docs per fill-rate decade
     * (ppm of capacity), plus the packed-token share. The number that
@@ -597,6 +632,7 @@ object TrainingQueries7 {
     "c78_label_affinity" -> (c78LabelAffinity _),
     "c79_label_cohesion" -> (c79LabelCohesion _),
     "c76_incremental_dedup" -> (c76IncrementalDedup _),
+    "c81_streaming_ingest" -> (c81StreamingIngest _),
     "c77_pack_efficiency" -> (c77PackEfficiency _),
     "c74_gram_novelty" -> (c74GramNovelty _),
     "c75_band_load" -> (c75BandLoad _),
@@ -862,6 +898,40 @@ object TrainingQueries7 {
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.bk = b.bk
              AND a.doc_id >= 1000000 AND b.doc_id < 1000000),
+          ${TrainingQueries.jaccardSql(0.5)},
+          flagged AS (
+            SELECT DISTINCT c.id2 AS doc_id
+            FROM cand c JOIN verified v ON v.id1 = c.id1 AND v.id2 = c.id2)
+          SELECT n.doc_id, CAST(f.doc_id IS NOT NULL AS BIGINT) AS is_dup
+          FROM newb n LEFT JOIN flagged f ON f.doc_id = n.doc_id
+          ORDER BY n.doc_id""",
+    "c81_streaming_ingest" ->
+      s"""WITH refd AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+          newb AS (
+            SELECT doc_id + 500000 AS doc_id, text FROM documents
+            WHERE doc_id % 3 IN (1, 2)
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text || ' zz tail' AS text
+            FROM documents WHERE doc_id % 9 = 0
+            UNION ALL
+            SELECT doc_id + 2000000 AS doc_id, text || ' zz tail' AS text
+            FROM documents WHERE doc_id % 9 = 3),
+          corpus AS (
+            SELECT doc_id, text FROM refd
+            UNION ALL SELECT doc_id, text FROM newb),
+          toks AS (SELECT doc_id, ${TrainingQueries.toksSql} AS tk
+            FROM corpus),
+          shd AS (SELECT doc_id,
+            list_distinct(${TrainingQueries.ngramsSql(5)}) AS shs
+            FROM toks),
+          ${TrainingQueries.minhashSigSql(8)},
+          ${TrainingQueries.bandedSql(4, 2)},
+          cand AS (
+            SELECT DISTINCT b.doc_id AS id1, a.doc_id AS id2
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bk = b.bk
+             AND a.doc_id >= 500000 AND b.doc_id < 500000),
           ${TrainingQueries.jaccardSql(0.5)},
           flagged AS (
             SELECT DISTINCT c.id2 AS doc_id
