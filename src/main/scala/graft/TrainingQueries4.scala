@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Chunker, Dedup, Similarity, TextAnalysis}
+import graft.functions.Fns
 import graft.sources.Tables
 
 /** C-series round 5, second batch (SURVEY §2C, C37-C38): semantic
@@ -162,8 +163,36 @@ object TrainingQueries4 {
       .orderBy(col("doc_id"))
   }
 
+  /** C88: SemDeDup's cross-cell miss, priced — the audit for c37's
+    * documented trade (a near-dup pair split across cells is
+    * invisible to the within-cell compare). Ground truth: brute-force
+    * cos ≥ 0.9 pairs over a DECLARED 1-in-5 id sample of the same
+    * planted corpus; hits = truth pairs whose endpoints share a
+    * cell. One row, recall in exact ppm — the c50/c65 discipline
+    * applied to the last unmeasured approximation in the repo. The
+    * quadratic truth is the audit's cost; the sample pays 1/25 of
+    * the full bill for the same ratio. */
+  private def c88SemdedupRecall(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embWithDups(s, dir)
+    val assigned = Similarity.cellAssignments(corpus, "vec_id", "v",
+      stride = 100L, roundScale = 4)
+    val samp = corpus.join(assigned, "vec_id")
+      .filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val truth = samp.as("a")
+      .join(samp.as("b"), col("a.vec_id") > col("b.vec_id"))
+      .filter(Fns.cosine(col("a.v"), col("b.v"), 4) >= 0.9)
+      .select((col("a.cell") === col("b.cell")).cast("long").as("same_cell"))
+    truth.agg(count(lit(1)).as("n_true"),
+        sum(col("same_cell")).cast("long").as("n_hit"))
+      .select(lit("semdedup").as("method"), col("n_true"), col("n_hit"),
+        when(col("n_true") > 0, expr("(n_hit * 1000000L) div n_true"))
+          .otherwise(lit(0L)).as("recall_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c37_semdedup" -> (c37SemDedup _),
+    "c88_semdedup_recall" -> (c88SemdedupRecall _),
     "c38_line_scrub" -> (c38LineScrub _),
     "c39_substring_scrub" -> (c39SubstringScrub _),
     "c40_quality_calibrate" -> (c40QualityCalibrate _),
@@ -209,6 +238,39 @@ object TrainingQueries4 {
               AS BIGINT) AS is_dup
           FROM sized s LEFT JOIN d ON s.vec_id = d.vec_id
           ORDER BY s.vec_id""",
+    // same plant + assignment as c37, then brute-force truth over the
+    // declared 1-in-5 sample and the shared-cell hit ratio in exact ppm
+    "c88_semdedup_recall" ->
+      s"""WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          dups AS (
+            SELECT vec_id + 1000000 AS vec_id,
+              list_transform(v, x -> x + 0.05) AS v
+            FROM base WHERE vec_id % 40 = 0),
+          c AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+          cents AS (
+            SELECT vec_id AS cent_id, v AS centv FROM c
+            WHERE vec_id % 100 = 0),
+          assigned AS (
+            SELECT vec_id, v, cent_id AS cell FROM (
+              SELECT c.vec_id, c.v, cents.cent_id,
+                row_number() OVER (PARTITION BY c.vec_id
+                  ORDER BY ${TrainingQueries.cosineSql("c.v", "centv", 4)} DESC,
+                    cent_id) AS rn
+              FROM c CROSS JOIN cents)
+            WHERE rn = 1),
+          samp AS (
+            SELECT vec_id, v, cell FROM assigned WHERE vec_id % 5 = 0),
+          truth AS (
+            SELECT CASE WHEN a.cell = b.cell THEN 1 ELSE 0 END AS same_cell
+            FROM samp a JOIN samp b ON a.vec_id > b.vec_id
+            WHERE ${TrainingQueries.cosineSql("a.v", "b.v", 4)} >= 0.9)
+          SELECT 'semdedup' AS method, count(*) AS n_true,
+            CAST(sum(same_cell) AS BIGINT) AS n_hit,
+            CASE WHEN count(*) > 0
+              THEN CAST(sum(same_cell) AS BIGINT) * 1000000 // count(*)
+              ELSE 0 END AS recall_ppm
+          FROM truth""",
     // c26's line model (non-overlapping 10-token windows) + the
     // ordered string_agg rebuild; empty rebuilds coalesce to ''
     "c38_line_scrub" ->
