@@ -200,6 +200,29 @@ object TrainingQueries {
   }
 
 
+  /** Int8-dequantized embedding view: the production retrieval shape
+    * (store c24's int8 codes — a 4× memory cut — and search over
+    * code/127.0 doubles). Quantization is deterministic on identical
+    * IEEE doubles, so the view is engine-portable. */
+  private def int8Deq(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(graft.operators.VectorStats.quantizeInt8(col("embedding")),
+        q => q.cast("double") / lit(127.0)).as("embedding"))
+
+  /** C89: quantized ANN — c24's int8 codes composed with c7b's IVF
+    * kernel end-to-end: centroids, assignment, and cell probe all run
+    * over the dequantized codes, exactly as a memory-bound index
+    * would. The dequantization error is priced by c65's `ivf_int8`
+    * recall line against the float-exact ground truth. */
+  private def c89AnnInt8(s: SparkSession, dir: String): DataFrame = {
+    val deq = int8Deq(T(s, dir, "embeddings"))
+    Similarity.ivfTopK(deq, deq.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, stride = 100, roundScale = 4)
+      .select(col("query_id"), col("rank").as("rnk"), col("corpus_id"),
+        col("cell"), col("cosine_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** C65: ANN recall audit — the measurement that justifies c7's
     * plane count and c7b's stride: each approximate method's top-5
     * against c6's brute-force top-5 ground truth, recall in exact
@@ -223,8 +246,12 @@ object TrainingQueries {
             expr("(n_hit * 1000000L) div n_exact")).otherwise(0L)
             .as("recall_ppm"))
     }
+    val deq = int8Deq(emb)
     audit("ivf", pairs(Similarity.ivfTopK(emb, q, "vec_id", "embedding",
         k = 5, stride = 100, roundScale = 4)))
+      .unionAll(audit("ivf_int8", pairs(Similarity.ivfTopK(deq,
+        deq.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, stride = 100, roundScale = 4))))
       .unionAll(audit("lsh", pairs(Similarity.lshTopK(emb, q, "vec_id",
         "embedding", k = 5, planes = 8, dim = 64, roundScale = 4))))
       .orderBy(col("method"))
@@ -298,6 +325,7 @@ object TrainingQueries {
     "c7_ann_lsh" -> (c7AnnLsh _),
     "c7b_ann_ivf" -> (c7bAnnIvf _),
     "c7c_ann_ivf_trained" -> (c7cAnnIvfTrained _),
+    "c89_ann_int8" -> (c89AnnInt8 _),
     "c65_ann_recall" -> (c65AnnRecall _),
     "c8_lang_id" -> (c8LangId _),
     "c9_quality" -> (c9Quality _),
@@ -510,6 +538,40 @@ object TrainingQueries {
         WHERE rnk <= 5 ORDER BY query_id, rnk"""
   }
 
+  /** Shared mirror of the int8 store: quantize (c24's expression) then
+    * dequantize to code/127.0 doubles. */
+  private def deqSql: String =
+    """dq AS (SELECT vec_id, list_transform(embedding,
+         x -> CAST(round(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0) * 127)
+           AS DOUBLE) / 127.0) AS v
+       FROM embeddings)"""
+
+  /** c89 mirror: the c7b IVF chain, run over the dequantized codes. */
+  private def c89OracleSql: String =
+    s"""WITH $deqSql,
+        cents AS (SELECT vec_id AS cent_id, v AS centv FROM dq WHERE vec_id % 100 = 0),
+        assigned AS (
+          SELECT vec_id, v, cent_id AS cell FROM (
+            SELECT vec_id, v, cent_id,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY ${cosineSql("v", "centv", 4)} DESC, cent_id) AS rn
+            FROM dq CROSS JOIN cents)
+          WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv, cell FROM assigned WHERE vec_id < 8),
+        c AS (SELECT vec_id AS corpus_id, v AS cv, cell FROM assigned),
+        scored AS (
+          SELECT query_id, corpus_id, c.cell AS cell,
+            ${cosineSql("qv", "cv", 4)} AS cosine_sim
+          FROM c JOIN q ON c.cell = q.cell
+          WHERE query_id <> corpus_id),
+        ranked AS (
+          SELECT query_id, corpus_id, cell, cosine_sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, corpus_id) AS rnk
+          FROM scored)
+        SELECT query_id, rnk, corpus_id, cell, cosine_sim FROM ranked
+        WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
   /** c65 mirror: the three searches as CTEs, then two audit rows. */
   private def c65OracleSql: String =
     s"""WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -557,10 +619,36 @@ object TrainingQueries {
               row_number() OVER (PARTITION BY query_id
                 ORDER BY cs DESC, corpus_id) AS rnk
             FROM i_scored) WHERE rnk <= 5),
+        $deqSql,
+        qcents AS (SELECT vec_id AS cent_id, v AS centv FROM dq WHERE vec_id % 100 = 0),
+        qassigned AS (
+          SELECT vec_id, v, cent_id AS cell FROM (
+            SELECT vec_id, v, cent_id,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY ${cosineSql("v", "centv", 4)} DESC, cent_id) AS rn
+            FROM dq CROSS JOIN qcents)
+          WHERE rn = 1),
+        qiq AS (SELECT vec_id AS query_id, v AS qv, cell FROM qassigned WHERE vec_id < 8),
+        qi_scored AS (
+          SELECT query_id, c.vec_id AS corpus_id,
+            ${cosineSql("qv", "c.v", 4)} AS cs
+          FROM qassigned c JOIN qiq ON c.cell = qiq.cell
+          WHERE query_id <> c.vec_id),
+        ivf8 AS (
+          SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cs DESC, corpus_id) AS rnk
+            FROM qi_scored) WHERE rnk <= 5),
         audit AS (
           SELECT 'ivf' AS method,
             (SELECT count(*) FROM exact) AS n_exact,
             (SELECT count(*) FROM exact e JOIN ivf a
+              ON e.query_id = a.query_id AND e.corpus_id = a.corpus_id) AS n_hit
+          UNION ALL
+          SELECT 'ivf_int8' AS method,
+            (SELECT count(*) FROM exact) AS n_exact,
+            (SELECT count(*) FROM exact e JOIN ivf8 a
               ON e.query_id = a.query_id AND e.corpus_id = a.corpus_id) AS n_hit
           UNION ALL
           SELECT 'lsh' AS method,
@@ -660,6 +748,7 @@ object TrainingQueries {
     "c7_ann_lsh" -> c7OracleSql,
     "c7b_ann_ivf" -> c7bOracleSql,
     "c7c_ann_ivf_trained" -> c7cOracleSql,
+    "c89_ann_int8" -> c89OracleSql,
     "c65_ann_recall" -> c65OracleSql,
     "c8_lang_id" -> c8OracleSql,
     "c9_quality" -> c9OracleSql,
