@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.SchemaEvolution
+
+/** JDBC warehouse sink — the SQL-catalog twin of the parquet evolve
+  * path (reference: clickhouse-batch-client.class.ts:492-568, the
+  * INSERT batcher + ALTER TABLE evolution). The parquet router proves
+  * the evolution rules against parquet metadata; this sink proves
+  * them against a REAL SQL catalog (embedded Derby in
+  * JdbcEventSinkSpec — in-process, zero egress):
+  *
+  *  - new column → a real metadata-only `ALTER TABLE … ADD COLUMN`
+  *    (nullable, the reference's CLICKHOUSE_ALTERED_COLUMN_NULLABLE
+  *    default — existing rows surface NULL from the catalog itself);
+  *  - widen-to-String → a real mutation. Derby cannot ALTER a
+  *    numeric column to VARCHAR in place, so the sink does what
+  *    ClickHouse's `MODIFY COLUMN … String` mutation does
+  *    internally: rewrite the table at the new type into a staged
+  *    table, then swap names in the catalog (`RENAME TABLE`, two
+  *    statements on one connection). Rare by construction — the
+  *    reference only ever risks this one ALTER;
+  *  - everything else → existing type wins (DateTime64→DateTime
+  *    corner included), same `SchemaEvolution.merge` rules, one code
+  *    path for both sinks.
+  *
+  * Scale shape: evolution DDL is driver-side and bounded by table
+  * count; the INSERT append is Spark's JDBC writer (one INSERT batch
+  * per partition, executor-parallel). The URL is the seam — any
+  * JDBC-speaking warehouse slots in; only `derbyType` is
+  * dialect-specific DDL.
+  */
+object JdbcEventSink {
+
+  private def props = new Properties
+
+  /** Existing table schema, or None if the table doesn't exist. */
+  def tableSchema(spark: SparkSession, url: String,
+                  table: String): Option[StructType] =
+    try Some(spark.read.jdbc(url, table, props).schema)
+    catch { case _: Exception => None }
+
+  /** Spark→Derby DDL types for ADD COLUMN (Spark's own JDBC writer
+    * handles CREATE TABLE). VARCHAR(32672) is Derby's max. */
+  private def derbyType(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType | ShortType | ByteType => "INTEGER"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case DateType => "DATE"
+    case _ => "VARCHAR(32672)"
+  }
+
+  private def withConn[A](url: String)(f: java.sql.Connection => A): A = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private def qi(id: String): String = "\"" + id + "\""
+
+  /** Append `df` to `table`, evolving the table's catalog schema with
+    * the reference's merge rules. Returns the table's schema after
+    * the append. Table names must be plain identifiers
+    * (letters/digits/underscore). */
+  def evolveAppend(spark: SparkSession, df: DataFrame, url: String,
+                   table: String): StructType =
+    tableSchema(spark, url, table) match {
+      case None =>
+        // first batch CREATEs the table at the batch schema, exactly
+        // like the parquet twin (and the reference's CREATE path)
+        df.write.jdbc(url, table, props)
+        df.schema
+      case Some(ex) =>
+        val target = SchemaEvolution.merge(ex, df.schema)
+        val widened = ex.fields
+          .filter(f => target(f.name).dataType != f.dataType).map(_.name)
+        val added = target.fields
+          .filterNot(f => ex.fieldNames.contains(f.name))
+        if (widened.nonEmpty) {
+          // the mutation path: old + new aligned at the widened type,
+          // staged, then swapped in the catalog
+          val old = spark.read.jdbc(url, table, props)
+          val combined = SchemaEvolution.align(old, target)
+            .unionByName(SchemaEvolution.align(df, target))
+          val stage = table + "__graft_stage"
+          val retired = table + "__graft_old"
+          withConn(url) { c =>
+            val st = c.createStatement()
+            Seq(stage, retired).foreach { t =>
+              try { st.execute(s"DROP TABLE $t"); () }
+              catch { case _: java.sql.SQLException => () } // absent: fine
+            }
+          }
+          combined.write.jdbc(url, stage, props)
+          withConn(url) { c =>
+            val st = c.createStatement()
+            st.execute(s"RENAME TABLE $table TO $retired")
+            st.execute(s"RENAME TABLE $stage TO $table")
+            st.execute(s"DROP TABLE $retired")
+            ()
+          }
+        } else {
+          if (added.nonEmpty) withConn(url) { c =>
+            val st = c.createStatement()
+            added.foreach { f =>
+              st.execute(s"ALTER TABLE $table ADD COLUMN " +
+                s"${qi(f.name)} ${derbyType(f.dataType)}")
+            }
+          }
+          SchemaEvolution.align(df, target)
+            .write.mode("append").jdbc(url, table, props)
+        }
+        target
+    }
+
+  def readTable(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** SQL-safe table name for an event type (the per-type table
+    * convention, JDBC side). */
+  def tableName(eventType: String): String =
+    "ev_" + eventType.toLowerCase.replaceAll("[^a-z0-9_]", "_")
+
+  /** One micro-batch's routed JDBC write: each present event type
+    * appends (with evolution) to its own table. The per-type loop is
+    * the reference's own one-bulker-per-type shape — INSERT batches
+    * are per-table by nature, so unlike the parquet fast path there
+    * is no single-job variant to ride; type count bounds the loop. */
+  def routeAndAppend(spark: SparkSession, batch: DataFrame, url: String,
+                     typeCol: String = "event_type"): Map[String, StructType] = {
+    val types = batch.select(col(typeCol)).distinct()
+      .collect().map(_.getString(0)) // bounded by table count
+    types.map { t =>
+      t -> evolveAppend(spark,
+        batch.filter(col(typeCol) === t).drop(typeCol), url, tableName(t))
+    }.toMap
+  }
+}
