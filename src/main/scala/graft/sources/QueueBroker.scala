@@ -1,0 +1,151 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal partitioned append-only-log broker served over real localhost
+  * TCP sockets — the in-process stand-in for the reference's Redis/BullMQ
+  * broker (reference: src/main.ts:540 `queue.process`; the container is
+  * zero-egress and ships no broker jars, so the broker itself is ~100
+  * lines here, but everything the Spark side touches is a genuine
+  * network API, not a shared-memory shortcut).
+  *
+  * Semantics are deliberately the Kafka/Redis-streams core that matters
+  * for exactly-once:
+  *  - N partitions, each an append-only log addressed by offset;
+  *  - `PUB` appends and returns the assigned offset;
+  *  - `END` returns a partition's log-end offset;
+  *  - `FETCH from until` re-reads any retained range deterministically —
+  *    which is precisely the property the checkpoint-replay story in
+  *    [[QueueSourceProvider]] depends on.
+  *
+  * Protocol (line-oriented, payloads base64 so records may hold any
+  * UTF-8 including newlines):
+  * {{{
+  *   PARTS                     -> OK <numPartitions>
+  *   END <p>                   -> OK <endOffset>
+  *   PUB <p> <b64>             -> OK <assignedOffset>
+  *   FETCH <p> <from> <until>  -> OK <n> then n lines of <b64>
+  * }}}
+  */
+final class QueueBroker(val numPartitions: Int = 2) extends AutoCloseable {
+  private val logs = Array.fill(numPartitions)(new ArrayBuffer[String]())
+  private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
+  @volatile private var running = true
+
+  def host: String = InetAddress.getLoopbackAddress.getHostAddress
+  def port: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock))
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception => () } // closed during accept
+    }
+  }, s"queue-broker-$port")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  /** Producer-side convenience (tests publish in-process; a remote
+    * producer would use [[QueueBroker.Client.publish]] — same log). */
+  def publish(partition: Int, payload: String): Long = logs.synchronized {
+    require(partition >= 0 && partition < numPartitions, s"partition $partition")
+    logs(partition) += payload
+    logs(partition).size - 1L
+  }
+
+  /** Round-robin publish across partitions, like a keyless Kafka producer. */
+  def publishAll(payloads: Seq[String]): Unit =
+    payloads.zipWithIndex.foreach { case (s, i) => publish(i % numPartitions, s) }
+
+  def endOffsets: Seq[Long] = logs.synchronized { logs.map(_.size.toLong).toSeq }
+
+  private def serve(sock: Socket): Unit = {
+    val in = new BufferedReader(
+      new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+    val out = new PrintWriter(sock.getOutputStream, true)
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        val parts = line.split(" ")
+        parts(0) match {
+          case "PARTS" => out.println(s"OK $numPartitions")
+          case "END" =>
+            out.println(s"OK ${logs.synchronized(logs(parts(1).toInt).size)}")
+          case "PUB" =>
+            val payload = new String(
+              Base64.getDecoder.decode(parts(2)), StandardCharsets.UTF_8)
+            out.println(s"OK ${publish(parts(1).toInt, payload)}")
+          case "FETCH" =>
+            val p = parts(1).toInt
+            val from = parts(2).toInt
+            val until = parts(3).toInt
+            val slice = logs.synchronized(logs(p).slice(from, until).toVector)
+            out.println(s"OK ${slice.size}")
+            slice.foreach { s =>
+              out.println(Base64.getEncoder.encodeToString(
+                s.getBytes(StandardCharsets.UTF_8)))
+            }
+          case other => out.println(s"ERR unknown command $other")
+        }
+        line = in.readLine()
+      }
+    } catch { case _: Exception => () } // client went away
+    finally { try sock.close() catch { case _: Exception => () } }
+  }
+
+  override def close(): Unit = {
+    running = false
+    try server.close() catch { case _: Exception => () }
+  }
+}
+
+object QueueBroker {
+
+  /** Socket client — used on the DRIVER for offset discovery and on
+    * EXECUTORS for range fetches ([[QueueSourceProvider]]'s partition
+    * readers open their own connections, exactly as a Kafka consumer
+    * does per task). */
+  final class Client(host: String, port: Int) extends AutoCloseable {
+    private val sock = new Socket(host, port)
+    private val in = new BufferedReader(
+      new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+    private val out = new PrintWriter(sock.getOutputStream, true)
+
+    private def request(cmd: String): String = {
+      out.println(cmd)
+      val resp = in.readLine()
+      if (resp == null || !resp.startsWith("OK "))
+        throw new java.io.IOException(s"broker error for '$cmd': $resp")
+      resp.drop(3)
+    }
+
+    def numPartitions: Int = request("PARTS").toInt
+
+    def endOffset(partition: Int): Long = request(s"END $partition").toLong
+
+    def endOffsets(n: Int): Seq[Long] = (0 until n).map(endOffset)
+
+    def publish(partition: Int, payload: String): Long = {
+      val b64 = Base64.getEncoder.encodeToString(
+        payload.getBytes(StandardCharsets.UTF_8))
+      request(s"PUB $partition $b64").toLong
+    }
+
+    def fetch(partition: Int, from: Long, until: Long): Vector[String] = {
+      val n = request(s"FETCH $partition $from $until").toInt
+      Vector.fill(n)(new String(
+        Base64.getDecoder.decode(in.readLine()), StandardCharsets.UTF_8))
+    }
+
+    override def close(): Unit = {
+      try sock.close() catch { case _: Exception => () }
+    }
+  }
+}
