@@ -709,6 +709,44 @@ class PlanAuditSpec extends SparkSpec {
       s"the three branches must share the persisted (order,part) table:\n$p")
   }
 
+  test("c7c: trained IVF persists refined centroids; both assignment passes argmax map-side") {
+    val p = plan("c7c_ann_ivf_trained")
+    // the r5 scale fix must survive the Lloyd step: N rows cross each
+    // assignment exchange (map-side partial argmax), never N·K
+    assert(p.contains("partial_max(struct(cos"),
+      s"assignment lost its map-side argmax:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"refined centroids recomputed per consumer instead of persisted:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k lost per-partition pruning:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a centroid/cell join fell off broadcast:\n$p")
+  }
+
+  test("c89: int8 dequantization fuses into the scan projection — c7b's plan family, zero added exchanges") {
+    val p = plan("c89_ann_int8")
+    assert(p.contains("transform(transform(embedding"),
+      s"quantize→dequantize left the projection (extra pass over the corpus):\n$p")
+    assert(p.contains("partial_max(struct(cos"),
+      s"assignment lost its map-side argmax:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k lost per-partition pruning:\n$p")
+    // corpus argmax + query argmax + top-k regroup — quantization adds none
+    val exchanges = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"int8 path added exchanges over c7b's 3:\n$p")
+  }
+
+  test("c88: the audit's 1-in-5 sample prunes at the scan, below the declared-quadratic truth product") {
+    val p = plan("c88_semdedup_recall")
+    assert(p.split("\n").exists(l => l.contains("DataFilters:") &&
+      l.contains("% 5) = 0)")),
+      s"sample filter not pushed to the scan — truth pays the full corpus:\n$p")
+    // the quadratic product is the audit's DECLARED cost; pin that it is
+    // the sampled product and the rollup still combines map-side
+    assert(p.contains("partial_count"),
+      s"recall rollup lost its map-side combine:\n$p")
+  }
+
   test("c46: perplexity scores in two corpus passes — totals read the cached trigram counts") {
     val p = plan("c46_perplexity")
     val explodes = p.split("Generate explode").length - 1
