@@ -339,7 +339,8 @@ object SparkEntry {
     TrainingQueries.queries ++
     TrainingQueries2.queries ++ TrainingQueries3.queries ++
     TrainingQueries4.queries ++ TrainingQueries5.queries ++
-    TrainingQueries6.queries ++ TrainingQueries7.queries
+    TrainingQueries6.queries ++ TrainingQueries7.queries ++
+    TrainingQueries8.queries
 
   def oracleSql: Map[String, String] = Map(
     "a1_ingest" ->
@@ -472,7 +473,8 @@ object SparkEntry {
     TrainingQueries.oracleSql ++
     TrainingQueries2.oracleSql ++ TrainingQueries3.oracleSql ++
     TrainingQueries4.oracleSql ++ TrainingQueries5.oracleSql ++
-    TrainingQueries6.oracleSql ++ TrainingQueries7.oracleSql
+    TrainingQueries6.oracleSql ++ TrainingQueries7.oracleSql ++
+    TrainingQueries8.oracleSql
 
   /** DuckDB mirror of ChTypes.inferFromStrings over the same 5 keys. */
   private def inferTypesOracle: String = {

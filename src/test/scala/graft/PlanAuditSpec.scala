@@ -747,6 +747,32 @@ class PlanAuditSpec extends SparkSpec {
       s"recall rollup lost its map-side combine:\n$p")
   }
 
+  test("c90: BM25's four rollups read ONE cached tf — the corpus explodes once") {
+    val p = plan("c90_bm25")
+    assert(p.contains("InMemoryTableScan"),
+      s"tf not cached — every rollup re-explodes the corpus:\n$p")
+    // the live plan's explodes are all inside the ONE cached tf
+    // definition (printed once per cache reference); outside it there
+    // must be none, i.e. explode count == cache-reference count
+    val explodes = p.split("Generate explode").length - 1
+    val cacheReads = p.split("InMemoryTableScan").length - 1
+    assert(explodes <= cacheReads,
+      s"an explode runs OUTSIDE the tf cache:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term restriction fell off broadcast:\n$p")
+  }
+
+  test("c92: pair counts combine map-side; global top-20 is TakeOrdered, not a full sort") {
+    val p = plan("c92_bpe_pairs")
+    assert(p.contains("partial_count"),
+      s"pair counting lost its map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k plans as a full single-partition sort:\n$p")
+    // pairs come from the in-row generator — no position self-join
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"adjacent pairs must not come from a join:\n$p")
+  }
+
   test("c46: perplexity scores in two corpus passes — totals read the cached trigram counts") {
     val p = plan("c46_perplexity")
     val explodes = p.split("Generate explode").length - 1
