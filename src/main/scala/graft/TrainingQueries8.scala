@@ -103,14 +103,128 @@ object TrainingQueries8 {
       .orderBy("rk")
   }
 
+  /** The (bands, rows) configurations a 128-hash MinHash signature can
+    * split into, with the S-curve P(candidate | jaccard=s) =
+    * 1−(1−s^r)^b evaluated at each decile midpoint. Constants computed
+    * ONCE here and inlined into BOTH engines' plans — the S-curve is
+    * data-independent, so neither engine re-derives a float. */
+  private val lshConfigs = Seq((64, 2), (32, 4), (16, 8), (8, 16))
+
+  private def collidePpm(b: Int, r: Int, bucket: Int): Long = {
+    val s = (2 * bucket + 1) / 20.0
+    math.round((1.0 - math.pow(1.0 - math.pow(s, r), b)) * 1e6)
+  }
+
+  private def curveRows: Seq[(Int, Int, Long, Long)] =
+    lshConfigs.flatMap { case (b, r) =>
+      (1 to 9).map(k => (b, r, k.toLong, collidePpm(b, r, k)))
+    }
+
+  /** C91: LSH band planner — pick (bands, rows) from THIS corpus's
+    * similarity mass instead of folklore. Ground truth mass: exact
+    * 5-gram Jaccard deciles over a DECLARED 1-in-10 doc sample
+    * (inverted-index shingle join, c4's verify shape without the
+    * prefix filter — the sample pays 1/100 of the full bill). Each
+    * 128-hash split's S-curve then prices, per config: expected
+    * candidate mass, expected recall above τ=0.5, and wasted
+    * candidate mass below τ — the c50/c61/c75 accounting BEFORE the
+    * banding is built rather than after. Pairs sharing zero shingles
+    * (j < 0.1 bucket too) are excluded by declaration: their collide
+    * probability is ≤ 60 ppm across these configs, noise next to the
+    * decision the table drives. */
+  private def c91BandPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // planted-positive convention (c4): the near-dup corpus's copies
+    // land in the 1-in-10 sample with their originals (id+1e6 keeps
+    // id%10), so the high-similarity buckets are non-vacuous
+    val sample = TrainingQueries.corpusWithDups(T(s, dir, "documents"))
+      .filter(col("doc_id") % 10 === 0)
+    val sets = sample.select(col("doc_id"),
+        array_distinct(Fns.wordNGrams(Fns.tokens(col("text")), 5)).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .persist()
+    val sh = sets.select(col("doc_id"), size(col("shs")).as("n_sh"),
+      explode(col("shs")).as("sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.n_sh").as("s1"), col("b.n_sh").as("s2"))
+      .agg(count(lit(1)).as("n_inter"))
+    val mass = inter
+      .select(least(expr(
+        """CAST(round(round(n_inter / (s1 + s2 - n_inter), 6) * 1000000)
+           AS BIGINT) div 100000"""), lit(9L)).as("bucket"))
+      .filter(col("bucket") >= 1)
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+    val curve = curveRows.toDF("n_bands", "n_rows", "bucket", "collide_ppm")
+    mass.join(broadcast(curve), "bucket")
+      .groupBy("n_bands", "n_rows")
+      .agg(
+        sum(col("n_pairs") * col("collide_ppm")).as("exp_candidates_ppm"),
+        coalesce(sum(when(col("bucket") >= 5,
+          col("n_pairs") * col("collide_ppm"))), lit(0L)).as("hit_hi_ppm"),
+        coalesce(sum(when(col("bucket") >= 5, col("n_pairs"))), lit(0L))
+          .as("n_hi"),
+        coalesce(sum(when(col("bucket") < 5,
+          col("n_pairs") * col("collide_ppm"))), lit(0L)).as("wasted_lo_ppm"))
+      .select(col("n_bands"), col("n_rows"), col("exp_candidates_ppm"),
+        expr("CASE WHEN n_hi > 0 THEN hit_hi_ppm div n_hi ELSE 0 END")
+          .as("exp_recall_ppm"),
+        col("wasted_lo_ppm"))
+      .orderBy(col("n_bands").desc)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c90_bm25" -> (c90Bm25 _),
+    "c91_band_planner" -> (c91BandPlanner _),
     "c92_bpe_pairs" -> (c92BpePairs _)
   )
 
   private val toksSql = """regexp_extract_all(lower(trim(text)), '\S+')"""
 
+  private def curveValuesSql: String = curveRows
+    .map { case (b, r, k, p) => s"($b, $r, $k, $p)" }.mkString(", ")
+
   def oracleSql: Map[String, String] = Map(
+    "c91_band_planner" ->
+      s"""WITH ${TrainingQueries.corpusSql},
+          t AS (
+            SELECT doc_id, $toksSql AS tk FROM corpus
+            WHERE doc_id % 10 = 0),
+          shd0 AS (
+            SELECT doc_id, list_distinct(${TrainingQueries.ngramsSql(5)}) AS shs
+            FROM t),
+          shd AS (SELECT doc_id, shs FROM shd0 WHERE len(shs) > 0),
+          sh AS (
+            SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM shd),
+          inter AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+              a.n_sh AS s1, b.n_sh AS s2, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+          mass AS (
+            SELECT bucket, count(*) AS n_pairs FROM (
+              SELECT least(CAST(round(round(n_inter / (s1 + s2 - n_inter), 6)
+                * 1000000) AS BIGINT) // 100000, 9) AS bucket
+              FROM inter)
+            WHERE bucket >= 1 GROUP BY bucket),
+          curve(n_bands, n_rows, bucket, collide_ppm) AS (
+            VALUES $curveValuesSql),
+          agg AS (
+            SELECT n_bands, n_rows,
+              CAST(sum(n_pairs * collide_ppm) AS BIGINT) AS exp_candidates_ppm,
+              CAST(coalesce(sum(CASE WHEN bucket >= 5
+                THEN n_pairs * collide_ppm END), 0) AS BIGINT) AS hit_hi_ppm,
+              CAST(coalesce(sum(CASE WHEN bucket >= 5 THEN n_pairs END), 0)
+                AS BIGINT) AS n_hi,
+              CAST(coalesce(sum(CASE WHEN bucket < 5
+                THEN n_pairs * collide_ppm END), 0) AS BIGINT) AS wasted_lo_ppm
+            FROM mass JOIN curve USING (bucket) GROUP BY 1, 2)
+          SELECT n_bands, n_rows, exp_candidates_ppm,
+            CASE WHEN n_hi > 0 THEN hit_hi_ppm // n_hi ELSE 0 END
+              AS exp_recall_ppm,
+            wasted_lo_ppm
+          FROM agg ORDER BY n_bands DESC""",
     "c90_bm25" ->
       s"""WITH toks AS (
             SELECT doc_id, unnest($toksSql) AS word FROM documents),

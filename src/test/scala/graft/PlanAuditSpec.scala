@@ -762,6 +762,15 @@ class PlanAuditSpec extends SparkSpec {
       s"query-term restriction fell off broadcast:\n$p")
   }
 
+  test("c91: the planner's sample prunes at the scan; the S-curve table joins broadcast") {
+    val p = plan("c91_band_planner")
+    assert(p.split("\n").exists(l => l.contains("DataFilters:") &&
+      l.contains("% 10) = 0")),
+      s"sample filter not pushed — mass pays the full corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 36-row curve table fell off broadcast:\n$p")
+  }
+
   test("c92: pair counts combine map-side; global top-20 is TakeOrdered, not a full sort") {
     val p = plan("c92_bpe_pairs")
     assert(p.contains("partial_count"),
