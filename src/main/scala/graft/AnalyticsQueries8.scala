@@ -406,7 +406,44 @@ object AnalyticsQueries8 {
       .orderBy(col("day"), col("seg"))
   }
 
+  /** B104: tie-corrected ROC AUC (the ClickHouse `arrayAUC` analog) of
+    * a score column against a binary label, per customer segment —
+    * does order price discriminate urgent orders, segment by segment.
+    * Exact rational form via the rank-sum identity: with ascending
+    * score ranks and average ranks on ties,
+    * AUC = (Σ_pos rank_avg − P(P+1)/2) / (P·N); doubling clears the
+    * halves, so auc_ppm = (S2 − P(P+1))·1e6 div (2·P·N) with
+    * S2 = Σ_groups pos·(2·cum_before + n + 1) — every term int64.
+    *
+    * Scale shape: the per-(segment, score) pre-rollup collapses the
+    * fact table BEFORE the sort (distinct scores, not rows, cross the
+    * range exchange), the customer dim broadcasts, and the rank
+    * cumulative is a running sum per segment — the same
+    * sort-once-then-scan contract as b98. Int64 holds to ~3·10^12
+    * rows·1e6; past that lift S2 to decimal(38,0). */
+  private def b104Auc(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders").select(col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("score_cents"),
+      when(col("o_orderpriority") < "3", 1L).otherwise(0L).as("is_pos"))
+    val seg = T(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val g = o.join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("score_cents"))
+      .agg(count(lit(1)).as("n"), sum(col("is_pos")).as("n_pos"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("score_cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cum", sum(col("n")).over(w))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("n_pos")).as("p"),
+        sum(col("n") - col("n_pos")).as("nn"),
+        sum(col("n_pos") * (lit(2L) * (col("cum") - col("n")) + col("n") + lit(1L)))
+          .as("s2"))
+      .select(col("c_mktsegment"), col("p").as("n_pos"), col("nn").as("n_neg"),
+        expr("(s2 - p * (p + 1)) * 1000000 div (2 * p * nn)").as("auc_ppm"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b104_auc" -> (b104Auc _),
     "b103_new_vs_returning" -> (b103NewVsReturning _),
     "b102_basket_lift" -> (b102BasketLift _),
     "b101_ship_lag" -> (b101ShipLag _),
@@ -421,6 +458,33 @@ object AnalyticsQueries8 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "b104_auc" ->
+      """WITH o AS (
+           SELECT o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS score_cents,
+             CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END AS is_pos
+           FROM orders),
+         j AS (
+           SELECT c_mktsegment, score_cents, is_pos
+           FROM o JOIN customer ON o_custkey = c_custkey),
+         g AS (
+           SELECT c_mktsegment, score_cents, count(*) AS n,
+             CAST(sum(is_pos) AS BIGINT) AS n_pos
+           FROM j GROUP BY 1, 2),
+         r AS (
+           SELECT *, sum(n) OVER (PARTITION BY c_mktsegment
+             ORDER BY score_cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM g),
+         a AS (
+           SELECT c_mktsegment,
+             CAST(sum(n_pos) AS BIGINT) AS p,
+             CAST(sum(n - n_pos) AS BIGINT) AS nn,
+             CAST(sum(n_pos * (2 * (cum - n) + n + 1)) AS BIGINT) AS s2
+           FROM r GROUP BY 1)
+         SELECT c_mktsegment, p AS n_pos, nn AS n_neg,
+           (s2 - p * (p + 1)) * 1000000 // (2 * p * nn) AS auc_ppm
+         FROM a ORDER BY c_mktsegment""",
     "b103_new_vs_returning" ->
       """WITH e AS (
            SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,

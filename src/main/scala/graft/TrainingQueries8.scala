@@ -79,22 +79,27 @@ object TrainingQueries8 {
       .orderBy(col("rk"))
   }
 
-  /** C92: the distributed half of BPE training — adjacent-pair counts
-    * over the corpus (each merge round of byte-pair encoding picks the
-    * most frequent adjacent pair; this is that argmax's input,
-    * top-20). Pairs come from an in-row generator (zip the token array
-    * against its own tail) — one corpus scan, no position self-join —
-    * so the shuffle moves (pair, count) partials, never positions. */
-  private def c92BpePairs(s: SparkSession, dir: String): DataFrame = {
-    val tk = T(s, dir, "documents")
-      .select(Fns.tokens(col("text")).as("tk"))
+  /** Adjacent token pairs from an in-row generator (the token array
+    * zipped against its own tail) — one corpus scan, no position
+    * self-join, so downstream shuffles move (pair, count)/(pair)
+    * partials, never positions. Shared by c92 (pair counts) and c94
+    * (continuation counts). */
+  private[graft] def adjacentPairs(docs: DataFrame): DataFrame =
+    docs.select(Fns.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 2)
-    val pairs = tk.select(explode(transform(
+      .select(explode(transform(
         slice(col("tk"), lit(1), size(col("tk")) - 1),
         (x: Column, i: Column) => struct(x.as("w1"),
           element_at(col("tk"), i + 2).as("w2")))).as("p"))
       .select(col("p.w1"), col("p.w2"))
-    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
+
+  /** C92: the distributed half of BPE training — adjacent-pair counts
+    * over the corpus (each merge round of byte-pair encoding picks the
+    * most frequent adjacent pair; this is that argmax's input,
+    * top-20). */
+  private def c92BpePairs(s: SparkSession, dir: String): DataFrame = {
+    adjacentPairs(T(s, dir, "documents"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("n_pairs").desc, col("w1"), col("w2"))))
       .filter(col("rk") <= 20)
@@ -174,13 +179,179 @@ object TrainingQueries8 {
       .orderBy(col("n_bands").desc)
   }
 
+  /** C93: hybrid retrieval with pseudo-relevance feedback — the
+    * production search stack's fusion step. Lexical list: c90's BM25
+    * kernel, top-100. Semantic list: the PRF query vector is the
+    * per-dimension micro-unit SUM of the BM25 top-3 docs' embeddings
+    * (cosine is scale-invariant, so no division — the sum of int64
+    * micros is order-independent and exact, the c17 centroid trick
+    * without the engine-dependent divide), ranked by cosine (4 dp,
+    * c6's convention) over the whole corpus, top-100. Fusion:
+    * reciprocal-rank RRF, rrf_micro = Σ_lists 1e6 div (60 + rank),
+    * missing list contributes 0; top-20 out.
+    *
+    * Scale shape: BM25 reuses the cached tf; top-3 ids and the 1-row
+    * query vector broadcast (BroadcastNestedLoop over a single row);
+    * the semantic pass is ONE corpus projection + a top-k rank; the
+    * fusion joins two 100-row lists. doc_id ≡ vec_id by the testdata
+    * contract (same generator row). */
+  private def c93PrfHybrid(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val lex = bm25TopDocs(T(s, dir, "documents"), "doc_id", "text",
+        vocabRankLo = 10, vocabRankHi = 12, k = 100)
+      .select(col("doc_id"), col("rk").as("rk_lex"))
+    val top3 = lex.filter(col("rk_lex") <= 3).select(col("doc_id"))
+    val q = emb.join(broadcast(top3), emb("vec_id") === top3("doc_id"))
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(sum(round(col("x") * 1000000).cast("long")).as("qm"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("qm")))).as("ps"))
+      .select(transform(col("ps"), p => p.getField("qm").cast("double")).as("qv"))
+    val sem = emb.crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"), Fns.cosine(col("qv"), col("v"), 4).as("cos"))
+      .withColumn("rk_sem",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      .filter(col("rk_sem") <= 100)
+      .select(col("doc_id"), col("rk_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 div (60 + rk_lex)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rk_sem)"), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rrf_micro").desc, col("doc_id"))))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("doc_id"), col("rrf_micro"),
+        coalesce(col("rk_lex"), lit(0)).as("rk_lex"),
+        coalesce(col("rk_sem"), lit(0)).as("rk_sem"))
+      .orderBy(col("rk"))
+  }
+
+  /** Kneser–Ney continuation statistics over bigram TYPES: for each
+    * word, the number of distinct left contexts N1+(·w) (the KN
+    * continuation numerator), distinct right contexts N1+(w·), and
+    * p_cont = N1+(·w) / |bigram types| in ppm. The type table is the
+    * ONE real shuffle (distinct over pairs, map-side combined); the
+    * persisted types feed all three rollups. */
+  private[graft] def knContinuation(docs: DataFrame, k: Int): DataFrame = {
+    val bt = adjacentPairs(docs).distinct().persist()
+    val total = bt.agg(count(lit(1)).as("n_types"))
+    val left = bt.groupBy(col("w2").as("word"))
+      .agg(count(lit(1)).as("n_left_contexts"))
+    val right = bt.groupBy(col("w1").as("word"))
+      .agg(count(lit(1)).as("n_right_contexts"))
+    left.join(right, Seq("word"), "left_outer")
+      .crossJoin(broadcast(total))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_left_contexts").desc, col("word"))))
+      .filter(col("rk") <= k)
+      .select(col("rk"), col("word"), col("n_left_contexts"),
+        coalesce(col("n_right_contexts"), lit(0L)).as("n_right_contexts"),
+        expr("n_left_contexts * 1000000 div n_types").as("p_cont_ppm"))
+      .orderBy(col("rk"))
+  }
+
+  /** C94: the smoothing statistics every n-gram LM build fans out for
+    * (Kneser–Ney's continuation counts), top-20 words by left-context
+    * diversity. */
+  private def c94KnCounts(s: SparkSession, dir: String): DataFrame =
+    knContinuation(T(s, dir, "documents"), 20)
+
+  /** Containment pairs over a (doc_id, tk) corpus: distinct 5-gram
+    * shingles, inverted-index candidate join (shared shingle — the c4
+    * verify shape), then |A∩B| / min(|A|,|B|) ≥ threshold. Returns
+    * (contained_id, container_id, cont_ppm, jaccard_ppm): the pairs
+    * symmetric Jaccard MISSES (a 60% fragment of a doc has jaccard
+    * ≈ 0.5 but containment 1.0 — truncated re-crawls, quote
+    * extraction, snippet farms). */
+  private[graft] def containmentPairs(corpus: DataFrame, thresholdPpm: Long): DataFrame = {
+    val sets = corpus.select(col("doc_id"),
+        array_distinct(Fns.wordNGrams(col("tk"), 5)).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val sh = sets.select(col("doc_id"), size(col("shs")).as("n_sh"),
+      explode(col("shs")).as("sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.n_sh").as("s1"), col("b.n_sh").as("s2"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("cont_ppm", expr("n_inter * 1000000 div least(s1, s2)"))
+      .filter(col("cont_ppm") >= thresholdPpm)
+      .withColumn("jaccard_ppm", expr("n_inter * 1000000 div (s1 + s2 - n_inter)"))
+      .select(
+        when(col("s1") <= col("s2"), col("id1")).otherwise(col("id2")).as("contained_id"),
+        when(col("s1") <= col("s2"), col("id2")).otherwise(col("id1")).as("container_id"),
+        col("cont_ppm"), col("jaccard_ppm"))
+  }
+
+  /** C95: asymmetric-containment dedup audit on a planted corpus —
+    * every 5th doc (≥ 20 tokens) reappears as its first-60%-of-tokens
+    * fragment (id + 2,000,000). The fragment's shingles are a strict
+    * subset of its source's, so containment is exactly 1.0 while
+    * jaccard sits near the fragment ratio — the detection class c2/c4
+    * are blind to by construction. Same audit-cost discipline as
+    * c4/c91: at corpus scale the candidate join runs over LSH bands
+    * (c2's candidates), not the raw inverted index. */
+  private def c95Containment(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "documents")
+      .select(col("doc_id"), Fns.tokens(col("text")).as("tk"))
+    val frags = base
+      .filter(col("doc_id") % 5 === 0 && size(col("tk")) >= 20)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("slice(tk, 1, cast((size(tk) * 3) div 5 as int))").as("tk"))
+    containmentPairs(base.unionAll(frags), 900000L)
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c90_bm25" -> (c90Bm25 _),
     "c91_band_planner" -> (c91BandPlanner _),
-    "c92_bpe_pairs" -> (c92BpePairs _)
+    "c92_bpe_pairs" -> (c92BpePairs _),
+    "c93_prf_hybrid" -> (c93PrfHybrid _),
+    "c94_kn_counts" -> (c94KnCounts _),
+    "c95_containment" -> (c95Containment _)
   )
 
   private val toksSql = """regexp_extract_all(lower(trim(text)), '\S+')"""
+
+  /** The c90 BM25 chain as a CTE body ending at `bm25r(rk, doc_id,
+    * score_micro, n_terms_hit)` — shared by the c90 and c93 oracles
+    * (c93 consumes the full ranking, not just the top-20). */
+  private def bm25Ctes: String =
+    s"""toks AS (
+          SELECT doc_id, unnest($toksSql) AS word FROM documents),
+        tf AS (
+          SELECT doc_id, word, count(*) AS term_freq
+          FROM toks GROUP BY doc_id, word),
+        vocab AS (
+          SELECT word, CAST(sum(term_freq) AS BIGINT) AS n_total
+          FROM tf GROUP BY word),
+        vr AS (
+          SELECT word, row_number() OVER (ORDER BY n_total DESC, word)
+            AS vrk FROM vocab),
+        q AS (SELECT word FROM vr WHERE vrk BETWEEN 10 AND 12),
+        lens AS (
+          SELECT doc_id, CAST(sum(term_freq) AS BIGINT) AS doc_len
+          FROM tf GROUP BY doc_id),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        tot AS (SELECT CAST(sum(term_freq) AS BIGINT) AS total_toks FROM tf),
+        qtf AS (SELECT tf.* FROM tf JOIN q USING (word)),
+        qdf AS (SELECT word, count(*) AS doc_freq FROM qtf GROUP BY word),
+        scored AS (
+          SELECT qtf.doc_id,
+            ((n.n_docs - qdf.doc_freq + 1) * 1000 // (qdf.doc_freq + 1))
+              * (44 * qtf.term_freq * tot.total_toks)
+              // (20 * qtf.term_freq * tot.total_toks + 6 * tot.total_toks
+                 + 18 * lens.doc_len * n.n_docs) AS score_micro
+          FROM qtf JOIN qdf USING (word) JOIN lens USING (doc_id)
+          CROSS JOIN n CROSS JOIN tot),
+        agg AS (
+          SELECT doc_id, CAST(sum(score_micro) AS BIGINT) AS score_micro,
+            count(*) AS n_terms_hit
+          FROM scored GROUP BY doc_id),
+        bm25r AS (
+          SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id)
+            AS rk FROM agg)"""
 
   private def curveValuesSql: String = curveRows
     .map { case (b, r, k, p) => s"($b, $r, $k, $p)" }.mkString(", ")
@@ -226,42 +397,92 @@ object TrainingQueries8 {
             wasted_lo_ppm
           FROM agg ORDER BY n_bands DESC""",
     "c90_bm25" ->
-      s"""WITH toks AS (
-            SELECT doc_id, unnest($toksSql) AS word FROM documents),
-          tf AS (
-            SELECT doc_id, word, count(*) AS term_freq
-            FROM toks GROUP BY doc_id, word),
-          vocab AS (
-            SELECT word, CAST(sum(term_freq) AS BIGINT) AS n_total
-            FROM tf GROUP BY word),
-          vr AS (
-            SELECT word, row_number() OVER (ORDER BY n_total DESC, word)
-              AS vrk FROM vocab),
-          q AS (SELECT word FROM vr WHERE vrk BETWEEN 10 AND 12),
-          lens AS (
-            SELECT doc_id, CAST(sum(term_freq) AS BIGINT) AS doc_len
-            FROM tf GROUP BY doc_id),
-          n AS (SELECT count(*) AS n_docs FROM documents),
-          tot AS (SELECT CAST(sum(term_freq) AS BIGINT) AS total_toks FROM tf),
-          qtf AS (SELECT tf.* FROM tf JOIN q USING (word)),
-          qdf AS (SELECT word, count(*) AS doc_freq FROM qtf GROUP BY word),
-          scored AS (
-            SELECT qtf.doc_id,
-              ((n.n_docs - qdf.doc_freq + 1) * 1000 // (qdf.doc_freq + 1))
-                * (44 * qtf.term_freq * tot.total_toks)
-                // (20 * qtf.term_freq * tot.total_toks + 6 * tot.total_toks
-                   + 18 * lens.doc_len * n.n_docs) AS score_micro
-            FROM qtf JOIN qdf USING (word) JOIN lens USING (doc_id)
-            CROSS JOIN n CROSS JOIN tot),
-          agg AS (
-            SELECT doc_id, CAST(sum(score_micro) AS BIGINT) AS score_micro,
-              count(*) AS n_terms_hit
-            FROM scored GROUP BY doc_id),
-          r AS (
-            SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id)
-              AS rk FROM agg)
+      s"""WITH $bm25Ctes
           SELECT rk, doc_id, score_micro, n_terms_hit
-          FROM r WHERE rk <= 20 ORDER BY rk""",
+          FROM bm25r WHERE rk <= 20 ORDER BY rk""",
+    "c93_prf_hybrid" ->
+      s"""WITH $bm25Ctes,
+          lex AS (SELECT doc_id, rk AS rk_lex FROM bm25r WHERE rk <= 100),
+          top3 AS (SELECT doc_id FROM lex WHERE rk_lex <= 3),
+          ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          t3 AS (SELECT v FROM ev JOIN top3 ON vec_id = doc_id),
+          dims AS (SELECT unnest(range(1, 65)) AS dim),
+          qd AS (
+            SELECT dim,
+              CAST(sum(CAST(round(v[dim] * 1000000) AS BIGINT)) AS DOUBLE)
+                AS qm
+            FROM t3 CROSS JOIN dims GROUP BY dim),
+          qa AS (SELECT list(qm ORDER BY dim) AS qv FROM qd),
+          sc AS (
+            SELECT vec_id AS doc_id, ${TrainingQueries.cosineSql("qv", "v", 4)}
+              AS cos
+            FROM ev CROSS JOIN qa),
+          semr AS (
+            SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)
+              AS rk_sem FROM sc),
+          sem AS (SELECT doc_id, rk_sem FROM semr WHERE rk_sem <= 100),
+          fused AS (
+            SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+              coalesce(1000000 // (60 + rk_lex), 0)
+                + coalesce(1000000 // (60 + rk_sem), 0) AS rrf_micro,
+              coalesce(rk_lex, 0) AS rk_lex, coalesce(rk_sem, 0) AS rk_sem
+            FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+          fr AS (
+            SELECT *, row_number() OVER (ORDER BY rrf_micro DESC, doc_id)
+              AS rk FROM fused)
+          SELECT rk, doc_id, rrf_micro, rk_lex, rk_sem
+          FROM fr WHERE rk <= 20 ORDER BY rk""",
+    "c94_kn_counts" ->
+      s"""WITH t AS (SELECT $toksSql AS tk FROM documents),
+          ix AS (
+            SELECT tk, unnest(range(1, len(tk))) AS i
+            FROM t WHERE len(tk) >= 2),
+          p AS (SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM ix),
+          bt AS (SELECT DISTINCT w1, w2 FROM p),
+          tot AS (SELECT count(*) AS n_types FROM bt),
+          l AS (SELECT w2 AS word, count(*) AS n_left_contexts
+                FROM bt GROUP BY 1),
+          r AS (SELECT w1 AS word, count(*) AS n_right_contexts
+                FROM bt GROUP BY 1),
+          j AS (
+            SELECT l.word, n_left_contexts,
+              coalesce(n_right_contexts, 0) AS n_right_contexts
+            FROM l LEFT JOIN r ON l.word = r.word),
+          rkd AS (
+            SELECT *, row_number() OVER (ORDER BY n_left_contexts DESC, word)
+              AS rk FROM j)
+          SELECT rk, word, n_left_contexts, n_right_contexts,
+            n_left_contexts * 1000000 // (SELECT n_types FROM tot)
+              AS p_cont_ppm
+          FROM rkd WHERE rk <= 20 ORDER BY rk""",
+    "c95_containment" ->
+      s"""WITH b AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          f AS (
+            SELECT doc_id + 2000000 AS doc_id,
+              tk[1:(len(tk) * 3) // 5] AS tk
+            FROM b WHERE doc_id % 5 = 0 AND len(tk) >= 20),
+          corpus AS (SELECT * FROM b UNION ALL SELECT * FROM f),
+          shd0 AS (
+            SELECT doc_id, list_distinct(${TrainingQueries.ngramsSql(5)}) AS shs
+            FROM corpus),
+          shd AS (SELECT doc_id, shs FROM shd0 WHERE len(shs) > 0),
+          sh AS (
+            SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM shd),
+          inter AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+              a.n_sh AS s1, b.n_sh AS s2, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+          c AS (
+            SELECT *, n_inter * 1000000 // least(s1, s2) AS cont_ppm
+            FROM inter),
+          k AS (
+            SELECT CASE WHEN s1 <= s2 THEN id1 ELSE id2 END AS contained_id,
+              CASE WHEN s1 <= s2 THEN id2 ELSE id1 END AS container_id,
+              cont_ppm,
+              n_inter * 1000000 // (s1 + s2 - n_inter) AS jaccard_ppm
+            FROM c WHERE cont_ppm >= 900000)
+          SELECT * FROM k ORDER BY contained_id, container_id""",
     "c92_bpe_pairs" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
           ix AS (

@@ -8,8 +8,12 @@ package graft
 class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // mirror Verify: queries are independent — another suite's (or
+    // query's) persisted intermediates must not rewrite this plan
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+  }
 
   test("b1: shipdate filter reaches the parquet scan; columns pruned") {
     val p = plan("b1_pricing_summary")
@@ -780,6 +784,50 @@ class PlanAuditSpec extends SparkSpec {
     // pairs come from the in-row generator — no position self-join
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"adjacent pairs must not come from a join:\n$p")
+  }
+
+  test("b104: AUC pre-rollup combines map-side; the customer dim broadcasts") {
+    val p = plan("b104_auc")
+    assert(p.contains("BroadcastHashJoin"),
+      s"customer dim fell off broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the dim join fell back to sort-merge:\n$p")
+    assert(p.contains("partial_count"),
+      s"(segment, score) rollup lost its map-side combine — raw rows " +
+        s"would cross the rank sort:\n$p")
+  }
+
+  test("c93: fusion reuses the ONE cached tf; the PRF query vector broadcasts as a single row") {
+    val p = plan("c93_prf_hybrid")
+    assert(p.contains("InMemoryTableScan"),
+      s"BM25 tf not cached:\n$p")
+    val explodes = p.split("Generate explode").length - 1
+    val cacheReads = p.split("InMemoryTableScan").length - 1
+    assert(explodes <= cacheReads + 1, // +1: the posexplode of the 3 PRF seeds
+      s"a corpus explode runs outside the tf cache:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row query vector must cross-join as a broadcast:\n$p")
+  }
+
+  test("c94: ONE distinct-types shuffle feeds all three rollups from cache") {
+    val p = plan("c94_kn_counts")
+    assert(p.contains("InMemoryTableScan"),
+      s"bigram types not cached — each rollup would re-explode:\n$p")
+    val explodes = p.split("Generate explode").length - 1
+    val cacheReads = p.split("InMemoryTableScan").length - 1
+    assert(explodes <= cacheReads,
+      s"an explode runs outside the types cache:\n$p")
+    assert(p.contains("partial_count"),
+      s"context counting lost its map-side combine:\n$p")
+  }
+
+  test("c95: fragment planting prunes at the scan; intersection counts combine map-side") {
+    val p = plan("c95_containment")
+    assert(p.split("\n").exists(l => l.contains("DataFilters:") &&
+      l.contains("% 5) = 0")),
+      s"fragment-branch filter not pushed to the scan:\n$p")
+    assert(p.contains("partial_count"),
+      s"shingle-intersection rollup lost its map-side combine:\n$p")
   }
 
   test("c46: perplexity scores in two corpus passes — totals read the cached trigram counts") {

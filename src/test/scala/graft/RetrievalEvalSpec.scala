@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 batch 2: the rank-math kernels behind b104 (tie-corrected
+  * AUC), c93 (RRF hybrid fusion), c94 (Kneser–Ney continuation
+  * counts), and c95 (containment dedup) — each checked against a
+  * hand-computable construction, not just the DuckDB mirror (the
+  * mirror proves cross-engine agreement; these prove the math). */
+class RetrievalEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("b104: rank-sum AUC equals the brute-force pairwise definition") {
+    val out = SparkEntry.queries("b104_auc")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 5, "expected one AUC row per market segment")
+    out.foreach { case (_, p, n, auc) =>
+      assert(p > 0 && n > 0 && auc >= 0 && auc <= 1000000)
+    }
+    // brute-force the same statistic for one segment: over all
+    // (pos, neg) pairs, wins + half-ties, floored to ppm
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === out.head._1)
+      .select(round(col("o_totalprice") * 100).cast("long").as("s"),
+        when(col("o_orderpriority") < "3", 1L).otherwise(0L).as("y"))
+    val pos = o.filter(col("y") === 1).select(col("s").as("sp"))
+    val neg = o.filter(col("y") === 0).select(col("s").as("sn"))
+    val wins2 = pos.crossJoin(neg)
+      .agg(sum(when(col("sp") > col("sn"), 2L)
+        .when(col("sp") === col("sn"), 1L).otherwise(0L)).as("w2"))
+      .collect().head.getLong(0)
+    val brute = wins2 * 1000000L / (2L * pos.count() * neg.count())
+    assert(out.head._4 == brute,
+      s"rank-sum AUC ${out.head._4} != pairwise $brute")
+  }
+
+  test("c93: fusion ranks are consistent and PRF seeds rank semantically") {
+    val rows = SparkEntry.queries("c93_prf_hybrid")(spark, sf).collect()
+    assert(rows.length == 20)
+    val rrf = rows.map(_.getLong(2))
+    assert(rrf.zip(rrf.tail).forall { case (a, b) => a >= b },
+      "rrf_micro must be non-increasing in rank")
+    // a doc at lex rank r contributes exactly 1e6 div (60+r); the #1
+    // fused doc must beat a single-list best (1e6 div 61)
+    assert(rrf.head > 1000000L / 61,
+      "top fused doc should appear in BOTH lists on this corpus")
+    // the BM25 top-3 seeded the query vector: each must rank in the
+    // semantic list too (its own embedding is 1/3 of the query mass)
+    val seeded = rows.filter(r => r.getInt(3) >= 1 && r.getInt(3) <= 3)
+    assert(seeded.nonEmpty && seeded.forall(_.getInt(4) > 0),
+      "PRF seed docs missing from the semantic list")
+  }
+
+  test("c94: continuation counts on a hand corpus") {
+    val docs = Seq("a b", "c b", "a c").toDF("text")
+    val got = TrainingQueries8.knContinuation(docs, 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // bigram types: (a,b) (c,b) (a,c) → N1+(·b)=2, N1+(·c)=1;
+    // N1+(a·)=2, N1+(c·)=1; p_cont = n_left/3 types
+    assert(got.toSeq == Seq(
+      (1, "b", 2L, 0L, 666666L),
+      (2, "c", 1L, 1L, 333333L)))
+  }
+
+  test("c95: a token-prefix fragment has containment 1.0, jaccard ~ its ratio") {
+    val toks = (0 until 20).map(i => s"t$i")
+    val corpus = Seq(
+      (1L, toks),                 // 20 tokens → 16 distinct 5-shingles
+      (2L, toks.take(12))         // prefix fragment → 8 shingles, all ⊂ doc 1
+    ).toDF("doc_id", "tk")
+    val got = TrainingQueries8.containmentPairs(corpus, 900000L).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == (2L, 1L),
+      "fragment must be the contained side")
+    assert(r.getLong(2) == 1000000L, "strict subset → containment exactly 1")
+    assert(r.getLong(3) == 500000L, "8/(16+8-8) = 0.5 jaccard")
+    // and symmetric-jaccard dedup at 0.6 would have missed the pair
+    assert(r.getLong(3) < 600000L)
+  }
+}
