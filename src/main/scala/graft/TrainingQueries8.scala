@@ -303,7 +303,58 @@ object TrainingQueries8 {
       .orderBy(col("contained_id"), col("container_id"))
   }
 
+  /** C96: embedding dimension-redundancy audit — the exact pairwise
+    * Pearson correlation matrix of embedding dimensions (the
+    * PCA-prep / whitening-decision statistic), top-20 pairs by |corr|.
+    * Values quantize to declared milli units, so every sufficient
+    * statistic is exact int64: per row an in-row upper-triangle
+    * pair-product vector (d(d+1)/2 = 2080 longs), aggregated by the
+    * native [[graft.plans.VectorSumLong]] — ONE vector per partition
+    * crosses the exchange, vs N·d²/2 rows for posexplode+groupBy (the
+    * difference between a moment-matrix build that works at 100 TB
+    * and one that doesn't). corr from the int64 moments in double,
+    * rounded to ppm — both engines see identical integers in, so
+    * identical IEEE out (the c6 convention). */
+  private def c96EmbedCorr(s: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val e = T(s, dir, "embeddings")
+      .select(transform(col("embedding").cast("array<double>"),
+        x => round(x * 1000).cast("long")).as("q"))
+      .select(col("q"), flatten(transform(col("q"), (x, i) =>
+        transform(slice(col("q"), i + 1, size(col("q")) - i),
+          y => x * y))).as("pp"))
+    val moments = e.agg(
+      Fns.vecSumLong(col("pp")).as("g"),
+      Fns.vecSumLong(col("q")).as("sv"),
+      count(lit(1)).as("n"))
+    def idx(a: String, b: String): String =
+      s"cast(($a - 1) * $d - (($a - 1) * ($a - 2)) div 2 + ($b - $a) + 1 as int)"
+    moments
+      .select(col("g"), col("sv"), col("n"),
+        explode(sequence(lit(1), lit(d))).as("i"))
+      .select(col("g"), col("sv"), col("n"), col("i"),
+        explode(sequence(lit(1), lit(d))).as("j"))
+      .filter(col("j") > col("i"))
+      .selectExpr("i", "j", "n",
+        "element_at(sv, i) as si", "element_at(sv, j) as sj",
+        s"element_at(g, ${idx("i", "j")}) as sij",
+        s"element_at(g, ${idx("i", "i")}) as sii",
+        s"element_at(g, ${idx("j", "j")}) as sjj")
+      .withColumn("corr_ppm", expr(
+        """CASE WHEN (n * sii - si * si) > 0 AND (n * sjj - sj * sj) > 0
+           THEN cast(round(cast(n * sij - si * sj as double)
+             / sqrt(cast(n * sii - si * si as double)
+                  * cast(n * sjj - sj * sj as double)) * 1000000) as bigint)
+           ELSE 0L END"""))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("corr_ppm")).desc, col("i"), col("j"))))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("i"), col("j"), col("corr_ppm"))
+      .orderBy(col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c96_embed_corr" -> (c96EmbedCorr _),
     "c90_bm25" -> (c90Bm25 _),
     "c91_band_planner" -> (c91BandPlanner _),
     "c92_bpe_pairs" -> (c92BpePairs _),
@@ -357,6 +408,36 @@ object TrainingQueries8 {
     .map { case (b, r, k, p) => s"($b, $r, $k, $p)" }.mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
+    "c96_embed_corr" ->
+      """WITH e AS (
+           SELECT list_transform(embedding::DOUBLE[],
+             x -> CAST(round(x * 1000) AS BIGINT)) AS q
+           FROM embeddings),
+         nn AS (SELECT count(*) AS n FROM e),
+         dims AS (SELECT unnest(range(1, 65)) AS i),
+         sv AS (
+           SELECT i, CAST(sum(q[i]) AS BIGINT) AS s,
+             CAST(sum(q[i] * q[i]) AS BIGINT) AS s2
+           FROM e CROSS JOIN dims GROUP BY i),
+         pr AS (SELECT a.i AS i, b.i AS j FROM dims a JOIN dims b ON b.i > a.i),
+         g AS (
+           SELECT pr.i, pr.j, CAST(sum(q[pr.i] * q[pr.j]) AS BIGINT) AS sij
+           FROM e CROSS JOIN pr GROUP BY pr.i, pr.j),
+         c AS (
+           SELECT g.i, g.j,
+             CASE WHEN (n * si.s2 - si.s * si.s) > 0
+                   AND (n * sj.s2 - sj.s * sj.s) > 0
+               THEN CAST(round(CAST(n * sij - si.s * sj.s AS DOUBLE)
+                 / sqrt(CAST(n * si.s2 - si.s * si.s AS DOUBLE)
+                      * CAST(n * sj.s2 - sj.s * sj.s AS DOUBLE))
+                 * 1000000) AS BIGINT)
+               ELSE 0 END AS corr_ppm
+           FROM g JOIN sv si ON si.i = g.i JOIN sv sj ON sj.i = g.j
+           CROSS JOIN nn),
+         r AS (
+           SELECT *, row_number() OVER (ORDER BY abs(corr_ppm) DESC, i, j)
+             AS rk FROM c)
+         SELECT rk, i, j, corr_ppm FROM r WHERE rk <= 20 ORDER BY rk""",
     "c91_band_planner" ->
       s"""WITH ${TrainingQueries.corpusSql},
           t AS (

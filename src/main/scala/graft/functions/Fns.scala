@@ -102,6 +102,15 @@ object Fns {
       graft.plans.QuantileMerge(graft.plans.Cols.expression(state),
         percentages, accuracy).toAggregateExpression())
 
+  /** Element-wise sum of ARRAY<BIGINT> — the distributed moment-matrix
+    * accumulator ([[graft.plans.VectorSumLong]]): one vector per
+    * partition crosses the shuffle instead of N·len exploded rows.
+    * Exact int64, order-independent. */
+  def vecSumLong(c: Column): Column =
+    graft.plans.Cols.column(
+      graft.plans.VectorSumLong(graft.plans.Cols.expression(c))
+        .toAggregateExpression())
+
   /** Exact decimal sum surfaced as DOUBLE (order-insensitive, so the
     * shuffle-order-dependent float sum never breaks the oracle). */
   def sumExact(c: Column, scale: Int = 2): Column =

@@ -830,6 +830,18 @@ class PlanAuditSpec extends SparkSpec {
       s"shingle-intersection rollup lost its map-side combine:\n$p")
   }
 
+  test("c96: the moment matrix aggregates as vectors — one ObjectHashAggregate, no exploded rows") {
+    val p = plan("c96_embed_corr")
+    assert(p.contains("ObjectHashAggregate") &&
+      p.contains("partial_vec_sum_long"),
+      s"vector sums lost their map-side partial — N·d²/2 rows would " +
+        s"cross the exchange:\n$p")
+    // the only Generates are the 64-row dim-pair expansion of the ONE
+    // result row — never a per-input-row posexplode
+    assert(!p.contains("Generate posexplode"),
+      s"moment build fell back to posexplode+groupBy:\n$p")
+  }
+
   test("c46: perplexity scores in two corpus passes — totals read the cached trigram counts") {
     val p = plan("c46_perplexity")
     val explodes = p.split("Generate explode").length - 1
