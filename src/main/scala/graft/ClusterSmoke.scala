@@ -27,7 +27,13 @@ object ClusterSmoke {
       // serialization/broadcast behavior local[32] can't exercise
       "c76_incremental_dedup", "b97_rfm", "c80_ppl_buckets",
       "c72_cell_balance", "c50_lsh_recall", "c87_winnowing",
-      "c86_simhash_precision")
+      "c86_simhash_precision",
+      // r7 additions: the new kernels with serialization-sensitive
+      // pieces — c96's TypedImperativeAggregate buffers cross executor
+      // RPC, c93 broadcasts a built 1-row vector, c91/c95 ship banded
+      // candidate joins, c90's cache is executor-resident
+      "c96_embed_corr", "c93_prf_hybrid", "c95_containment",
+      "c91_band_planner", "c90_bm25", "b104_auc", "c94_kn_counts")
     var failed = 0
     names.foreach { n =>
       val t0 = System.nanoTime()

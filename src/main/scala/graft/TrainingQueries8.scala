@@ -198,9 +198,12 @@ object TrainingQueries8 {
   private def c93PrfHybrid(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // the 100-row lexical list feeds TWO branches (PRF seeds, fusion);
+    // without the persist each branch re-runs the whole BM25 subtree
     val lex = bm25TopDocs(T(s, dir, "documents"), "doc_id", "text",
         vocabRankLo = 10, vocabRankHi = 12, k = 100)
       .select(col("doc_id"), col("rk").as("rk_lex"))
+      .persist()
     val top3 = lex.filter(col("rk_lex") <= 3).select(col("doc_id"))
     val q = emb.join(broadcast(top3), emb("vec_id") === top3("doc_id"))
       .select(posexplode(col("v")).as(Seq("dim", "x")))

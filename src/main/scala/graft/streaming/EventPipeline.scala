@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 import graft.functions.Fns
 import graft.operators.{EventFlattener, EventRouter, SchemaEvolution}
+import graft.sources.JdbcEventSink
 
 /** End-to-end Structured Streaming re-expression of the reference's
   * worker loop (reference: src/main.ts — queue.process → per-type
@@ -234,6 +235,55 @@ object EventPipeline {
                 writeEvolvedBatch(spark, enriched, types, cfg.outputDir,
                   batchId, onFail)
               } finally { enriched.unpersist(); () }
+            }
+          }
+        } finally { valid.unpersist(); () }
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** The reference's FULL path on real seams: any [[EventSource]] (in
+    * production the `graft-queue` broker connector — the BullMQ
+    * consumer's seat, main.ts:540) → flatten + type-infer + enrich →
+    * per-event-type WAREHOUSE tables over JDBC with real catalog
+    * evolution (clickhouse-batch-client.class.ts:492-568's CREATE /
+    * ALTER TABLE ADD COLUMN / widen path, via
+    * [[graft.sources.JdbcEventSink.routeAndAppend]]).
+    *
+    * Delivery is the same contract as the parquet twin: at-least-once
+    * per micro-batch (checkpoint replays re-append), deduped
+    * downstream on `message_id`; a clean checkpointed restart is
+    * exactly-once because consumed broker offsets are committed.
+    * The sinkPing gate dead-letters a batch raw when the warehouse
+    * reports down (main.ts:464's insert gate) — replayable unchanged. */
+  def startEvolvingJdbc(spark: SparkSession, source: EventSource, cfg: Config,
+                        jdbcUrl: String, jsonCol: String = "props",
+                        availableNow: Boolean = true): StreamingQuery = {
+    val writer = source.load(spark).writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val valid = batch
+          .filter(col("event_type").isNotNull && length(col("event_type")) > 0)
+          .persist()
+        try {
+          if (!valid.isEmpty) {
+            if (cfg.dlqDir.isDefined && !cfg.sinkPing.forall(_())) {
+              valid.withColumn("dlq_reason", lit("destination_unhealthy"))
+                .withColumn("retry_attempt", lit(1))
+                .withColumn("stream_batch_id", lit(batchId))
+                .write.mode("append").parquet(cfg.dlqDir.get)
+            } else {
+              val keep = valid.columns.filterNot(_ == jsonCol).toSeq
+              val reserved = EventFlattener.defaultReserved ++ keep ++
+                Seq("received_at", "sent_at", "message_id", "timestamp",
+                  "stream_batch_id")
+              val flat = EventFlattener.flatten(valid, jsonCol, keep = keep,
+                opts = EventFlattener.Options(reserved = reserved))
+              val enriched = enrich(flat, cfg.transform)
+                .withColumn("stream_batch_id", lit(batchId))
+              JdbcEventSink.routeAndAppend(spark, enriched, jdbcUrl)
+              ()
             }
           }
         } finally { valid.unpersist(); () }
