@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
-import graft.operators.TfIdf
+import graft.operators.{Similarity, TfIdf}
 import graft.sources.Tables
 
 /** C-series round 7: retrieval scoring and tokenizer-training
@@ -356,7 +356,25 @@ object TrainingQueries8 {
       .orderBy(col("rk"))
   }
 
+  /** C97: ANN-graph hubness audit — the in-degree distribution of the
+    * within-cell kNN graph ([[graft.operators.Similarity.knnGraph]],
+    * k=5). Hub nodes (in-degree ≫ k) are what degrade graph-ANN
+    * recall and what SemDeDup-style graph dedup over-merges on;
+    * skewed in-degree is the embedding-space pathology this report
+    * surfaces per corpus release. Zero-in-degree nodes (nobody's
+    * neighbor) are counted too — the left join keeps them. */
+  private def c97KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val indeg = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+      .groupBy(col("dst").as("vec_id")).agg(count(lit(1)).as("in_deg"))
+    emb.select(col("vec_id")).join(indeg, Seq("vec_id"), "left_outer")
+      .select(coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .groupBy(col("in_deg")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("in_deg"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c97_knn_graph" -> (c97KnnGraph _),
     "c96_embed_corr" -> (c96EmbedCorr _),
     "c90_bm25" -> (c90Bm25 _),
     "c91_band_planner" -> (c91BandPlanner _),
@@ -411,6 +429,36 @@ object TrainingQueries8 {
     .map { case (b, r, k, p) => s"($b, $r, $k, $p)" }.mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
+    "c97_knn_graph" ->
+      s"""WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cents AS (
+            SELECT vec_id AS cent_id, v AS centv FROM ve
+            WHERE vec_id % 100 = 0),
+          assigned AS (
+            SELECT vec_id, v, cent_id AS cell FROM (
+              SELECT vec_id, v, cent_id,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY ${TrainingQueries.cosineSql("v", "centv", 4)} DESC,
+                    cent_id) AS rn
+              FROM ve CROSS JOIN cents)
+            WHERE rn = 1),
+          l AS (SELECT vec_id AS src, v AS sv, cell FROM assigned),
+          r AS (SELECT vec_id AS dst, v AS dv, cell FROM assigned),
+          scored AS (
+            SELECT src, dst, ${TrainingQueries.cosineSql("sv", "dv", 4)} AS cos
+            FROM l JOIN r USING (cell) WHERE src <> dst),
+          ranked AS (
+            SELECT src, dst,
+              row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst)
+                AS rnk
+            FROM scored),
+          edges AS (SELECT dst FROM ranked WHERE rnk <= 5),
+          indeg AS (
+            SELECT e.vec_id, count(ed.dst) AS in_deg
+            FROM embeddings e LEFT JOIN edges ed ON ed.dst = e.vec_id
+            GROUP BY e.vec_id)
+          SELECT in_deg, count(*) AS n_nodes FROM indeg
+          GROUP BY in_deg ORDER BY in_deg""",
     "c96_embed_corr" ->
       """WITH e AS (
            SELECT list_transform(embedding::DOUBLE[],

@@ -125,6 +125,31 @@ object Similarity {
       .select(col("__aid").as(idCol), col("cell"))
   }
 
+  /** Within-cell kNN GRAPH: assign every vector to its IVF cell, then
+    * take each vector's k nearest among its cell-mates — the probe-1
+    * neighbor graph that graph-ANN builds (HNSW/NSG base layers) and
+    * graph-based dedup/clustering start from. Unlike [[ivfTopK]] (built
+    * for a SMALL query set, which broadcasts), the all-corpus graph
+    * must not broadcast anything corpus-sized: both sides of the
+    * cell join shuffle on `cell`, candidate fan-out is Σ|cell|² — the
+    * c72 cell-balance audit is what keeps that near N²/K. */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               stride: Long = 100, roundScale: Int = 4): DataFrame = {
+    val v = corpus.select(col(idCol).as("__kid"),
+      col(vecCol).cast("array<double>").as("__kv"))
+    val a = assignCells(v, seedCentroids(corpus, idCol, vecCol, stride),
+      "__kid", "__kv", roundScale)
+    val l = a.select(col("cell"), col("__kid").as("src"), col("__kv").as("sv"))
+    val r = a.select(col("cell"), col("__kid").as("dst"), col("__kv").as("dv"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine_sim").desc, col("dst"))
+    l.join(r, Seq("cell")).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("cell"),
+        Fns.cosine(col("sv"), col("dv"), roundScale).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF with optional Lloyd-refined centroids (iters=0 ≡ ivfTopK). */
   def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int, stride: Long = 100,

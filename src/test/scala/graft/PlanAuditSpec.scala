@@ -842,6 +842,17 @@ class PlanAuditSpec extends SparkSpec {
       s"moment build fell back to posexplode+groupBy:\n$p")
   }
 
+  test("c97: the kNN graph broadcasts only centroids — the corpus never crosses as a broadcast") {
+    val p = plan("c97_knn_graph")
+    assert(p.contains("partial_max"),
+      s"cell assignment lost its map-side argmax — N·K rows would " +
+        s"cross the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the within-cell self-join degenerated to a cross product:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-node top-k scans the full candidate set:\n$p")
+  }
+
   test("c46: perplexity scores in two corpus passes — totals read the cached trigram counts") {
     val p = plan("c46_perplexity")
     val explodes = p.split("Generate explode").length - 1

@@ -67,6 +67,27 @@ class RetrievalEvalSpec extends SparkSpec {
       (2, "c", 1L, 1L, 333333L)))
   }
 
+  test("c97: knnGraph links cluster-mates, never crosses cells") {
+    import graft.operators.Similarity
+    // two well-separated clusters; stride=3 seeds centroids at ids 0, 3
+    def vec(a: Double, b: Double) = Seq.tabulate(8)(i =>
+      if (i < 4) a + i * 0.01 else b + i * 0.01).map(_.toFloat)
+    val emb = Seq(
+      (0L, vec(1.0, 0.0)), (1L, vec(1.1, 0.0)), (2L, vec(0.9, 0.0)),
+      (3L, vec(0.0, 1.0)), (4L, vec(0.0, 1.1)), (5L, vec(0.0, 0.9))
+    ).toDF("vec_id", "embedding")
+    val edges = Similarity.knnGraph(emb, "vec_id", "embedding",
+        k = 2, stride = 3)
+      .collect().map(r => r.getAs[Long]("src") -> r.getAs[Long]("dst"))
+    val bySrc = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(edges.length == 12)
+    assert(bySrc.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    Seq(0L, 1L, 2L).foreach(s =>
+      assert(bySrc(s) == Set(0L, 1L, 2L) - s, s"node $s crossed clusters"))
+    Seq(3L, 4L, 5L).foreach(s =>
+      assert(bySrc(s) == Set(3L, 4L, 5L) - s, s"node $s crossed clusters"))
+  }
+
   test("c95: a token-prefix fragment has containment 1.0, jaccard ~ its ratio") {
     val toks = (0 until 20).map(i => s"t$i")
     val corpus = Seq(
