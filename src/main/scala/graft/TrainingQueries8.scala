@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
-import graft.operators.{Similarity, TfIdf}
+import graft.operators.{Dedup, Similarity, TfIdf}
 import graft.sources.Tables
 
 /** C-series round 7: retrieval scoring and tokenizer-training
@@ -373,7 +373,36 @@ object TrainingQueries8 {
       .orderBy(col("in_deg"))
   }
 
+  /** C98: semantic dup CLUSTERS — connected components over the kNN
+    * graph's high-cosine edges (cos ≥ 0.9 after the 4 dp rounding, c5's threshold;
+    * probes = 2, so boundary-straddling pairs are recovered — the
+    * faiss nprobe dial, here backed by the bounded TopNByScore
+    * assignment aggregate), reported as a cluster-size histogram. The planted truth is c5's
+    * convention: every 40th embedding reappears shifted +0.02
+    * (id + 1,000,000), so real clusters exist and random 64-dim pairs
+    * (cos ≈ 0 ± 0.12) can't cross the threshold. This is the
+    * graph-CC alternative to c37's cell-pairwise SemDeDup: candidates
+    * come from the kNN graph instead of exhaustive within-cell pairs,
+    * and the CC step turns pairwise hits into dedup groups exactly as
+    * c19 does for MinHash. Edge list ~ duplicate density, so the CC
+    * input is orders below corpus size (the c19 scale contract). */
+  private def c98SemanticClusters(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dups = base.filter(col("vec_id") % 40 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), x => x + lit(0.02)).as("v"))
+    val edges = Similarity.knnGraph(base.unionAll(dups), "vec_id", "v",
+        k = 5, probes = 2)
+      .filter(col("cosine_sim") >= 0.9)
+    Dedup.connectedComponents(edges, "src", "dst")
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c98_semantic_clusters" -> (c98SemanticClusters _),
     "c97_knn_graph" -> (c97KnnGraph _),
     "c96_embed_corr" -> (c96EmbedCorr _),
     "c90_bm25" -> (c90Bm25 _),
@@ -429,6 +458,50 @@ object TrainingQueries8 {
     .map { case (b, r, k, p) => s"($b, $r, $k, $p)" }.mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
+    "c98_semantic_clusters" ->
+      s"""WITH RECURSIVE
+          base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          dups AS (
+            SELECT vec_id + 1000000 AS vec_id,
+              list_transform(v, x -> x + 0.02) AS v
+            FROM base WHERE vec_id % 40 = 0),
+          ve AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+          cents AS (
+            SELECT vec_id AS cent_id, v AS centv FROM ve
+            WHERE vec_id % 100 = 0),
+          assigned2 AS (
+            SELECT vec_id, v, cent_id AS cell, rn FROM (
+              SELECT vec_id, v, cent_id,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY ${TrainingQueries.cosineSql("v", "centv", 4)} DESC,
+                    cent_id) AS rn
+              FROM ve CROSS JOIN cents)
+            WHERE rn <= 2),
+          l AS (SELECT vec_id AS src, v AS sv, cell FROM assigned2),
+          r AS (SELECT vec_id AS dst, v AS dv, cell FROM assigned2
+                WHERE rn = 1),
+          scored AS (
+            SELECT src, dst, ${TrainingQueries.cosineSql("sv", "dv", 4)} AS cos
+            FROM l JOIN r USING (cell) WHERE src <> dst),
+          ranked AS (
+            SELECT src, dst, cos,
+              row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst)
+                AS rnk
+            FROM scored),
+          ed AS (SELECT src, dst FROM ranked WHERE rnk <= 5 AND cos >= 0.9),
+          sym AS (
+            SELECT src AS a, dst AS b FROM ed
+            UNION SELECT dst, src FROM ed),
+          reach(n, m) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT r2.n, e.b FROM reach r2 JOIN sym e ON r2.m = e.a),
+          cl AS (SELECT n, min(m) AS component FROM reach GROUP BY n),
+          cs AS (
+            SELECT component, count(*) AS cluster_size
+            FROM cl GROUP BY component)
+          SELECT cluster_size, count(*) AS n_clusters FROM cs
+          GROUP BY cluster_size ORDER BY cluster_size""",
     "c97_knn_graph" ->
       s"""WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           cents AS (

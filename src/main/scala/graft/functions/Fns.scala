@@ -102,6 +102,15 @@ object Fns {
       graft.plans.QuantileMerge(graft.plans.Cols.expression(state),
         percentages, accuracy).toAggregateExpression())
 
+  /** Bounded top-n (score, key) pairs per group, best-first (score
+    * desc, key asc) — the multi-probe assignment kernel
+    * ([[graft.plans.TopNByScore]]): O(n) state, map-side combined,
+    * mirrors as `rn <= n` over a rank window. */
+  def topNByScore(score: Column, key: Column, n: Int): Column =
+    graft.plans.Cols.column(
+      graft.plans.TopNByScore(graft.plans.Cols.expression(score),
+        graft.plans.Cols.expression(key), n).toAggregateExpression())
+
   /** Element-wise sum of ARRAY<BIGINT> — the distributed moment-matrix
     * accumulator ([[graft.plans.VectorSumLong]]): one vector per
     * partition crosses the shuffle instead of N·len exploded rows.

@@ -125,21 +125,49 @@ object Similarity {
       .select(col("__aid").as(idCol), col("cell"))
   }
 
+  /** Home cell + the `probes` nearest cells per vector, in ONE pass
+    * with both aggregates map-side combined: the max-of-struct argmax
+    * (home, carries the vector) and the bounded
+    * [[graft.plans.TopNByScore]] (probe list, O(probes) state). N rows
+    * cross the exchange regardless of K or probes — the property the
+    * r5 assignCells fix bought, preserved for multi-probe. */
+  private def assignProbes(df: DataFrame, cents: DataFrame, id: String,
+                           vec: String, probes: Int, roundScale: Int): DataFrame = {
+    val cos = Fns.cosine(col(vec), col("centv"), roundScale)
+    df.crossJoin(broadcast(cents))
+      .groupBy(col(id))
+      .agg(
+        max(struct(cos.as("cos"), (-col("cent_id")).as("neg_cent"),
+          col("cent_id").as("cid"), col(vec).as("v"))).as("__best"),
+        Fns.topNByScore(cos, col("cent_id"), probes).as("__pc"))
+      .select(col(id), col("__best.v").as(vec),
+        col("__best.cid").as("cell"),
+        expr("transform(__pc, p -> p.key)").as("probe_cells"))
+  }
+
   /** Within-cell kNN GRAPH: assign every vector to its IVF cell, then
-    * take each vector's k nearest among its cell-mates — the probe-1
-    * neighbor graph that graph-ANN builds (HNSW/NSG base layers) and
-    * graph-based dedup/clustering start from. Unlike [[ivfTopK]] (built
-    * for a SMALL query set, which broadcasts), the all-corpus graph
-    * must not broadcast anything corpus-sized: both sides of the
-    * cell join shuffle on `cell`, candidate fan-out is Σ|cell|² — the
-    * c72 cell-balance audit is what keeps that near N²/K. */
+    * take each vector's k nearest among the vectors HOMED in any of
+    * its `probes` nearest cells — the neighbor graph that graph-ANN
+    * builds (HNSW/NSG base layers) and graph-based dedup/clustering
+    * start from. probes=1 is the classic within-cell graph; probes=2
+    * recovers pairs that straddle a cell boundary (the faiss nprobe
+    * dial), at probes× candidate cost. A (src,dst) pair appears at
+    * most once: dst is indexed under its ONE home cell.
+    *
+    * Unlike [[ivfTopK]] (built for a SMALL query set, which
+    * broadcasts), the all-corpus graph must not broadcast anything
+    * corpus-sized: both sides of the cell join shuffle on `cell`,
+    * candidate fan-out is probes·Σ|cell|² — the c72 cell-balance audit
+    * is what keeps that near probes·N²/K. */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-               stride: Long = 100, roundScale: Int = 4): DataFrame = {
+               stride: Long = 100, roundScale: Int = 4,
+               probes: Int = 1): DataFrame = {
     val v = corpus.select(col(idCol).as("__kid"),
       col(vecCol).cast("array<double>").as("__kv"))
-    val a = assignCells(v, seedCentroids(corpus, idCol, vecCol, stride),
-      "__kid", "__kv", roundScale)
-    val l = a.select(col("cell"), col("__kid").as("src"), col("__kv").as("sv"))
+    val a = assignProbes(v, seedCentroids(corpus, idCol, vecCol, stride),
+      "__kid", "__kv", probes, roundScale)
+    val l = a.select(explode(col("probe_cells")).as("cell"),
+      col("__kid").as("src"), col("__kv").as("sv"))
     val r = a.select(col("cell"), col("__kid").as("dst"), col("__kv").as("dv"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cosine_sim").desc, col("dst"))

@@ -853,6 +853,21 @@ class PlanAuditSpec extends SparkSpec {
       s"per-node top-k scans the full candidate set:\n$p")
   }
 
+  test("c98: multi-probe assignment keeps BOTH aggregates partial") {
+    // c98's own executed plan only shows the post-CC rollup (small edge
+    // lists solve driver-side), so audit the edge kernel directly
+    spark.catalog.clearCache()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.operators.Similarity
+      .knnGraph(emb, "vec_id", "embedding", k = 5, probes = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_max") && p.contains("partial_top_n_by_score"),
+      s"probe assignment lost a map-side partial — N·K rows would " +
+        s"cross the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the probe join degenerated to a cross product:\n$p")
+  }
+
   test("c46: perplexity scores in two corpus passes — totals read the cached trigram counts") {
     val p = plan("c46_perplexity")
     val explodes = p.split("Generate explode").length - 1

@@ -88,6 +88,44 @@ class RetrievalEvalSpec extends SparkSpec {
       assert(bySrc(s) == Set(3L, 4L, 5L) - s, s"node $s crossed clusters"))
   }
 
+  test("c98: probes=2 recovers a boundary-straddling pair probes=1 misses") {
+    import graft.operators.Similarity
+    // centroids at ids 0, 3 (stride 3) point along axes 0 and 1; the
+    // pair (6, 7) sits on the boundary, one on each side
+    def axis(a: Double, b: Double) = (Seq(a, b) ++ Seq.fill(6)(0.0)).map(_.toFloat)
+    val emb = Seq(
+      (0L, axis(1.0, 0.0)), (1L, axis(0.95, 0.1)), (2L, axis(0.9, 0.05)),
+      (3L, axis(0.0, 1.0)), (4L, axis(0.1, 0.95)), (5L, axis(0.05, 0.9)),
+      (7L, axis(0.72, 0.70)), (8L, axis(0.70, 0.72)) // ids ∤ 3: never centroids
+    ).toDF("vec_id", "embedding")
+    def pairEdges(probes: Int) =
+      Similarity.knnGraph(emb, "vec_id", "embedding", k = 3, stride = 3,
+          probes = probes)
+        .filter((col("src") === 7 && col("dst") === 8) ||
+          (col("src") === 8 && col("dst") === 7))
+        .count()
+    assert(pairEdges(1) == 0, "probe-1 should miss the straddling pair")
+    assert(pairEdges(2) == 2, "probe-2 must see it from both sides")
+  }
+
+  test("top_n_by_score: bounded state equals the rank-window top-n under any partitioning") {
+    import graft.functions.Fns
+    val rows = (0 until 400).map(i =>
+      ((i % 5).toLong, (i * 7919 % 997) / 100.0, i.toLong))
+    val df = rows.toDF("g", "s", "k")
+    val want = rows.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, s, k) => (-s, k) }.take(3)
+        .map { case (_, s, k) => (s, k) }).toMap
+    for (parts <- Seq(1, 7)) {
+      val got = df.repartition(parts).groupBy(col("g"))
+        .agg(Fns.topNByScore(col("s"), col("k"), 3).as("t"))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getDouble(0), x.getLong(1))).toList).toMap
+      assert(got == want, s"mismatch at $parts partitions")
+    }
+  }
+
   test("c95: a token-prefix fragment has containment 1.0, jaccard ~ its ratio") {
     val toks = (0 until 20).map(i => s"t$i")
     val corpus = Seq(
