@@ -401,7 +401,43 @@ object TrainingQueries8 {
       .orderBy(col("cluster_size"))
   }
 
+  /** C99: segment-level language ID — the code-switching audit c8's
+    * doc-level vote cannot see (a half-English half-German doc scores
+    * "en" at doc level and poisons both monolingual corpora). Segments
+    * are the c26 convention's non-overlapping 10-token windows; each
+    * gets c8's marker-vote language; per doc: dominant language over
+    * the KNOWN segments (ties break to langMarkers order, same as
+    * langId's fold), and the minority share in ppm — the mixing
+    * signal. One explode (n_tokens/10 rows per doc), one (doc, lang)
+    * rollup, windows share the doc-keyed exchange. */
+  private def c99LineLang(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Chunker, TextAnalysis}
+    // planted mixing (the c16/c5 convention): every 7th doc gets a
+    // 10-token German tail, so real code-switched docs exist
+    val docs = T(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(germanTail))).otherwise(col("text")).as("text"))
+    val segs = Chunker.chunkTokens(docs, "doc_id", "text",
+      size = 10, stride = 10)
+    val pred = TextAnalysis.langId(concat_ws(" ", col("chunk_tokens")))._1
+    val w = Window.partitionBy(col("doc_id"))
+    val wr = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n").desc, col("seg_lang"))
+    segs.select(col("doc_id"), pred.as("seg_lang"))
+      .groupBy(col("doc_id"), col("seg_lang")).agg(count(lit(1)).as("n"))
+      .withColumn("n_segments", sum(col("n")).over(w))
+      .filter(col("seg_lang") =!= "unknown")
+      .withColumn("n_known", sum(col("n")).over(w))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_segments"), col("n_known"),
+        col("seg_lang").as("dom_lang"),
+        expr("(n_known - n) * 1000000 div n_known").as("minority_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c99_line_lang" -> (c99LineLang _),
     "c98_semantic_clusters" -> (c98SemanticClusters _),
     "c97_knn_graph" -> (c97KnnGraph _),
     "c96_embed_corr" -> (c96EmbedCorr _),
@@ -457,7 +493,65 @@ object TrainingQueries8 {
   private def curveValuesSql: String = curveRows
     .map { case (b, r, k, p) => s"($b, $r, $k, $p)" }.mkString(", ")
 
+  private val germanTail =
+    " der die das und ist ein der die das und"
+
+  /** c8's marker-hit fragment over a token-list column `tk`, one
+    * `hits_<lang>` per language, plus the CASE mirroring langId's
+    * leftmost-wins tie-break. */
+  private def langCaseSql: (String, String) = {
+    import graft.operators.TextAnalysis
+    val hits = TextAnalysis.langMarkers.map { case (l, ms) =>
+      s"len(list_filter(tk, t -> t IN ${TrainingQueries.markersIn(ms)})) AS hits_$l"
+    }.mkString(", ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+    val pred = langs.map(l =>
+      s"WHEN hits_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+    (hits, s"CASE $pred ELSE 'unknown' END")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "c99_line_lang" -> {
+      val (hits, kase) = langCaseSql
+      s"""WITH d AS (
+            SELECT doc_id,
+              text || CASE WHEN doc_id % 7 = 0 THEN '$germanTail'
+                ELSE '' END AS text
+            FROM documents),
+          t AS (SELECT doc_id, $toksSql AS tk FROM d),
+          c AS (
+            SELECT doc_id, tk,
+              unnest(generate_series(0, CAST((len(tk) - 1) // 10 AS BIGINT)))
+                AS chunk_id
+            FROM t WHERE len(tk) > 0),
+          sl AS (
+            SELECT doc_id,
+              list_slice(tk, chunk_id * 10 + 1, chunk_id * 10 + 10) AS tk
+            FROM c),
+          h AS (SELECT doc_id, $hits FROM sl),
+          p AS (SELECT doc_id, $kase AS seg_lang FROM h),
+          g AS (
+            SELECT doc_id, seg_lang, count(*) AS n
+            FROM p GROUP BY 1, 2),
+          tot AS (
+            SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_segments
+            FROM g GROUP BY 1),
+          k AS (SELECT * FROM g WHERE seg_lang <> 'unknown'),
+          kt AS (
+            SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_known
+            FROM k GROUP BY 1),
+          r AS (
+            SELECT doc_id, seg_lang, n,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY n DESC, seg_lang) AS rn
+            FROM k)
+          SELECT r.doc_id, tot.n_segments, kt.n_known,
+            seg_lang AS dom_lang,
+            (kt.n_known - r.n) * 1000000 // kt.n_known AS minority_ppm
+          FROM r JOIN tot USING (doc_id) JOIN kt ON kt.doc_id = r.doc_id
+          WHERE rn = 1 ORDER BY r.doc_id"""
+    },
     "c98_semantic_clusters" ->
       s"""WITH RECURSIVE
           base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -868,6 +868,22 @@ class PlanAuditSpec extends SparkSpec {
       s"the probe join degenerated to a cross product:\n$p")
   }
 
+  test("c99: one segment explode; the rollup combines map-side; windows share one re-key") {
+    val p = plan("c99_line_lang")
+    assert(p.split("Generate explode").length - 1 == 1,
+      s"segmenting should explode exactly once:\n$p")
+    assert(p.contains("partial_count"),
+      s"(doc, lang) rollup lost its map-side combine — raw segments " +
+        s"would cross the exchange:\n$p")
+    // exchange 1: combined (doc,lang) counts; exchange 2: the same
+    // tiny table re-keyed to doc_id for the windows — both windows and
+    // the rank share it, so exactly 2 doc-keyed exchanges total
+    val docExchanges = p.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning(doc_id"))
+    assert(docExchanges == 2,
+      s"windows re-shuffled instead of sharing the doc_id re-key:\n$p")
+  }
+
   test("c46: perplexity scores in two corpus passes — totals read the cached trigram counts") {
     val p = plan("c46_perplexity")
     val explodes = p.split("Generate explode").length - 1

@@ -126,6 +126,21 @@ class RetrievalEvalSpec extends SparkSpec {
     }
   }
 
+  test("c99: planted German tails surface as minority segments on planted docs only") {
+    val rows = SparkEntry.queries("c99_line_lang")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nSeg, nKnown, minppm) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(4))
+      assert(nKnown >= 1 && nKnown <= nSeg, s"doc $id: known > total")
+      assert(minppm >= 0 && minppm < 1000000, s"doc $id: bad minority share")
+    }
+    // at least one planted doc shows the mixing signal
+    assert(rows.exists(r => r.getLong(0) % 7 == 0 &&
+      (r.getLong(4) > 0 || r.getString(3) == "de")),
+      "no planted doc shows German segments")
+  }
+
   test("c95: a token-prefix fragment has containment 1.0, jaccard ~ its ratio") {
     val toks = (0 until 20).map(i => s"t$i")
     val corpus = Seq(
