@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
 import graft.operators._
-import graft.sources.Tables
+import graft.sources.{JdbcEventSink, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -268,6 +268,44 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** A16 promotion (the a14/c49 pattern): the JDBC evolve path as a
+    * DRIVER-CHECKED replay, not just a spec. A deterministic 1-in-17
+    * event slice splits at half max event_id (a6's rule); batch 2
+    * widens amount_cents long→string and adds new_flag — so CREATE
+    * TABLE, the catalog ALTER TABLE ADD COLUMN (old rows NULL from
+    * the database), and the widen-to-String staged swap ALL run
+    * against a real embedded Derby catalog
+    * (clickhouse-batch-client.class.ts:492-568), and the final table
+    * CONTENTS read back over JDBC are what the oracle checks. The
+    * in-memory DB is dropped at the start of each invocation, so
+    * replays are independent; the slice keeps the single-connection
+    * embedded insert out of the benchmark's way (a real warehouse
+    * takes the appends executor-parallel). */
+  private def a15JdbcEvolve(s: SparkSession, dir: String): DataFrame = {
+    val base = "jdbc:derby:memory:graft_a15"
+    try { java.sql.DriverManager.getConnection(s"$base;drop=true"); () }
+    catch { case _: java.sql.SQLException => () } // drop reports via exception
+    val url = s"$base;create=true"
+    val ev = T(s, dir, "events").filter(col("event_id") % 17 === 0)
+      .select(col("event_id"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val half = ev.agg(max(col("event_id"))).collect()(0).getLong(0) / 2
+    val b1 = ev.filter(col("event_id") <= half)
+      .select(col("event_id"), col("k"),
+        round(col("value") * 100).cast("long").as("amount_cents"))
+    val b2 = ev.filter(col("event_id") > half)
+      .select(col("event_id"), col("k"),
+        concat(lit("usd_"), round(col("value") * 100).cast("long"))
+          .as("amount_cents"),
+        (col("value") > 100).as("new_flag"))
+    JdbcEventSink.evolveAppend(s, b1, url, "ev_replay")
+    JdbcEventSink.evolveAppend(s, b2, url, "ev_replay")
+    JdbcEventSink.readTable(s, url, "ev_replay")
+      .select(col("event_id"), col("k"), col("amount_cents"),
+        col("new_flag").cast("string").as("new_flag"))
+      .orderBy(col("event_id"))
+  }
+
   // ---------------------------------------------------------------
   // B. Analytics over the ingested tables
   // ---------------------------------------------------------------
@@ -330,6 +368,7 @@ object SparkEntry {
     "a12_dlq_replay" -> (a12DlqReplay _),
     "a13_legacy_normalize" -> (a13LegacyNormalize _),
     "a14_compaction_e2e" -> (a14CompactionE2e _),
+    "a15_jdbc_evolve" -> (a15JdbcEvolve _),
     "b1_pricing_summary" -> (b1Pricing _),
     "b8_daily_rollup" -> (b8DailyRollup _)
   ) ++ AnalyticsQueries.queries ++ AnalyticsQueries2.queries ++
@@ -370,6 +409,20 @@ object SparkEntry {
          FROM events ORDER BY event_id""",
     "a5_infer_types" -> inferTypesOracle,
     "a6_schema_evolution" -> schemaEvolutionOracle,
+    "a15_jdbc_evolve" ->
+      """WITH ev AS (
+           SELECT event_id, value,
+             try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events WHERE event_id % 17 = 0),
+         h AS (SELECT max(event_id) // 2 AS half FROM ev)
+         SELECT event_id, k,
+           CASE WHEN event_id <= (SELECT half FROM h)
+             THEN CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+             ELSE 'usd_' || CAST(round(value * 100) AS BIGINT) END
+             AS amount_cents,
+           CASE WHEN event_id <= (SELECT half FROM h) THEN NULL
+             ELSE CAST(value > 100 AS VARCHAR) END AS new_flag
+         FROM ev ORDER BY event_id""",
     "a7_metadata_cols" ->
       """SELECT event_id,
          CAST(floor(epoch(ts)) AS BIGINT) AS received_at_s,

@@ -96,4 +96,13 @@ class JdbcEventSinkSpec extends SparkSpec {
     assert(JdbcEventSink.readTable(spark, url2, "ev_click").schema
       .fieldNames.toSet === Set("event_id", "payload"))
   }
+
+  test("a15 replay is invocation-independent (bench runs queries twice)") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("a15_jdbc_evolve")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val first = run()
+    assert(first.nonEmpty)
+    assert(run() === first, "re-running must drop and rebuild, not append")
+  }
 }
