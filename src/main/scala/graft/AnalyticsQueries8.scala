@@ -426,19 +426,9 @@ object AnalyticsQueries8 {
       round(col("o_totalprice") * 100).cast("long").as("score_cents"),
       when(col("o_orderpriority") < "3", 1L).otherwise(0L).as("is_pos"))
     val seg = T(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
-    val g = o.join(broadcast(seg), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"), col("score_cents"))
-      .agg(count(lit(1)).as("n"), sum(col("is_pos")).as("n_pos"))
-    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("score_cents"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    g.withColumn("cum", sum(col("n")).over(w))
-      .groupBy(col("c_mktsegment"))
-      .agg(sum(col("n_pos")).as("p"),
-        sum(col("n") - col("n_pos")).as("nn"),
-        sum(col("n_pos") * (lit(2L) * (col("cum") - col("n")) + col("n") + lit(1L)))
-          .as("s2"))
-      .select(col("c_mktsegment"), col("p").as("n_pos"), col("nn").as("n_neg"),
-        expr("(s2 - p * (p + 1)) * 1000000 div (2 * p * nn)").as("auc_ppm"))
+    graft.operators.Stats.aucBySegment(
+        o.join(broadcast(seg), col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", col("score_cents"), col("is_pos"))
       .orderBy(col("c_mktsegment"))
   }
 

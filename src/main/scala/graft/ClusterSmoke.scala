@@ -31,9 +31,16 @@ object ClusterSmoke {
       // r7 additions: the new kernels with serialization-sensitive
       // pieces — c96's TypedImperativeAggregate buffers cross executor
       // RPC, c93 broadcasts a built 1-row vector, c91/c95 ship banded
-      // candidate joins, c90's cache is executor-resident
+      // candidate joins, c90's cache is executor-resident.
+      // a15_jdbc_evolve is deliberately ABSENT: this harness caught
+      // that embedded Derby is a one-JVM engine (executor tasks can't
+      // see the driver's in-memory DB) — the declared embedded-DB
+      // trade (SCALE.md); a network-served warehouse URL runs the
+      // same code executor-parallel
       "c96_embed_corr", "c93_prf_hybrid", "c95_containment",
-      "c91_band_planner", "c90_bm25", "b104_auc", "c94_kn_counts")
+      "c91_band_planner", "c90_bm25", "b104_auc", "c94_kn_counts",
+      "c98_semantic_clusters", "c99_line_lang", "c97_knn_graph",
+      "c92_bpe_pairs")
     var failed = 0
     names.foreach { n =>
       val t0 = System.nanoTime()

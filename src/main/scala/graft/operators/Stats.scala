@@ -23,6 +23,33 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Tie-corrected ROC AUC per group via the rank-sum identity (the
+    * CH `arrayAUC` analog, b104's kernel): with ascending score ranks
+    * and average ranks on ties, AUC = (Σ_pos rank_avg − P(P+1)/2) /
+    * (P·N); doubling clears the halves, so
+    * auc_ppm = (S2 − P(P+1))·1e6 div (2·P·N) with
+    * S2 = Σ_score-groups pos·(2·cum_before + n + 1) — every term
+    * int64. The (group, score) pre-rollup combines map-side, so
+    * DISTINCT scores cross the per-group rank sort, not rows.
+    * `label` must be 0/1 long; `score` any orderable integer. */
+  def aucBySegment(df: DataFrame, segCol: String, score: Column,
+                   label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(col(segCol), score.as("__s"), label.as("__y"))
+      .groupBy(col(segCol), col("__s"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val w = Window.partitionBy(col(segCol)).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cum", sum(col("n")).over(w))
+      .groupBy(col(segCol))
+      .agg(sum(col("n_pos")).as("p"),
+        sum(col("n") - col("n_pos")).as("nn"),
+        sum(col("n_pos") * (lit(2L) * (col("cum") - col("n")) + col("n") + lit(1L)))
+          .as("s2"))
+      .select(col(segCol), col("p").as("n_pos"), col("nn").as("n_neg"),
+        expr("(s2 - p * (p + 1)) * 1000000 div (2 * p * nn)").as("auc_ppm"))
+  }
+
   /** Shannon entropy (bits) of the `cat` distribution within each
     * `keys` group: H = log2(n) − Σ c·log2(c) / n. Two aggregations —
     * (keys, cat) counts, then keys — both with partial combine; the

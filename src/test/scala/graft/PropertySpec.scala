@@ -403,6 +403,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rank-sum AUC: == pairwise definition, monotone-invariant, ~complement-symmetric") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val data = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 30L), Gen.oneOf(0L, 1L)))
+    forAll1(data, trials = 60) { rows =>
+      val haveBoth = rows.exists(_._2 == 1L) && rows.exists(_._2 == 0L)
+      if (haveBoth) {
+        val df = rows.map { case (s, y) => ("g", s, y) }.toDF("g", "s", "y")
+        def auc(score: org.apache.spark.sql.Column,
+                label: org.apache.spark.sql.Column): Long =
+          Stats.aucBySegment(df, "g", score, label)
+            .collect().head.getAs[Long]("auc_ppm")
+        val got = auc(col("s"), col("y"))
+        // pairwise definition: wins + half-ties over pos×neg, floored
+        val pos = rows.filter(_._2 == 1L).map(_._1)
+        val neg = rows.filter(_._2 == 0L).map(_._1)
+        val w2 = (for (p <- pos; n <- neg)
+          yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+        assert(got == w2 * 1000000L / (2L * pos.size * neg.size))
+        // AUC sees only rank order: a positive affine map changes nothing
+        assert(auc(col("s") * 3L + 7L, col("y")) == got)
+        // swapping the classes reflects it (±1 ppm from the two floors)
+        val swapped = auc(col("s"), lit(1L) - col("y"))
+        assert(math.abs(swapped + got - 1000000L) <= 1,
+          s"auc $got + swapped $swapped should reflect around 1e6")
+      }
+    }
+  }
+
   test("CUSUM closed form (cum - min(0, runmin(cum))) == the max(0, S+y) recursion") {
     // b99's re-expression: the recursion S_t = max(0, S_{t-1} + y_t) is
     // what window functions can't do directly; the closed form is what
