@@ -436,7 +436,45 @@ object TrainingQueries8 {
       .orderBy(col("doc_id"))
   }
 
+  /** C100: corpus release DIFF — the dataset-versioning audit a
+    * release manifest (c83) doesn't give you: old vs new release by
+    * content hash, per source: added / removed / changed / unchanged
+    * doc counts. Releases are constructed deterministically in-query
+    * (the planting convention): old = docs with id % 11 ≠ 0 plus
+    * retired synthetic docs (id + 3e6 for id % 31 = 0); new = all
+    * docs, with ' v2' edits on id % 13 = 0. ONE full-outer join on
+    * doc_id with in-scan md5 — at warehouse scale both releases
+    * bucket by doc_id and the exchange disappears; the rollup is
+    * \|sources × 4\|. */
+  private def c100ReleaseDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+    val old = d.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .unionAll(d.filter(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("source"),
+          md5(concat(col("text"), lit(" retired"))).as("h")))
+    val nw = d.select(col("doc_id"), col("source"),
+      md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+        .otherwise(col("text"))).as("h"))
+    old.select(col("doc_id"), col("source").as("src_o"), col("h").as("h_o"))
+      .join(nw.select(col("doc_id"), col("source").as("src_n"), col("h").as("h_n")),
+        Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_n"), col("src_o")).as("source"),
+        when(col("h_o").isNull, "added")
+          .when(col("h_n").isNull, "removed")
+          .when(col("h_o") =!= col("h_n"), "changed")
+          .otherwise("same").as("disp"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("disp") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("disp") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("disp") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("disp") === "same", 1L).otherwise(0L)).as("n_same"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c100_release_diff" -> (c100ReleaseDiff _),
     "c99_line_lang" -> (c99LineLang _),
     "c98_semantic_clusters" -> (c98SemanticClusters _),
     "c97_knn_graph" -> (c97KnnGraph _),
@@ -512,6 +550,37 @@ object TrainingQueries8 {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "c100_release_diff" ->
+      """WITH d AS (SELECT doc_id, source, text FROM documents),
+         old AS (
+           SELECT doc_id, source, md5(text) AS h FROM d
+           WHERE doc_id % 11 <> 0
+           UNION ALL
+           SELECT doc_id + 3000000 AS doc_id, source,
+             md5(text || ' retired') AS h
+           FROM d WHERE doc_id % 31 = 0),
+         nw AS (
+           SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+               ELSE text END) AS h
+           FROM d),
+         j AS (
+           SELECT coalesce(nw.source, old.source) AS source,
+             CASE WHEN old.h IS NULL THEN 'added'
+               WHEN nw.h IS NULL THEN 'removed'
+               WHEN old.h <> nw.h THEN 'changed'
+               ELSE 'same' END AS disp
+           FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id)
+         SELECT source,
+           CAST(sum(CASE WHEN disp = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(sum(CASE WHEN disp = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(sum(CASE WHEN disp = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(sum(CASE WHEN disp = 'same' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same
+         FROM j GROUP BY source ORDER BY source""",
     "c99_line_lang" -> {
       val (hits, kase) = langCaseSql
       s"""WITH d AS (

@@ -884,6 +884,17 @@ class PlanAuditSpec extends SparkSpec {
       s"windows re-shuffled instead of sharing the doc_id re-key:\n$p")
   }
 
+  test("c100: release diff is one doc_id-keyed full-outer join; hashes computed in-scan") {
+    val p = plan("c100_release_diff")
+    assert(p.contains("FullOuter"), s"diff lost its full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"diff join degenerated:\n$p")
+    // only (doc_id, source, text) leave the scan — the diff never
+    // drags the unused columns through the join
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      s"diff reads columns it never uses:\n$p")
+  }
+
   test("c46: perplexity scores in two corpus passes — totals read the cached trigram counts") {
     val p = plan("c46_perplexity")
     val explodes = p.split("Generate explode").length - 1

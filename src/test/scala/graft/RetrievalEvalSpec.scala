@@ -141,6 +141,17 @@ class RetrievalEvalSpec extends SparkSpec {
       "no planted doc shows German segments")
   }
 
+  test("c100: diff counts equal the closed-form planting") {
+    val rows = SparkEntry.queries("c100_release_diff")(spark, sf).collect()
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    def total(i: Int) = rows.map(_.getLong(i)).sum
+    assert(total(1) == ids.count(_ % 11 == 0), "added")
+    assert(total(2) == ids.count(_ % 31 == 0), "removed")
+    assert(total(3) == ids.count(i => i % 13 == 0 && i % 11 != 0), "changed")
+    assert(total(4) == ids.count(i => i % 11 != 0 && i % 13 != 0), "same")
+  }
+
   test("c95: a token-prefix fragment has containment 1.0, jaccard ~ its ratio") {
     val toks = (0 until 20).map(i => s"t$i")
     val corpus = Seq(
