@@ -147,4 +147,26 @@ class EdgeCaseSpec extends SparkSpec {
       .select("k", "seq").as[(Long, Long)].collect()
     assert(out.toSeq === Seq((1L, 11L))) // net +1: the later copy survives
   }
+
+  test("r7 kernels on degenerate corpora: empty, sub-n-gram, no-centroid") {
+    // adjacentPairs: one-token docs produce no pairs (not a crash, not
+    // a null pair); KN continuation over them is empty
+    val tiny = Seq("x", "", "  ").toDF("text")
+    assert(TrainingQueries8.adjacentPairs(tiny).count() == 0)
+    assert(TrainingQueries8.knContinuation(tiny, 5).count() == 0)
+
+    // containment: docs shorter than the shingle width vanish before
+    // the join (size(shs) > 0 filter), so no null-shingle candidates
+    val short = Seq((1L, Seq("a", "b")), (2L, Seq("c"))).toDF("doc_id", "tk")
+    assert(TrainingQueries8.containmentPairs(short, 0L).count() == 0)
+
+    // knnGraph: a stride with no matching id must fail loudly (an
+    // empty centroid set would silently return an empty graph)
+    val emb = Seq((1L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.knnGraph(emb, "vec_id", "embedding",
+        k = 2, stride = 100)
+    }
+    assert(e.getMessage.contains("no centroids"))
+  }
 }
