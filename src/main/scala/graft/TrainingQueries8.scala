@@ -473,7 +473,53 @@ object TrainingQueries8 {
       .orderBy(col("source"))
   }
 
+  /** Per-language marker tail (3× the marker set — 18+ hits, above
+    * the corpus's max natural en-marker count of 14, so a planted doc
+    * always classifies as its metadata language). */
+  private def langTail(markers: Seq[String]): String =
+    (" " + markers.mkString(" ")) * 3
+
+  /** C101: Cohen's kappa between the metadata `lang` label and c8's
+    * marker-vote prediction — the label-quality audit (agreement
+    * beyond chance) every weak-supervision pipeline runs before
+    * trusting either side. Planted signal (the c16 convention): docs
+    * with id % 10 ≠ 0 get their true language's marker tail, so the
+    * classifier agrees on 90% and disagrees honestly on the rest
+    * (unplanted non-English docs read as en/unknown). Exact integer
+    * kappa from the confusion matrix:
+    * κ_ppm = (n·agree − Σ_k a_k·b_k)·1e6 div (n² − Σ_k a_k·b_k) —
+    * int64 to n ≈ 3e6 docs (chance ≤ n²·1e6 bound), decimal(38,0)
+    * past that. One (true, pred) rollup; marginals join on the label
+    * key; everything downstream is ≤ \|langs\|² rows. */
+  private def c101Kappa(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val tail = TextAnalysis.langMarkers.foldRight(lit("")) {
+      case ((l, ms), acc) =>
+        when(col("lang") === l, lit(langTail(ms))).otherwise(acc)
+    }
+    val planted = T(s, dir, "documents").select(col("lang"),
+      when(col("doc_id") % 10 =!= 0, concat(col("text"), tail))
+        .otherwise(col("text")).as("text"))
+    val pred = TextAnalysis.langId(col("text"))._1
+    val cm = planted.select(col("lang").as("t"), pred.as("p"))
+      .groupBy(col("t"), col("p")).agg(count(lit(1)).as("n"))
+      .persist()
+    val tot = cm.agg(sum(col("n")).as("n_docs"),
+      sum(when(col("t") === col("p"), col("n")).otherwise(0L)).as("n_agree"))
+    val chance = cm.groupBy(col("t")).agg(sum(col("n")).as("a"))
+      .join(cm.groupBy(col("p")).agg(sum(col("n")).as("b")),
+        col("t") === col("p"))
+      .agg(coalesce(sum(col("a") * col("b")), lit(0L)).as("chance"))
+    tot.crossJoin(broadcast(chance))
+      .select(col("n_docs"), col("n_agree"),
+        expr("n_agree * 1000000 div n_docs").as("agree_ppm"),
+        expr("chance * 1000000 div (n_docs * n_docs)").as("chance_ppm"),
+        expr("""(n_docs * n_agree - chance) * 1000000
+                div (n_docs * n_docs - chance)""").as("kappa_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c101_kappa" -> (c101Kappa _),
     "c100_release_diff" -> (c100ReleaseDiff _),
     "c99_line_lang" -> (c99LineLang _),
     "c98_semantic_clusters" -> (c98SemanticClusters _),
@@ -550,6 +596,39 @@ object TrainingQueries8 {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "c101_kappa" -> {
+      import graft.operators.TextAnalysis
+      val tailCase = TextAnalysis.langMarkers.map { case (l, ms) =>
+        s"WHEN lang = '$l' THEN text || '${langTail(ms)}'"
+      }.mkString(" ")
+      val (hits, kase) = langCaseSql
+      s"""WITH d AS (
+            SELECT lang,
+              CASE WHEN doc_id % 10 <> 0
+                THEN (CASE $tailCase ELSE text END)
+                ELSE text END AS text
+            FROM documents),
+          t AS (SELECT lang, $toksSql AS tk FROM d),
+          h AS (SELECT lang, $hits FROM t),
+          pr AS (SELECT lang AS t, $kase AS p FROM h),
+          cm AS (SELECT t, p, count(*) AS n FROM pr GROUP BY 1, 2),
+          tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+              CAST(coalesce(sum(CASE WHEN t = p THEN n END), 0) AS BIGINT)
+                AS n_agree
+            FROM cm),
+          ra AS (SELECT t, CAST(sum(n) AS BIGINT) AS a FROM cm GROUP BY t),
+          cb AS (SELECT p, CAST(sum(n) AS BIGINT) AS b FROM cm GROUP BY p),
+          ch AS (
+            SELECT CAST(coalesce(sum(a * b), 0) AS BIGINT) AS chance
+            FROM ra JOIN cb ON ra.t = cb.p)
+          SELECT n_docs, n_agree,
+            n_agree * 1000000 // n_docs AS agree_ppm,
+            chance * 1000000 // (n_docs * n_docs) AS chance_ppm,
+            (n_docs * n_agree - chance) * 1000000
+              // (n_docs * n_docs - chance) AS kappa_ppm
+          FROM tot CROSS JOIN ch"""
+    },
     "c100_release_diff" ->
       """WITH d AS (SELECT doc_id, source, text FROM documents),
          old AS (

@@ -141,6 +141,18 @@ class RetrievalEvalSpec extends SparkSpec {
       "no planted doc shows German segments")
   }
 
+  test("c101: kappa sits strictly between chance and perfect agreement") {
+    val r = SparkEntry.queries("c101_kappa")(spark, sf).collect().head
+    val (n, agree, agreePpm, chancePpm, kappaPpm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(agree < n, "the unplanted 10% must disagree somewhere")
+    assert(agree > n / 2, "planted tails must dominate agreement")
+    assert(chancePpm > 0 && chancePpm < agreePpm,
+      "agreement must beat chance on this construction")
+    // kappa < raw agreement (chance discount) but still strong
+    assert(kappaPpm < agreePpm && kappaPpm > 500000)
+  }
+
   test("c100: diff counts equal the closed-form planting") {
     val rows = SparkEntry.queries("c100_release_diff")(spark, sf).collect()
     val ids = spark.read.parquet(s"$sf/documents.parquet")
