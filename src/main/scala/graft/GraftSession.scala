@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("heavy_hitters"),
       info("heavy_hitters", "heavy_hitters(v, capacity) - SpaceSaving top-k sketch aggregate (CH topK)"),
       (args: Seq[Expression]) => HeavyHitters(args.head, intArg(args, 1, "heavy_hitters"))))
+    // opt-in CH-uniq() semantics: spark.graft.approxDistinct=true
+    // rewrites exact COUNT(DISTINCT x) to an HLL sketch estimate
+    ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite)
   }
 }
 
