@@ -432,7 +432,35 @@ object AnalyticsQueries8 {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** B106: theta-sketch audience algebra (CH `uniqTheta`) — per
+    * ordered event-type pair, the estimated \|A∖B\| and \|A∩B\| user
+    * audiences next to exact per-type counts: "clicked but never
+    * purchased" at sketch cost instead of an exact anti-join. HLL
+    * (b34) cannot answer difference/intersection; theta's retained
+    * k-min-hash set can, and its union is merge-order independent so
+    * the estimates are deterministic — rows-only w.r.t. the oracle
+    * only because DuckDB ships no theta implementation. One sketch
+    * aggregation over events (partial-combined, ~2^12·8 B state per
+    * group per partition), then a \|types\|² self-pair of the 5-row
+    * sketch table. */
+  private def b106ThetaDiff(s: SparkSession, dir: String): DataFrame = {
+    val sk = T(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(Fns.thetaSketch(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("n_users_a"))
+      .persist()
+    sk.as("a").crossJoin(sk.as("b"))
+      .filter(col("a.event_type") =!= col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.n_users_a").as("n_users_a"),
+        Fns.thetaEstimate(col("a.sk")).as("est_a"),
+        Fns.thetaAnotB(col("a.sk"), col("b.sk")).as("est_a_not_b"),
+        Fns.thetaIntersect(col("a.sk"), col("b.sk")).as("est_a_and_b"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b106_theta_diff" -> (b106ThetaDiff _),
     "b104_auc" -> (b104Auc _),
     "b103_new_vs_returning" -> (b103NewVsReturning _),
     "b102_basket_lift" -> (b102BasketLift _),

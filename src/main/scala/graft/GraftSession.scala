@@ -40,6 +40,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("heavy_hitters"),
       info("heavy_hitters", "heavy_hitters(v, capacity) - SpaceSaving top-k sketch aggregate (CH topK)"),
       (args: Seq[Expression]) => HeavyHitters(args.head, intArg(args, 1, "heavy_hitters"))))
+    ext.injectFunction((FunctionIdentifier("theta_sketch_agg"),
+      info("theta_sketch_agg", "theta_sketch_agg(v) - mergeable theta sketch (CH uniqTheta); supports set algebra"),
+      (args: Seq[Expression]) => graft.plans.ThetaSketchAgg(args.head)))
+    ext.injectFunction((FunctionIdentifier("theta_estimate"),
+      info("theta_estimate", "theta_estimate(sk) - rounded distinct estimate of a theta state"),
+      (args: Seq[Expression]) => graft.plans.ThetaEstimate(args.head)))
+    ext.injectFunction((FunctionIdentifier("theta_anotb_estimate"),
+      info("theta_anotb_estimate", "theta_anotb_estimate(a, b) - estimated |A \\ B|"),
+      (args: Seq[Expression]) => graft.plans.ThetaAnotBEstimate(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("theta_intersect_estimate"),
+      info("theta_intersect_estimate", "theta_intersect_estimate(a, b) - estimated |A ∩ B|"),
+      (args: Seq[Expression]) => graft.plans.ThetaIntersectEstimate(args.head, args(1))))
     // opt-in CH-uniq() semantics: spark.graft.approxDistinct=true
     // rewrites exact COUNT(DISTINCT x) to an HLL sketch estimate
     ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite)

@@ -102,6 +102,29 @@ object Fns {
       graft.plans.QuantileMerge(graft.plans.Cols.expression(state),
         percentages, accuracy).toAggregateExpression())
 
+  /** CH `uniqTheta`: mergeable theta sketch of a BIGINT/STRING column
+    * (BINARY state; [[graft.plans.ThetaSketchAgg]]). Unlike HLL the
+    * theta state supports set DIFFERENCE and INTERSECTION estimates. */
+  def thetaSketch(c: Column): Column =
+    graft.plans.Cols.column(
+      graft.plans.ThetaSketchAgg(graft.plans.Cols.expression(c))
+        .toAggregateExpression())
+
+  /** Rounded distinct estimate of a theta sketch state. */
+  def thetaEstimate(c: Column): Column =
+    graft.plans.Cols.column(
+      graft.plans.ThetaEstimate(graft.plans.Cols.expression(c)))
+
+  /** Estimated \|A ∖ B\| from two theta states. */
+  def thetaAnotB(a: Column, b: Column): Column =
+    graft.plans.Cols.column(graft.plans.ThetaAnotBEstimate(
+      graft.plans.Cols.expression(a), graft.plans.Cols.expression(b)))
+
+  /** Estimated \|A ∩ B\| from two theta states. */
+  def thetaIntersect(a: Column, b: Column): Column =
+    graft.plans.Cols.column(graft.plans.ThetaIntersectEstimate(
+      graft.plans.Cols.expression(a), graft.plans.Cols.expression(b)))
+
   /** Bounded top-n (score, key) pairs per group, best-first (score
     * desc, key asc) — the multi-probe assignment kernel
     * ([[graft.plans.TopNByScore]]): O(n) state, map-side combined,

@@ -13,7 +13,8 @@ class EntrySmokeSpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     assert((q -- o) == Set("b9b_approx_distinct", "b15b_approx_quantiles",
-        "b14b_topk_sketch", "b34_uniq_merge", "b37_quantile_merge"),
+        "b14b_topk_sketch", "b34_uniq_merge", "b37_quantile_merge",
+        "b106_theta_diff"),
       s"unexpected rows-only queries: ${q -- o}")
   }
 }

@@ -39,6 +39,11 @@ class GraftSessionSpec extends AnyFunSuite {
            FROM VALUES ('a'), ('a'), ('a'), ('b'), ('c') AS t(v)""")
         .collect()(0).getAs[Map[String, Long]]("hh")
       assert(hh.contains("a") && hh("a") >= 3)
+      val th = spark.sql(
+        """SELECT theta_estimate(theta_sketch_agg(v)) AS e
+           FROM VALUES (CAST(1 AS BIGINT)), (2L), (2L) AS t(v)""")
+        .collect()(0).getLong(0)
+      assert(th == 2L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
