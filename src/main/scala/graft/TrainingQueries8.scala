@@ -323,9 +323,7 @@ object TrainingQueries8 {
     val e = T(s, dir, "embeddings")
       .select(transform(col("embedding").cast("array<double>"),
         x => round(x * 1000).cast("long")).as("q"))
-      .select(col("q"), flatten(transform(col("q"), (x, i) =>
-        transform(slice(col("q"), i + 1, size(col("q")) - i),
-          y => x * y))).as("pp"))
+      .select(col("q"), Fns.upperTriangleProducts(col("q")).as("pp"))
     val moments = e.agg(
       Fns.vecSumLong(col("pp")).as("g"),
       Fns.vecSumLong(col("q")).as("sv"),

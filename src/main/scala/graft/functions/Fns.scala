@@ -102,6 +102,14 @@ object Fns {
       graft.plans.QuantileMerge(graft.plans.Cols.expression(state),
         percentages, accuracy).toAggregateExpression())
 
+  /** Row-major upper-triangle self-products of a BIGINT array
+    * (diagonal included) — codegen'd
+    * ([[graft.plans.UpperTriangleProducts]]); the per-row moment
+    * vector c96 aggregates. */
+  def upperTriangleProducts(c: Column): Column =
+    graft.plans.Cols.column(
+      graft.plans.UpperTriangleProducts(graft.plans.Cols.expression(c)))
+
   /** CH `uniqTheta`: mergeable theta sketch of a BIGINT/STRING column
     * (BINARY state; [[graft.plans.ThetaSketchAgg]]). Unlike HLL the
     * theta state supports set DIFFERENCE and INTERSECTION estimates. */

@@ -42,18 +42,26 @@ class VectorSumSpec extends SparkSpec {
 
   test("c96's in-row pair products index the upper triangle correctly") {
     // one vector with distinct primes → every pair product unique, so
-    // the flatten order (row-major, diagonal included) is checkable
+    // the row-major order (diagonal included) is checkable; the native
+    // codegen'd expression must equal the composed HOF form
     val q = Seq(2L, 3L, 5L, 7L)
-    val pp = Seq(q).toDF("q")
-      .select(flatten(transform(col("q"), (x, i) =>
-        transform(slice(col("q"), i + 1, size(col("q")) - i),
-          y => x * y))).as("pp"))
-      .collect().head.getSeq[Long](0)
+    val row = Seq(q).toDF("q")
+      .select(Fns.upperTriangleProducts(col("q")).as("pp"),
+        flatten(transform(col("q"), (x, i) =>
+          transform(slice(col("q"), i + 1, size(col("q")) - i),
+            y => x * y))).as("hof"))
+      .collect().head
+    val pp = row.getSeq[Long](0)
     assert(pp == Seq(4L, 6L, 10L, 14L, 9L, 15L, 21L, 25L, 35L, 49L))
+    assert(pp == row.getSeq[Long](1), "native and HOF forms must agree")
     // the (i,j) → flat-index formula used by c96 (1-based, d=4)
     def idx(i: Int, j: Int, d: Int) = (i - 1) * d - (i - 1) * (i - 2) / 2 + (j - i)
     assert(pp(idx(1, 3, 4)) == 10L) // q1*q3
     assert(pp(idx(2, 2, 4)) == 9L)  // diagonal
     assert(pp(idx(3, 4, 4)) == 35L)
+    // empty input → empty triangle (not a crash)
+    assert(Seq(Seq.empty[Long]).toDF("q")
+      .select(Fns.upperTriangleProducts(col("q"))).collect()
+      .head.getSeq[Long](0).isEmpty)
   }
 }
