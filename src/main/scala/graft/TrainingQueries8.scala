@@ -516,7 +516,41 @@ object TrainingQueries8 {
                 div (n_docs * n_docs - chance)""").as("kappa_ppm"))
   }
 
+  /** C102: the probes dial PRICED (the c50/c65/c88 discipline — every
+    * approximation in the repo carries a measured error): planted-pair
+    * recall of the kNN graph at probes = 1 vs 2, exact ppm. Truth =
+    * c98's planted shifted copies (cos ≈ 0.987, always above the 0.9
+    * edge threshold — the only question is whether the graph SAW the
+    * pair). Edges normalize to unordered (a, b) and the recovered
+    * count is one equi semi-join against the planted list; the
+    * missing mass at probes=1 is exactly the cell-boundary loss the
+    * multi-probe assignment exists to buy back. */
+  private def c102KnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dups = base.filter(col("vec_id") % 40 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), x => x + lit(0.02)).as("v"))
+    val corpus = base.unionAll(dups)
+    val planted = base.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("a"), (col("vec_id") + 1000000L).as("b"))
+    def stat(p: Int): DataFrame = {
+      val pairs = Similarity.knnGraph(corpus, "vec_id", "v", k = 5, probes = p)
+        .filter(col("cosine_sim") >= 0.9)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      planted.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(planted.join(pairs, Seq("a", "b"), "left_semi")
+          .agg(count(lit(1)).as("n_recovered")))
+        .select(lit(p).as("probes"), col("n_planted"), col("n_recovered"),
+          expr("n_recovered * 1000000 div n_planted").as("recall_ppm"))
+    }
+    stat(1).unionAll(stat(2)).orderBy(col("probes"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c102_knn_recall" -> (c102KnnRecall _),
     "c101_kappa" -> (c101Kappa _),
     "c100_release_diff" -> (c100ReleaseDiff _),
     "c99_line_lang" -> (c99LineLang _),
@@ -593,7 +627,65 @@ object TrainingQueries8 {
     (hits, s"CASE $pred ELSE 'unknown' END")
   }
 
+  /** One prefixed kNN-edge chain (probes = p) over CTEs `ve`, `cents`,
+    * `planted` assumed in scope — the c98 chain with `rn <= p` on the
+    * probe side, ending at `p${p}rec(n_recovered)`. */
+  private def knnChainSql(p: Int): String = {
+    val x = s"p$p"
+    s"""${x}assigned AS (
+          SELECT vec_id, v, cent_id AS cell, rn FROM (
+            SELECT vec_id, v, cent_id,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY ${TrainingQueries.cosineSql("v", "centv", 4)} DESC,
+                  cent_id) AS rn
+            FROM ve CROSS JOIN cents)
+          WHERE rn <= $p),
+        ${x}l AS (SELECT vec_id AS src, v AS sv, cell FROM ${x}assigned),
+        ${x}r AS (SELECT vec_id AS dst, v AS dv, cell FROM ${x}assigned
+                  WHERE rn = 1),
+        ${x}scored AS (
+          SELECT src, dst, ${TrainingQueries.cosineSql("sv", "dv", 4)} AS cos
+          FROM ${x}l JOIN ${x}r USING (cell) WHERE src <> dst),
+        ${x}ranked AS (
+          SELECT src, dst, cos,
+            row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst)
+              AS rnk
+          FROM ${x}scored),
+        ${x}ed AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM ${x}ranked WHERE rnk <= 5 AND cos >= 0.9),
+        ${x}rec AS (
+          SELECT count(*) AS n_recovered FROM planted pl
+          WHERE EXISTS (SELECT 1 FROM ${x}ed e
+                        WHERE e.a = pl.a AND e.b = pl.b))"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "c102_knn_recall" ->
+      s"""WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          dups AS (
+            SELECT vec_id + 1000000 AS vec_id,
+              list_transform(v, x -> x + 0.02) AS v
+            FROM base WHERE vec_id % 40 = 0),
+          ve AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+          cents AS (
+            SELECT vec_id AS cent_id, v AS centv FROM ve
+            WHERE vec_id % 100 = 0),
+          planted AS (
+            SELECT vec_id AS a, vec_id + 1000000 AS b FROM base
+            WHERE vec_id % 40 = 0),
+          np AS (SELECT count(*) AS n_planted FROM planted),
+          ${knnChainSql(1)},
+          ${knnChainSql(2)}
+          SELECT 1 AS probes, n_planted, n_recovered,
+            n_recovered * 1000000 // n_planted AS recall_ppm
+          FROM np CROSS JOIN p1rec
+          UNION ALL
+          SELECT 2 AS probes, n_planted, n_recovered,
+            n_recovered * 1000000 // n_planted AS recall_ppm
+          FROM np CROSS JOIN p2rec
+          ORDER BY probes""",
     "c101_kappa" -> {
       import graft.operators.TextAnalysis
       val tailCase = TextAnalysis.langMarkers.map { case (l, ms) =>

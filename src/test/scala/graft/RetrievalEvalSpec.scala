@@ -153,6 +153,15 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(kappaPpm < agreePpm && kappaPpm > 500000)
   }
 
+  test("c102: recall is monotone in probes and complete at 2 on the planted corpus") {
+    val rows = SparkEntry.queries("c102_knn_recall")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(rows.keySet == Set(1, 2))
+    assert(rows(1) <= rows(2), "more probes can only add edges")
+    assert(rows(2) == 1000000L,
+      "probe-2 must recover every planted pair on this construction")
+  }
+
   test("c100: diff counts equal the closed-form planting") {
     val rows = SparkEntry.queries("c100_release_diff")(spark, sf).collect()
     val ids = spark.read.parquet(s"$sf/documents.parquet")
