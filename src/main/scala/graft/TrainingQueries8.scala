@@ -549,7 +549,39 @@ object TrainingQueries8 {
     stat(1).unionAll(stat(2)).orderBy(col("probes"))
   }
 
+  /** C103: merge-table size SWEEP — how much of the corpus's adjacent-
+    * pair mass the top-V BPE merge candidates cover, V ∈ {50, 100,
+    * 300, 600}: the "how many merges until diminishing returns" table
+    * a tokenizer build reads before fixing its vocab budget (c92 is
+    * one argmax round; this prices the whole table). One pair rollup
+    * (map-side combined), ONE shared rank/cumsum sort over the
+    * \|pair-vocab\| table, the 4-row size list broadcasts into a
+    * rank-threshold join. Everything after the first exchange is
+    * vocab²-bounded. */
+  private def c103MergeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = adjacentPairs(T(s, dir, "documents"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("w1"), col("w2"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = counts.agg(sum(col("n")).as("total_pairs"),
+      count(lit(1)).as("n_pair_types"))
+    val sizes = Seq(50, 100, 300, 600).toDF("n_merges")
+    ranked.join(broadcast(sizes), col("rk") <= col("n_merges"))
+      .groupBy(col("n_merges"))
+      .agg(max(col("cum")).as("covered_pairs"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_merges"), col("covered_pairs"), col("total_pairs"),
+        col("n_pair_types"),
+        expr("covered_pairs * 1000000 div total_pairs").as("coverage_ppm"))
+      .orderBy(col("n_merges"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c103_merge_sweep" -> (c103MergeSweep _),
     "c102_knn_recall" -> (c102KnnRecall _),
     "c101_kappa" -> (c101Kappa _),
     "c100_release_diff" -> (c100ReleaseDiff _),
@@ -661,6 +693,30 @@ object TrainingQueries8 {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "c103_merge_sweep" ->
+      s"""WITH t AS (SELECT $toksSql AS tk FROM documents),
+          ix AS (
+            SELECT tk, unnest(range(1, len(tk))) AS i
+            FROM t WHERE len(tk) >= 2),
+          p AS (SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM ix),
+          c AS (SELECT w1, w2, count(*) AS n FROM p GROUP BY w1, w2),
+          r AS (
+            SELECT n,
+              row_number() OVER (ORDER BY n DESC, w1, w2) AS rk,
+              sum(n) OVER (ORDER BY n DESC, w1, w2
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM c),
+          t2 AS (
+            SELECT CAST(sum(n) AS BIGINT) AS total_pairs,
+              count(*) AS n_pair_types
+            FROM c),
+          sz(n_merges) AS (VALUES (50), (100), (300), (600)),
+          cov AS (
+            SELECT n_merges, CAST(max(cum) AS BIGINT) AS covered_pairs
+            FROM r JOIN sz ON r.rk <= sz.n_merges GROUP BY n_merges)
+          SELECT n_merges, covered_pairs, total_pairs, n_pair_types,
+            covered_pairs * 1000000 // total_pairs AS coverage_ppm
+          FROM cov CROSS JOIN t2 ORDER BY n_merges""",
     "c102_knn_recall" ->
       s"""WITH base AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -162,6 +162,21 @@ class RetrievalEvalSpec extends SparkSpec {
       "probe-2 must recover every planted pair on this construction")
   }
 
+  test("c103: merge coverage is strictly monotone and cumulative-consistent") {
+    val rows = SparkEntry.queries("c103_merge_sweep")(spark, sf).collect()
+    assert(rows.length == 4)
+    val cov = rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    cov.sliding(2).foreach { case Array((_, c1, _, types), (v2, c2, _, _)) =>
+      // more merges can only add coverage; strictly if types remain
+      if (types > v2) assert(c2 > c1) else assert(c2 >= c1)
+    }
+    cov.foreach { case (v, covered, total, types) =>
+      assert(covered <= total)
+      if (v >= types) assert(covered == total,
+        "a merge table >= the pair vocabulary must cover everything")
+    }
+  }
+
   test("c100: diff counts equal the closed-form planting") {
     val rows = SparkEntry.queries("c100_release_diff")(spark, sf).collect()
     val ids = spark.read.parquet(s"$sf/documents.parquet")
