@@ -895,6 +895,17 @@ class PlanAuditSpec extends SparkSpec {
       s"diff reads columns it never uses:\n$p")
   }
 
+  test("c103: pair counts combine map-side; rank and cumsum share one sort") {
+    val p = plan("c103_merge_sweep")
+    assert(p.contains("partial_count"),
+      s"pair rollup lost its map-side combine:\n$p")
+    // rank + running-sum windows ride the same (n desc, w1, w2) order:
+    // one sort for both, plus at most the output order
+    val sorts = p.split("\n").count(l => l.trim.startsWith("+- Sort ") ||
+      l.trim.startsWith(":- Sort "))
+    assert(sorts <= 2, s"windows re-sorted instead of sharing:\n$p")
+  }
+
   test("c46: perplexity scores in two corpus passes — totals read the cached trigram counts") {
     val p = plan("c46_perplexity")
     val explodes = p.split("Generate explode").length - 1
