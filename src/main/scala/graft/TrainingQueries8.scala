@@ -384,16 +384,25 @@ object TrainingQueries8 {
     * and the CC step turns pairwise hits into dedup groups exactly as
     * c19 does for MinHash. Edge list ~ duplicate density, so the CC
     * input is orders below corpus size (the c19 scale contract). */
-  private def c98SemanticClusters(s: SparkSession, dir: String): DataFrame = {
+  /** c98/c102's shared planted corpus: every 40th embedding reappears
+    * shifted +0.02 (id + 1,000,000; cos ≈ 0.987 to its source). */
+  private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
     val base = T(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val dups = base.filter(col("vec_id") % 40 === 0)
+    base.unionAll(base.filter(col("vec_id") % 40 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
-        transform(col("v"), x => x + lit(0.02)).as("v"))
-    val edges = Similarity.knnGraph(base.unionAll(dups), "vec_id", "v",
-        k = 5, probes = 2)
+        transform(col("v"), x => x + lit(0.02)).as("v")))
+  }
+
+  /** The planted corpus's thresholded kNN edges (cos ≥ 0.9, c5's
+    * threshold) at the given probe count. */
+  private def plantedKnnEdges(s: SparkSession, dir: String, probes: Int): DataFrame =
+    Similarity.knnGraph(plantedEmbeddings(s, dir), "vec_id", "v",
+        k = 5, probes = probes)
       .filter(col("cosine_sim") >= 0.9)
-    Dedup.connectedComponents(edges, "src", "dst")
+
+  private def c98SemanticClusters(s: SparkSession, dir: String): DataFrame = {
+    Dedup.connectedComponents(plantedKnnEdges(s, dir, probes = 2), "src", "dst")
       .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("cluster_size"))
@@ -526,17 +535,10 @@ object TrainingQueries8 {
     * missing mass at probes=1 is exactly the cell-boundary loss the
     * multi-probe assignment exists to buy back. */
   private def c102KnnRecall(s: SparkSession, dir: String): DataFrame = {
-    val base = T(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val dups = base.filter(col("vec_id") % 40 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
-        transform(col("v"), x => x + lit(0.02)).as("v"))
-    val corpus = base.unionAll(dups)
-    val planted = base.filter(col("vec_id") % 40 === 0)
+    val planted = T(s, dir, "embeddings").filter(col("vec_id") % 40 === 0)
       .select(col("vec_id").as("a"), (col("vec_id") + 1000000L).as("b"))
     def stat(p: Int): DataFrame = {
-      val pairs = Similarity.knnGraph(corpus, "vec_id", "v", k = 5, probes = p)
-        .filter(col("cosine_sim") >= 0.9)
+      val pairs = plantedKnnEdges(s, dir, probes = p)
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .distinct()
