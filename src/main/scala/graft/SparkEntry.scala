@@ -306,6 +306,59 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** A13 promotion: the REAL-BROKER queue seam as a driver-checked
+    * query. A deterministic 1-in-13 event slice publishes onto a live
+    * [[graft.sources.QueueBroker]] (localhost TCP), flows back through
+    * the `graft-queue` DataSource V2 streaming connector
+    * (AvailableNow), lands in parquet via foreachBatch, and the
+    * routed per-type profile of what ARRIVED is what the oracle
+    * checks against the slice itself — any byte lost or duplicated on
+    * the wire breaks the hash. The driver-side publish loop is the
+    * test harness's producer seat (bounded by the declared slice); in
+    * production, producers publish from their own processes —
+    * RetryLoopSpec exercises the executor-parallel publisher. */
+  private def a16BrokerRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val broker = new graft.sources.QueueBroker(numPartitions = 2)
+    try {
+      val payloads = T(s, dir, "events")
+        .filter(col("event_id") % 13 === 0 &&
+          col("event_type").isNotNull && length(col("event_type")) > 0)
+        .orderBy(col("event_id"))
+        .select(to_json(struct(col("event_id"), col("event_type"),
+          col("user_id"))).as("p"))
+        .collect().map(_.getString(0)) // bounded by the declared slice
+      payloads.zipWithIndex.foreach { case (p, i) =>
+        broker.publish(i % 2, p)
+      }
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("user_id", LongType)))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_broker_rt").toString
+      s.readStream.format("graft-queue")
+        .option("host", broker.host)
+        .option("port", broker.port.toString)
+        .load()
+        .select(from_json(col("value"), schema).as("e")).select("e.*")
+        .writeStream
+        .option("checkpointLocation", s"$out/ck")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$out/rows"); ()
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      s.read.parquet(s"$out/rows")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("first_id"),
+          max(col("event_id")).as("last_id"))
+        .orderBy(col("event_type"))
+    } finally broker.close()
+  }
+
   // ---------------------------------------------------------------
   // B. Analytics over the ingested tables
   // ---------------------------------------------------------------
@@ -369,6 +422,7 @@ object SparkEntry {
     "a13_legacy_normalize" -> (a13LegacyNormalize _),
     "a14_compaction_e2e" -> (a14CompactionE2e _),
     "a15_jdbc_evolve" -> (a15JdbcEvolve _),
+    "a16_broker_roundtrip" -> (a16BrokerRoundtrip _),
     "b1_pricing_summary" -> (b1Pricing _),
     "b8_daily_rollup" -> (b8DailyRollup _)
   ) ++ AnalyticsQueries.queries ++ AnalyticsQueries2.queries ++
@@ -409,6 +463,14 @@ object SparkEntry {
          FROM events ORDER BY event_id""",
     "a5_infer_types" -> inferTypesOracle,
     "a6_schema_evolution" -> schemaEvolutionOracle,
+    "a16_broker_roundtrip" ->
+      """SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           min(event_id) AS first_id, max(event_id) AS last_id
+         FROM events
+         WHERE event_id % 13 = 0 AND event_type IS NOT NULL
+           AND len(event_type) > 0
+         GROUP BY event_type ORDER BY event_type""",
     "a15_jdbc_evolve" ->
       """WITH ev AS (
            SELECT event_id, value,
