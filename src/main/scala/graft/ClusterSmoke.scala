@@ -41,7 +41,8 @@ object ClusterSmoke {
       "c91_band_planner", "c90_bm25", "b104_auc", "c94_kn_counts",
       "c98_semantic_clusters", "c99_line_lang", "c97_knn_graph",
       "c92_bpe_pairs", "b106_theta_diff", "c100_release_diff",
-      "c101_kappa")
+      "c101_kappa", "a16_broker_roundtrip", "c102_knn_recall",
+      "c103_merge_sweep")
     var failed = 0
     names.foreach { n =>
       val t0 = System.nanoTime()
