@@ -120,7 +120,7 @@ object AnalyticsQueries {
       .orderBy(col("cohort_date"))
 
   /** B9: exact distinct users per type (oracle'd; the HLL approximate
-    * twin is `b9b_approx_distinct`, rows-only by nature). */
+    * twin is `b9b_approx_distinct`, driver-checked via its ε-contract). */
   private def b9DistinctUsers(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")
       .groupBy(col("event_type"))
@@ -128,14 +128,22 @@ object AnalyticsQueries {
       .orderBy(col("event_type"))
 
   /** B9b: approx_count_distinct (HLL++) next to the exact count —
-    * the 100 TB path (no exact-distinct shuffle explosion). Sketch
-    * values are engine-specific → rows-only check. */
+    * the 100 TB path (no exact-distinct shuffle explosion). The raw
+    * estimate is engine-specific, so the driver-checked output is the
+    * ε-CONTRACT: `within_eps` asserts |approx − exact| ≤ max(5,
+    * 4·rsd·exact) with rsd = 0.05 (Spark's default), computed
+    * in-query; the oracle mirrors `exact` and literal-true bounds.
+    * A broken sketch flips the flag → hash mismatch at the driver. */
   private def b9bApproxDistinct(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id")).as("n_users_approx"),
         countDistinct(col("user_id")).as("n_users_exact"))
+      .select(col("event_type"), col("n_users_exact"),
+        (abs(col("n_users_approx") - col("n_users_exact")) <=
+          greatest(lit(5.0), lit(0.2) * col("n_users_exact")))
+          .cast("long").as("within_eps"))
       .orderBy(col("event_type"))
 
   /** B10: as-of join — for each purchase, the user's most recent click
@@ -289,7 +297,12 @@ object AnalyticsQueries {
          GROUP BY cohort_date ORDER BY cohort_date""",
     "b9_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users_exact
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // b9b: the estimate itself is engine-specific; the driver checks the
+    // exact count plus the in-query ε-contract flag (literal-true here).
+    "b9b_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+           CAST(1 AS BIGINT) AS within_eps
          FROM events GROUP BY event_type ORDER BY event_type"""
-    // b9b_approx_distinct: HLL sketch values are engine-specific — rows-only.
   )
 }

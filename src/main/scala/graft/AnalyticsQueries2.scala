@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
-import graft.operators.Funnel
+import graft.operators.{Funnel, QuantileBands}
 import graft.sources.Tables
 
 /** B-series round 2 (SURVEY §2B, B12-B20): ClickHouse's signature
@@ -121,18 +121,40 @@ object AnalyticsQueries2 {
     * (SpaceSaving, custom TypedImperativeAggregate): fixed counters
     * per group, one pass, the shuffle carries ≤ capacity triples per
     * group per map task instead of the unbounded (type, user) key
-    * space. Counts are merge-order upper bounds → rows-only. The map
-    * is exploded to scalar (event_type, item, count_ub) rows — the
-    * driver's pandas compare can't sort container cells. */
-  private def b14bTopkSketch(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "events")
-      .groupBy(col("event_type"))
-      .agg(Fns.heavyHitters(col("user_id").cast("string"), capacity = 8)
-        .as("topk_sketch"))
-      .select(col("event_type"), explode(col("topk_sketch")))
-      .select(col("event_type"), col("key").as("item"),
-        col("value").as("count_ub"))
-      .orderBy(col("event_type"), col("item"))
+    * space. WHICH items the sketch tracks (beyond the guaranteed
+    * heavy hitters) and their count upper bounds are merge-order
+    * dependent, so the driver-checked output is the SpaceSaving
+    * CONTRACT, computed in-query against the exact per-item counts:
+    * `n_sketched` (= min(capacity, n_users), deterministic) and
+    * `bounds_ok` (every tracked item exists and count_ub ∈ [exact,
+    * exact + N/capacity]). Coverage of true heavy hitters is pinned
+    * by HeavyHittersSpec (no item here exceeds N/capacity). The
+    * exact-count join is the audit, not the production path. */
+  private def b14bTopkSketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("event_type"), col("user_id").cast("string").as("u"))
+    val sk = ev.groupBy(col("event_type"))
+      .agg(Fns.heavyHitters(col("u"), capacity = 8).as("topk_sketch"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("u")).as("n_users"))
+    val items = sk
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        explode(col("topk_sketch")))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        col("key").as("item"), col("value").as("count_ub"))
+    val exact = ev.groupBy(col("event_type").as("et2"), col("u"))
+      .agg(count(lit(1)).as("c"))
+    items.join(exact,
+        col("event_type") === col("et2") && col("item") === col("u"), "left")
+      .groupBy(col("event_type"), col("n_events"), col("n_users"))
+      .agg(count(lit(1)).as("n_sketched"),
+        min((col("c").isNotNull && col("count_ub") >= col("c") &&
+          (col("count_ub") - col("c")) * lit(8) <= col("n_events"))
+          .cast("long")).as("bounds_ok"))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        col("n_sketched"), col("bounds_ok"))
+      .orderBy(col("event_type"))
+  }
 
   /** B15: exact quantiles (CH quantileExact) — p50/p90/p99 of value
     * per event_type, *discrete* semantics: the value at sorted index
@@ -151,25 +173,33 @@ object AnalyticsQueries2 {
       .orderBy(col("event_type"), col("q_pct"))
   }
 
-  /** B15b: the 100 TB twin — approx_percentile (t-digest-ish GK
-    * sketch, partial-agg friendly, no per-key sort) next to exact.
-    * Sketch outputs are engine-specific → rows-only; quantiles are
-    * surfaced as scalar columns (the driver's pandas compare can't
-    * sort array cells). */
-  private def b15bApproxQuantiles(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "events")
-      .groupBy(col("event_type"))
-      .agg(
-        percentile_approx(col("value"), array(lit(0.5), lit(0.9), lit(0.99)),
-          lit(10000)).as("q_approx"),
-        min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"))
-      .select(col("event_type"),
-        col("q_approx")(0).as("p50_approx"),
-        col("q_approx")(1).as("p90_approx"),
-        col("q_approx")(2).as("p99_approx"),
-        col("min_value"), col("max_value"))
-      .orderBy(col("event_type"))
+  /** B15b: the 100 TB twin — approx_percentile (GK summary,
+    * partial-agg friendly, no per-key sort) next to exact. The
+    * estimate is engine-specific within its ε rank guarantee, so the
+    * driver-checked output is the CONTRACT: `q_exact` (b15's discrete
+    * quantile, oracle-mirrorable) and `within_band` asserting the
+    * estimate lies between the dataset values at ranks target ± k,
+    * k = max(3, ⌈3·n/accuracy⌉) — the GK bound with merge slack. The
+    * rank window is the audit path; production reads the estimate
+    * alone (one partial-agg exchange, no sort). */
+  private def b15bApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+    val est = ev.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9), lit(0.99)),
+        lit(10000)).as("qa"))
+      .select(col("event_type"), explode(array(
+        struct(lit(50L).as("q_pct"), col("qa")(0).as("q_est")),
+        struct(lit(90L).as("q_pct"), col("qa")(1).as("q_est")),
+        struct(lit(99L).as("q_pct"), col("qa")(2).as("q_est")))).as("e"))
+      .select(col("event_type"), col("e.q_pct"), col("e.q_est"))
+    est.join(QuantileBands.bands(ev, accuracy = 10000),
+        Seq("event_type", "q_pct"))
+      .select(col("event_type"), col("q_pct"), col("q_exact"),
+        (col("q_est") >= col("band_lo") && col("q_est") <= col("band_hi"))
+          .cast("long").as("within_band"))
+      .orderBy(col("event_type"), col("q_pct"))
+  }
 
   /** B16: ROLLUP over (event_type, event_date) with decimal-exact
     * sums — the CH `GROUP BY … WITH ROLLUP` dashboard query. Null
@@ -572,7 +602,30 @@ object AnalyticsQueries2 {
            coalesce(daily.n_events, 0) AS n_events
          FROM spine s LEFT JOIN daily
            ON s.event_type = daily.event_type AND s.d = daily.d
-         ORDER BY s.event_type, event_date"""
-    // b15b_approx_quantiles: sketch values are engine-specific — rows-only.
+         ORDER BY s.event_type, event_date""",
+    // b14b: which extra items the sketch tracks is merge-order dependent;
+    // the driver checks the deterministic counts plus the in-query
+    // SpaceSaving contract flag (literal-true here).
+    "b14b_topk_sketch" ->
+      """SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(LEAST(8, count(DISTINCT user_id)) AS BIGINT) AS n_sketched,
+           CAST(1 AS BIGINT) AS bounds_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // b15b: the estimate is engine-specific within the ε rank guarantee;
+    // the driver checks b15's exact discrete quantile plus the in-query
+    // rank-band contract flag (literal-true here).
+    "b15b_approx_quantiles" ->
+      """WITH v AS (
+           SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+           FROM events)
+         SELECT event_type, q_pct, value AS q_exact,
+           CAST(1 AS BIGINT) AS within_band
+         FROM v CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (90), (99)) AS qs(q_pct)
+         WHERE rn = ((cnt - 1) * q_pct) // 100 + 1
+         ORDER BY event_type, q_pct"""
   )
 }

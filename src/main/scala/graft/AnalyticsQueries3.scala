@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
-import graft.operators.{Collapsing, Funnel, IncrementalRollup, MapAgg}
+import graft.operators.{Collapsing, Funnel, IncrementalRollup, MapAgg, QuantileBands}
 import graft.sources.Tables
 
 /** B-series round 3 (SURVEY §2B, B29-B31): the remaining MergeTree
@@ -106,9 +106,13 @@ object AnalyticsQueries3 {
     * the whole point at 100 TB: states are KB-sized regardless of
     * cardinality, merge is associative/commutative, and history is
     * never rescanned — same shape as b29 but for a non-trivially
-    * mergeable aggregate. Sketch estimates are engine-specific →
-    * rows-only here; StreamingRollupSpec's twin (UniqMergeSpec)
-    * asserts merged == direct and ε-close to exact. */
+    * mergeable aggregate. The estimate itself is engine-specific, so
+    * the driver-checked output is the CONTRACT (UniqMergeSpec's
+    * assertions moved into the row): `merged_eq_direct` (the part-wise
+    * union loses nothing vs the one-pass sketch — DataSketches HLL
+    * union at equal lgK is register-identical) and `within_eps`
+    * (|merged − exact| ≤ max(5, 5%·exact); lgK=12 → ~1.6%·3σ). The
+    * exact countDistinct branch is the audit, not the read path. */
   private def b34UniqMerge(s: SparkSession, dir: String): DataFrame = {
     val ev = T(s, dir, "events").select(
       col("event_type"), col("user_id"), col("event_id"))
@@ -116,10 +120,20 @@ object AnalyticsQueries3 {
       ev.filter(pmod(col("event_id"), lit(3)) === i)
         .groupBy(col("event_type"))
         .agg(hll_sketch_agg(col("user_id")).as("uniq_state")))
-    parts.reduce(_.unionByName(_))
+    val merged = parts.reduce(_.unionByName(_))
       .groupBy(col("event_type"))
       .agg(hll_sketch_estimate(hll_union_agg(col("uniq_state")))
-        .as("n_users_merged"))
+        .as("n_merged"))
+    val audit = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("n_direct"),
+        countDistinct(col("user_id")).as("n_users_exact"))
+    merged.join(audit, Seq("event_type"))
+      .select(col("event_type"), col("n_users_exact"),
+        (col("n_merged") === col("n_direct")).cast("long")
+          .as("merged_eq_direct"),
+        (abs(col("n_merged") - col("n_users_exact")) <=
+          greatest(lit(5.0), lit(0.05) * col("n_users_exact")))
+          .cast("long").as("within_eps"))
       .orderBy(col("event_type"))
   }
 
@@ -130,8 +144,12 @@ object AnalyticsQueries3 {
     * states and projects p50/p90/p99 as scalars. States are
     * O(1/ε·log εn) regardless of part size and merge associatively —
     * reads never rescan history. GK estimates are merge-order
-    * dependent within the ε rank guarantee → rows-only here;
-    * QuantileMergeSpec pins merged-vs-exact rank error ≤ ε·n. */
+    * dependent within the ε rank guarantee, so the driver-checked
+    * output is the CONTRACT (QuantileMergeSpec's assertion moved into
+    * the row): `q_exact` (b15's discrete quantile) plus `within_band`
+    * — the merged estimate must land between the dataset values at
+    * ranks target ± k ([[graft.operators.QuantileBands]]). The rank
+    * window is the audit path; production reads merged states only. */
   private def b37QuantileMerge(s: SparkSession, dir: String): DataFrame = {
     val ev = T(s, dir, "events").select(
       col("event_type"), col("value").cast("double").as("v"), col("event_id"))
@@ -139,14 +157,22 @@ object AnalyticsQueries3 {
       ev.filter(pmod(col("event_id"), lit(3)) === i)
         .groupBy(col("event_type"))
         .agg(Fns.quantileState(col("v")).as("q_state")))
-    parts.reduce(_.unionByName(_))
+    val est = parts.reduce(_.unionByName(_))
       .groupBy(col("event_type"))
       .agg(Fns.quantileMerge(col("q_state"), Seq(0.5, 0.9, 0.99)).as("qs"))
-      .select(col("event_type"),
-        round(col("qs").getItem(0), 2).as("p50"),
-        round(col("qs").getItem(1), 2).as("p90"),
-        round(col("qs").getItem(2), 2).as("p99"))
-      .orderBy(col("event_type"))
+      .select(col("event_type"), explode(array(
+        struct(lit(50L).as("q_pct"), col("qs").getItem(0).as("q_est")),
+        struct(lit(90L).as("q_pct"), col("qs").getItem(1).as("q_est")),
+        struct(lit(99L).as("q_pct"), col("qs").getItem(2).as("q_est")))).as("e"))
+      .select(col("event_type"), col("e.q_pct"), col("e.q_est"))
+    val bands = QuantileBands.bands(
+      ev.select(col("event_type"), col("v").as("value"), col("event_id")),
+      accuracy = 10000)
+    est.join(bands, Seq("event_type", "q_pct"))
+      .select(col("event_type"), col("q_pct"), col("q_exact"),
+        (col("q_est") >= col("band_lo") && col("q_est") <= col("band_hi"))
+          .cast("long").as("within_band"))
+      .orderBy(col("event_type"), col("q_pct"))
   }
 
   /** B35: GraphiteMergeTree retention rules — events younger than 30
@@ -275,6 +301,28 @@ object AnalyticsQueries3 {
          SELECT a.event_type AS type_a, b.event_type AS type_b,
            count(*) AS n_users_both
          FROM m a JOIN m b USING (user_id)
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // b34: the merged estimate is engine-specific; the driver checks the
+    // exact count plus the in-query merge/ε contract flags (literal-true).
+    "b34_uniq_merge" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+           CAST(1 AS BIGINT) AS merged_eq_direct,
+           CAST(1 AS BIGINT) AS within_eps
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // b37: the merged GK estimate is engine-specific within ε ranks; the
+    // driver checks b15's exact discrete quantile (over the double-cast
+    // value, identical to the raw double here) plus the rank-band flag.
+    "b37_quantile_merge" ->
+      """WITH v AS (
+           SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+           FROM events)
+         SELECT event_type, q_pct, value AS q_exact,
+           CAST(1 AS BIGINT) AS within_band
+         FROM v CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (90), (99)) AS qs(q_pct)
+         WHERE rn = ((cnt - 1) * q_pct) // 100 + 1
+         ORDER BY event_type, q_pct"""
   )
 }

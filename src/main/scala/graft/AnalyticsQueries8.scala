@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, HllSketchAgg}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
@@ -432,34 +433,96 @@ object AnalyticsQueries8 {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** B105: the approx-distinct SESSION MODE (ClickHouse `uniq()`
+    * semantics, [[graft.plans.ApproxDistinctRewrite]]), driver-checked:
+    * with `spark.graft.approxDistinct=true` an UNCHANGED countDistinct
+    * rollup must (a) actually plan as an HLL sketch — `rewrite_fired`
+    * inspects the optimized plan for HllSketchAgg, so a silently-inert
+    * rule fails the hash — and (b) estimate within ε of exact
+    * (lgK=12 → 5% is ≥3σ). The conf flips only around the approx run
+    * (restored in a finally) so the rest of the suite keeps exact
+    * semantics; the collect is driver-bounded by \|event types\|. */
+  private def b105ApproxMode(s: SparkSession, dir: String): DataFrame = {
+    def rollup() = T(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val prev = s.conf.getOption("spark.graft.approxDistinct")
+    s.conf.set("spark.graft.approxDistinct", "true")
+    val (fired, approx) =
+      try {
+        val df = rollup()
+        val f = df.queryExecution.optimizedPlan.exists(_.expressions.exists(
+          _.exists {
+            case ae: AggregateExpression =>
+              ae.aggregateFunction.isInstanceOf[HllSketchAgg]
+            case _ => false
+          }))
+        (f, df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.graft.approxDistinct", v)
+        case None => s.conf.unset("spark.graft.approxDistinct")
+      }
+    val exact = rollup().collect().map(r => r.getString(0) -> r.getLong(1))
+    import s.implicits._
+    exact.toSeq.sortBy(_._1).map { case (t, ex) =>
+      val est = approx.getOrElse(t, -1L)
+      (t, ex, if (fired) 1L else 0L,
+        if (math.abs(est - ex) <= math.max(5.0, 0.05 * ex)) 1L else 0L)
+    }.toDF("event_type", "n_users_exact", "rewrite_fired", "within_eps")
+      .orderBy(col("event_type"))
+  }
+
   /** B106: theta-sketch audience algebra (CH `uniqTheta`) — per
     * ordered event-type pair, the estimated \|A∖B\| and \|A∩B\| user
     * audiences next to exact per-type counts: "clicked but never
     * purchased" at sketch cost instead of an exact anti-join. HLL
     * (b34) cannot answer difference/intersection; theta's retained
     * k-min-hash set can, and its union is merge-order independent so
-    * the estimates are deterministic — rows-only w.r.t. the oracle
-    * only because DuckDB ships no theta implementation. One sketch
+    * the estimates are deterministic. DuckDB ships no theta
+    * implementation, so the driver-checked output is the CONTRACT:
+    * exact \|A\| / \|A∖B\| / \|A∩B\| (a distinct-pair self-join —
+    * the audit the sketch exists to avoid) plus `within_eps`
+    * asserting every theta estimate lands within max(10, 5%·(\|A\|+
+    * \|B\|)) of exact (k=4096 → ~4.7%·3σ; exact below k). One sketch
     * aggregation over events (partial-combined, ~2^12·8 B state per
     * group per partition), then a \|types\|² self-pair of the 5-row
     * sketch table. */
   private def b106ThetaDiff(s: SparkSession, dir: String): DataFrame = {
-    val sk = T(s, dir, "events")
-      .groupBy(col("event_type"))
+    val du = T(s, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct().persist()
+    val sk = du.groupBy(col("event_type"))
       .agg(Fns.thetaSketch(col("user_id")).as("sk"),
-        countDistinct(col("user_id")).as("n_users_a"))
+        count(lit(1)).as("n_users"))
       .persist()
+    val inter = du.toDF("ta", "ua")
+      .join(du.toDF("tb", "ub"), col("ua") === col("ub"))
+      .filter(col("ta") =!= col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_inter"))
+    val tol = greatest(lit(10.0),
+      lit(0.05) * (col("a.n_users") + col("b.n_users")))
     sk.as("a").crossJoin(sk.as("b"))
       .filter(col("a.event_type") =!= col("b.event_type"))
-      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
-        col("a.n_users_a").as("n_users_a"),
-        Fns.thetaEstimate(col("a.sk")).as("est_a"),
-        Fns.thetaAnotB(col("a.sk"), col("b.sk")).as("est_a_not_b"),
-        Fns.thetaIntersect(col("a.sk"), col("b.sk")).as("est_a_and_b"))
+      .join(inter,
+        col("a.event_type") === col("ta") && col("b.event_type") === col("tb"),
+        "left")
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        col("a.n_users").as("n_a"),
+        (col("a.n_users") - coalesce(col("n_inter"), lit(0L)))
+          .as("a_not_b_exact"),
+        coalesce(col("n_inter"), lit(0L)).as("a_and_b_exact"),
+        (abs(Fns.thetaEstimate(col("a.sk")) - col("a.n_users")) <= tol &&
+          abs(Fns.thetaAnotB(col("a.sk"), col("b.sk")) -
+            (col("a.n_users") - coalesce(col("n_inter"), lit(0L)))) <= tol &&
+          abs(Fns.thetaIntersect(col("a.sk"), col("b.sk")) -
+            coalesce(col("n_inter"), lit(0L))) <= tol)
+          .cast("long").as("within_eps"))
       .orderBy(col("type_a"), col("type_b"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b105_approx_mode" -> (b105ApproxMode _),
     "b106_theta_diff" -> (b106ThetaDiff _),
     "b104_auc" -> (b104Auc _),
     "b103_new_vs_returning" -> (b103NewVsReturning _),
@@ -740,6 +803,31 @@ object AnalyticsQueries8 {
            n_new, n_retained, n_resurrected, dau,
            CASE WHEN prev_dau IS NOT NULL AND date_diff('day', prev_d, d) = 1
              THEN prev_dau - n_retained END AS n_churned
-         FROM lagged ORDER BY day"""
+         FROM lagged ORDER BY day""",
+    // b105: the estimate is engine-specific; the driver checks the exact
+    // counts plus the in-query rule-fired and ε flags (literal-true here).
+    "b105_approx_mode" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+           CAST(1 AS BIGINT) AS rewrite_fired,
+           CAST(1 AS BIGINT) AS within_eps
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // b106: DuckDB ships no theta sketch; the driver checks the exact
+    // audience algebra plus the in-query ε flag (literal-true here).
+    "b106_theta_diff" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+         n AS (SELECT event_type, count(*) AS n FROM du GROUP BY event_type),
+         i AS (SELECT x.event_type AS ta, y.event_type AS tb,
+                 count(*) AS n_inter
+               FROM du x JOIN du y
+                 ON x.user_id = y.user_id AND x.event_type <> y.event_type
+               GROUP BY 1, 2)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n AS n_a,
+           a.n - COALESCE(i.n_inter, 0) AS a_not_b_exact,
+           CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS a_and_b_exact,
+           CAST(1 AS BIGINT) AS within_eps
+         FROM n a JOIN n b ON a.event_type <> b.event_type
+         LEFT JOIN i ON i.ta = a.event_type AND i.tb = b.event_type
+         ORDER BY type_a, type_b"""
   )
 }

@@ -289,7 +289,12 @@ object SparkEntry {
     val ev = T(s, dir, "events").filter(col("event_id") % 17 === 0)
       .select(col("event_id"), col("value"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
-    val half = ev.agg(max(col("event_id"))).collect()(0).getLong(0) / 2
+    val maxRow = ev.agg(max(col("event_id"))).collect()(0)
+    // the 1-in-17 slice could be empty on a tiny input — fail loudly
+    // instead of an opaque NPE from getLong on a NULL max
+    require(!maxRow.isNullAt(0),
+      s"a15_jdbc_evolve: no events with event_id % 17 == 0 under $dir")
+    val half = maxRow.getLong(0) / 2
     val b1 = ev.filter(col("event_id") <= half)
       .select(col("event_id"), col("k"),
         round(col("value") * 100).cast("long").as("amount_cents"))

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.HllSketchEstimate
+import org.apache.spark.sql.catalyst.expressions.{Coalesce, HllSketchEstimate, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HllSketchAgg}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -42,9 +42,14 @@ case class ApproxDistinctRewrite(session: SparkSession) extends Rule[LogicalPlan
         agg.transformExpressions {
           case ae @ AggregateExpression(Count(children), _, true, _, _)
               if children.size == 1 && supported.contains(children.head.dataType) =>
-            HllSketchEstimate(ae.copy(
-              aggregateFunction = new HllSketchAgg(children.head),
-              isDistinct = false))
+            // coalesce to 0: over an empty relation the sketch estimate
+            // is NULL while exact COUNT(DISTINCT) is 0, and Count's
+            // contract is non-nullable — keep both semantics
+            Coalesce(Seq(
+              HllSketchEstimate(ae.copy(
+                aggregateFunction = new HllSketchAgg(children.head),
+                isDistinct = false)),
+              Literal(0L)))
         }
     }
 }

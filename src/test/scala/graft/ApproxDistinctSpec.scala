@@ -55,6 +55,17 @@ class ApproxDistinctSpec extends AnyFunSuite {
         "SELECT count(DISTINCT cast(v AS DOUBLE)) AS u FROM t")
       assert(!dbl.queryExecution.executedPlan.toString.contains("hll_sketch"),
         "unsupported input type must stay exact")
+
+      // empty input: exact COUNT(DISTINCT) yields non-null 0 — the
+      // rewritten form must too (coalesce over the NULL estimate),
+      // and keep Count's non-nullable contract
+      val empty = spark.sql(
+        "SELECT count(DISTINCT v) AS u FROM t WHERE g = 99")
+      assert(!empty.schema.head.nullable,
+        "rewritten aggregate must stay non-nullable like Count")
+      val emptyRow = empty.collect()(0)
+      assert(!emptyRow.isNullAt(0) && emptyRow.getLong(0) == 0L,
+        "empty-input estimate must be 0, matching exact COUNT(DISTINCT)")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -8,13 +8,12 @@ class EntrySmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracle key has a query; rows-only queries are the known set") {
+  test("oracle keys and query keys coincide exactly — zero rows-only queries") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
-    assert((q -- o) == Set("b9b_approx_distinct", "b15b_approx_quantiles",
-        "b14b_topk_sketch", "b34_uniq_merge", "b37_quantile_merge",
-        "b106_theta_diff"),
-      s"unexpected rows-only queries: ${q -- o}")
+    // Since round 8 the sketch queries emit exact values + in-query
+    // ε-contract flags, so every query is fully driver-checkable.
+    assert((q -- o).isEmpty, s"queries without oracles: ${q -- o}")
   }
 }

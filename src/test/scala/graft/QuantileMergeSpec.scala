@@ -55,13 +55,17 @@ class QuantileMergeSpec extends SparkSpec {
     }
   }
 
-  test("b37 on sf0.001: one row per type, percentiles ordered") {
+  test("b37 on sf0.001: 3 rows per type, exact quantiles ordered, bands hold") {
     val out = SparkEntry.queries("b37_quantile_merge")(
       spark, "/root/testdata/sf0.001").collect()
-    assert(out.nonEmpty)
+    assert(out.nonEmpty && out.length % 3 == 0)
     out.foreach { r =>
-      val (p50, p90, p99) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
-      assert(p50 <= p90 && p90 <= p99, s"unordered percentiles: $r")
+      assert(r.getLong(3) == 1L,
+        s"merged estimate outside the ε rank band: $r")
+    }
+    out.grouped(3).foreach { g =>
+      val Seq(p50, p90, p99) = g.map(_.getDouble(2)).toSeq
+      assert(p50 <= p90 && p90 <= p99, s"unordered exact quantiles: ${g.toSeq}")
     }
   }
 

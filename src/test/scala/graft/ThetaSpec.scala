@@ -48,16 +48,17 @@ class ThetaSpec extends SparkSpec {
     assert(empty == 0L)
   }
 
-  test("b106 report: estimates exact at sf0.001 cardinalities") {
+  test("b106 report: exact algebra consistent, theta within ε at sf0.001") {
     val rows = SparkEntry.queries("b106_theta_diff")(
       spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (exact, est, diff, inter) =
+      val (nA, diff, inter, withinEps) =
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
-      assert(est == exact, s"${r.getString(0)}: |A| estimate drifted")
-      assert(diff + inter == est,
+      assert(diff + inter == nA,
         s"${r.getString(0)}/${r.getString(1)}: A splits into (A\\B) ⊎ (A∩B)")
+      assert(withinEps == 1L,
+        s"${r.getString(0)}/${r.getString(1)}: theta estimate outside ε")
     }
   }
 }
