@@ -14,6 +14,7 @@ object ClusterSmoke {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .appName("graft-cluster-smoke")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -32,17 +33,23 @@ object ClusterSmoke {
       // pieces — c96's TypedImperativeAggregate buffers cross executor
       // RPC, c93 broadcasts a built 1-row vector, c91/c95 ship banded
       // candidate joins, c90's cache is executor-resident.
-      // a15_jdbc_evolve is deliberately ABSENT: this harness caught
-      // that embedded Derby is a one-JVM engine (executor tasks can't
-      // see the driver's in-memory DB) — the declared embedded-DB
-      // trade (SCALE.md); a network-served warehouse URL runs the
-      // same code executor-parallel
+      // a15_jdbc_evolve stays ABSENT: this harness caught that
+      // embedded Derby is a one-JVM engine (executor tasks can't see
+      // the driver's in-memory DB). Its r8 replacement below,
+      // a15b_jdbc_evolve_net, runs the IDENTICAL evolveAppend code
+      // against the network-served NetWarehouse — executor JVMs dial
+      // the catalog through GraftNetDriver sockets, so the
+      // executor-parallel INSERT path and the staged widen-swap now
+      // run under real executors
       "c96_embed_corr", "c93_prf_hybrid", "c95_containment",
       "c91_band_planner", "c90_bm25", "b104_auc", "c94_kn_counts",
       "c98_semantic_clusters", "c99_line_lang", "c97_knn_graph",
       "c92_bpe_pairs", "b106_theta_diff", "c100_release_diff",
       "c101_kappa", "a16_broker_roundtrip", "c102_knn_recall",
-      "c103_merge_sweep")
+      "c103_merge_sweep",
+      // r8: the networked JDBC warehouse seam (closes the r7 FAIL)
+      // and the driver-checked approx-distinct session mode
+      "a15b_jdbc_evolve_net", "b105_approx_mode")
     var failed = 0
     names.foreach { n =>
       val t0 = System.nanoTime()

@@ -311,6 +311,50 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** A16b: the a15 evolve replay against a NETWORK-SERVED warehouse —
+    * [[graft.sources.NetWarehouse]] (TCP server over embedded Derby)
+    * consumed through the genuine `java.sql` SPI by
+    * [[graft.sources.GraftNetDriver]]. This is the topology
+    * `jdbc:derby:memory:` cannot give: Spark's JDBC writer opens one
+    * INSERT-batch connection PER PARTITION TASK — under local[32]
+    * that's parallel driver threads, under local-cluster it's real
+    * executor JVMs dialing the catalog over sockets (the r7
+    * cluster-smoke FAIL this closes; see docs/SCALE.md). Same
+    * CREATE → ALTER ADD COLUMN → staged widen-swap semantics as a15,
+    * on a disjoint 1-in-19 slice; the final contents read back OVER
+    * THE WIRE are what the oracle checks. Results land in a temp
+    * parquet before the warehouse closes (the a16 broker pattern). */
+  private def a15bJdbcEvolveNet(s: SparkSession, dir: String): DataFrame = {
+    val wh = new graft.sources.NetWarehouse("graft_a15b")
+    try {
+      val ev = T(s, dir, "events").filter(col("event_id") % 19 === 0)
+        .select(col("event_id"), col("value"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val maxRow = ev.agg(max(col("event_id"))).collect()(0)
+      require(!maxRow.isNullAt(0),
+        s"a15b_jdbc_evolve_net: no events with event_id % 19 == 0 under $dir")
+      val half = maxRow.getLong(0) / 2
+      val b1 = ev.filter(col("event_id") <= half)
+        .select(col("event_id"), col("k"),
+          round(col("value") * 100).cast("long").as("amount_cents"))
+      val b2 = ev.filter(col("event_id") > half)
+        .select(col("event_id"), col("k"),
+          concat(lit("usd_"), round(col("value") * 100).cast("long"))
+            .as("amount_cents"),
+          (col("value") > 100).as("new_flag"))
+      JdbcEventSink.evolveAppend(s, b1, wh.url, "ev_replay")
+      JdbcEventSink.evolveAppend(s, b2, wh.url, "ev_replay")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_a15b").toString
+      JdbcEventSink.readTable(s, wh.url, "ev_replay")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select(col("event_id"), col("k"), col("amount_cents"),
+          col("new_flag").cast("string").as("new_flag"))
+        .orderBy(col("event_id"))
+    } finally wh.close()
+  }
+
   /** A13 promotion: the REAL-BROKER queue seam as a driver-checked
     * query. A deterministic 1-in-13 event slice publishes onto a live
     * [[graft.sources.QueueBroker]] (localhost TCP), flows back through
@@ -427,6 +471,7 @@ object SparkEntry {
     "a13_legacy_normalize" -> (a13LegacyNormalize _),
     "a14_compaction_e2e" -> (a14CompactionE2e _),
     "a15_jdbc_evolve" -> (a15JdbcEvolve _),
+    "a15b_jdbc_evolve_net" -> (a15bJdbcEvolveNet _),
     "a16_broker_roundtrip" -> (a16BrokerRoundtrip _),
     "b1_pricing_summary" -> (b1Pricing _),
     "b8_daily_rollup" -> (b8DailyRollup _)
@@ -481,6 +526,21 @@ object SparkEntry {
            SELECT event_id, value,
              try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k
            FROM events WHERE event_id % 17 = 0),
+         h AS (SELECT max(event_id) // 2 AS half FROM ev)
+         SELECT event_id, k,
+           CASE WHEN event_id <= (SELECT half FROM h)
+             THEN CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+             ELSE 'usd_' || CAST(round(value * 100) AS BIGINT) END
+             AS amount_cents,
+           CASE WHEN event_id <= (SELECT half FROM h) THEN NULL
+             ELSE CAST(value > 100 AS VARCHAR) END AS new_flag
+         FROM ev ORDER BY event_id""",
+    // a15b: identical evolve semantics over the wire (1-in-19 slice)
+    "a15b_jdbc_evolve_net" ->
+      """WITH ev AS (
+           SELECT event_id, value,
+             try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events WHERE event_id % 19 = 0),
          h AS (SELECT max(event_id) // 2 AS half FROM ev)
          SELECT event_id, k,
            CASE WHEN event_id <= (SELECT half FROM h)

@@ -36,12 +36,21 @@ import graft.operators.SchemaEvolution
   */
 object JdbcEventSink {
 
-  private def props = new Properties
+  /** graftnet URLs carry the driver class so Spark's DriverRegistry
+    * can load [[GraftNetDriver]] inside executor JVMs. */
+  private def props(url: String): Properties = {
+    val p = new Properties
+    if (url.startsWith(GraftNet.UrlPrefix)) {
+      GraftNetDriver.ensureRegistered()
+      p.setProperty("driver", classOf[GraftNetDriver].getName)
+    }
+    p
+  }
 
   /** Existing table schema, or None if the table doesn't exist. */
   def tableSchema(spark: SparkSession, url: String,
                   table: String): Option[StructType] =
-    try Some(spark.read.jdbc(url, table, props).schema)
+    try Some(spark.read.jdbc(url, table, props(url)).schema)
     catch { case _: Exception => None }
 
   /** Spark→Derby DDL types for ADD COLUMN (Spark's own JDBC writer
@@ -74,7 +83,7 @@ object JdbcEventSink {
       case None =>
         // first batch CREATEs the table at the batch schema, exactly
         // like the parquet twin (and the reference's CREATE path)
-        df.write.jdbc(url, table, props)
+        df.write.jdbc(url, table, props(url))
         df.schema
       case Some(ex) =>
         val target = SchemaEvolution.merge(ex, df.schema)
@@ -85,7 +94,7 @@ object JdbcEventSink {
         if (widened.nonEmpty) {
           // the mutation path: old + new aligned at the widened type,
           // staged, then swapped in the catalog
-          val old = spark.read.jdbc(url, table, props)
+          val old = spark.read.jdbc(url, table, props(url))
           val combined = SchemaEvolution.align(old, target)
             .unionByName(SchemaEvolution.align(df, target))
           val stage = table + "__graft_stage"
@@ -97,7 +106,7 @@ object JdbcEventSink {
               catch { case _: java.sql.SQLException => () } // absent: fine
             }
           }
-          combined.write.jdbc(url, stage, props)
+          combined.write.jdbc(url, stage, props(url))
           withConn(url) { c =>
             val st = c.createStatement()
             st.execute(s"RENAME TABLE $table TO $retired")
@@ -114,13 +123,13 @@ object JdbcEventSink {
             }
           }
           SchemaEvolution.align(df, target)
-            .write.mode("append").jdbc(url, table, props)
+            .write.mode("append").jdbc(url, table, props(url))
         }
         target
     }
 
   def readTable(spark: SparkSession, url: String, table: String): DataFrame =
-    spark.read.jdbc(url, table, props)
+    spark.read.jdbc(url, table, props(url))
 
   /** SQL-safe table name for an event type (the per-type table
     * convention, JDBC side). */
