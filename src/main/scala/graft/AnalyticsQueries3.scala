@@ -108,11 +108,15 @@ object AnalyticsQueries3 {
     * never rescanned — same shape as b29 but for a non-trivially
     * mergeable aggregate. The estimate itself is engine-specific, so
     * the driver-checked output is the CONTRACT (UniqMergeSpec's
-    * assertions moved into the row): `merged_eq_direct` (the part-wise
-    * union loses nothing vs the one-pass sketch — DataSketches HLL
-    * union at equal lgK is register-identical) and `within_eps`
-    * (|merged − exact| ≤ max(5, 5%·exact); lgK=12 → ~1.6%·3σ). The
-    * exact countDistinct branch is the audit, not the read path. */
+    * assertions moved into the row): `merged_close_direct` — the
+    * part-wise union loses nothing material vs the one-pass sketch.
+    * In the sparse/coupon regime it is register-identical (UniqMerge-
+    * Spec pins exact equality at 700 distinct); in dense mode the
+    * union's HLL_8 target re-estimates a hair apart from the direct
+    * HLL_4 sketch (measured at sf0.1: 1488 vs 1494 on exact 1500), so
+    * the flag allows ≤ max(2, 1%·exact). `within_eps` bounds merged
+    * vs exact at max(5, 5%·exact) (lgK=12 → ~1.6%·3σ). The exact
+    * countDistinct branch is the audit, not the read path. */
   private def b34UniqMerge(s: SparkSession, dir: String): DataFrame = {
     val ev = T(s, dir, "events").select(
       col("event_type"), col("user_id"), col("event_id"))
@@ -129,8 +133,9 @@ object AnalyticsQueries3 {
         countDistinct(col("user_id")).as("n_users_exact"))
     merged.join(audit, Seq("event_type"))
       .select(col("event_type"), col("n_users_exact"),
-        (col("n_merged") === col("n_direct")).cast("long")
-          .as("merged_eq_direct"),
+        (abs(col("n_merged") - col("n_direct")) <=
+          greatest(lit(2.0), lit(0.01) * col("n_users_exact"))).cast("long")
+          .as("merged_close_direct"),
         (abs(col("n_merged") - col("n_users_exact")) <=
           greatest(lit(5.0), lit(0.05) * col("n_users_exact")))
           .cast("long").as("within_eps"))
@@ -306,7 +311,7 @@ object AnalyticsQueries3 {
     // exact count plus the in-query merge/ε contract flags (literal-true).
     "b34_uniq_merge" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
-           CAST(1 AS BIGINT) AS merged_eq_direct,
+           CAST(1 AS BIGINT) AS merged_close_direct,
            CAST(1 AS BIGINT) AS within_eps
          FROM events GROUP BY event_type ORDER BY event_type""",
     // b37: the merged GK estimate is engine-specific within ε ranks; the

@@ -257,6 +257,63 @@ object TrainingQueries {
       .orderBy(col("method"))
   }
 
+  /** C65b: the PLANTED-REGIME recall audit. c65 prices the indexes on
+    * uniform-random vectors, where 64-dim "nearest" is noise ranking
+    * (IVF 22.5%, LSH ~0% at sf0.1 — honest but unrepresentative);
+    * real corpora have the near-dup structure ANN indexes exist to
+    * serve. This row prices THAT regime: the c98/c102 planted corpus
+    * (every 40th vector reappears shifted +0.02, id + 1,000,000,
+    * cos ≈ 0.987 to its source), with the planted COPIES as queries
+    * so every query has a true strong neighbor. Per index — lsh /
+    * ivf / ivf_trained / ivf_int8, the full dial set — two numbers:
+    * recall vs brute-force top-5 ground truth (c65's metric) and
+    * src_recall (did the index surface the query's true source — the
+    * production near-dup question). Same semi-join audit shape as
+    * c65; the corpus-sized work is the four searches, each already
+    * plan-audited. Which number means what: SCALE.md §ANN. */
+  private def c65bAnnRecallPlanted(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val emb = base.unionAll(base.filter(col("vec_id") % 40 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.02)).as("embedding")))
+      .persist()
+    val q = emb.filter(col("vec_id") >= 1000000L)
+    val nq = q.count() // bounded: |corpus|/40 planted queries
+    def pairs(df: DataFrame): DataFrame =
+      df.select(col("query_id"), col("corpus_id"))
+    val exact = pairs(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+      k = 5, roundScale = 4)).persist()
+    def audit(method: String, annRaw: DataFrame): DataFrame = {
+      val ann = pairs(annRaw).persist() // |q|·k rows — tiny
+      val hits = exact.join(ann, Seq("query_id", "corpus_id"), "left_semi")
+      val srcHits = ann.filter(col("corpus_id") === col("query_id") - 1000000L)
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(srcHits.agg(count(lit(1)).as("n_src_hit")))
+        .select(lit(method).as("method"), col("n_exact"), col("n_hit"),
+          when(col("n_exact") > 0,
+            expr("(n_hit * 1000000L) div n_exact")).otherwise(0L)
+            .as("recall_ppm"),
+          lit(nq).as("n_q"), col("n_src_hit"),
+          when(lit(nq) > 0,
+            expr(s"(n_src_hit * 1000000L) div ${nq}L")).otherwise(0L)
+            .as("src_recall_ppm"))
+    }
+    val deq = int8Deq(emb)
+    audit("ivf", Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        k = 5, stride = 100, roundScale = 4))
+      .unionAll(audit("ivf_int8", Similarity.ivfTopK(deq,
+        deq.filter(col("vec_id") >= 1000000L), "vec_id", "embedding",
+        k = 5, stride = 100, roundScale = 4)))
+      .unionAll(audit("ivf_trained", Similarity.ivfTopKTrained(emb, q,
+        "vec_id", "embedding", k = 5, stride = 100, iters = 1,
+        roundScale = 4)))
+      .unionAll(audit("lsh", Similarity.lshTopK(emb, q, "vec_id",
+        "embedding", k = 5, planes = 8, dim = 64, roundScale = 4)))
+      .orderBy(col("method"))
+  }
+
   // ------------------------------------------------------------------
   // C8-C11: text analysis
   // ------------------------------------------------------------------
@@ -327,6 +384,7 @@ object TrainingQueries {
     "c7c_ann_ivf_trained" -> (c7cAnnIvfTrained _),
     "c89_ann_int8" -> (c89AnnInt8 _),
     "c65_ann_recall" -> (c65AnnRecall _),
+    "c65b_ann_recall_planted" -> (c65bAnnRecallPlanted _),
     "c8_lang_id" -> (c8LangId _),
     "c9_quality" -> (c9Quality _),
     "c10_token_count" -> (c10TokenCount _),
@@ -661,6 +719,114 @@ object TrainingQueries {
             ELSE 0 END AS recall_ppm
         FROM audit ORDER BY method"""
 
+  /** c65b mirror: the planted corpus + four searches as CTEs, then
+    * four audit rows carrying both recall lines. */
+  private def c65bOracleSql: String = {
+    def assign(src: String, cents: String): String =
+      s"""SELECT vec_id, v, cent_id AS cell FROM (
+            SELECT vec_id, v, cent_id,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY ${cosineSql("v", "centv", 4)} DESC, cent_id) AS rn
+            FROM $src CROSS JOIN $cents)
+          WHERE rn = 1"""
+    def topk(scored: String): String =
+      s"""SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cs DESC, corpus_id) AS rnk
+            FROM $scored) WHERE rnk <= 5"""
+    def auditRow(method: String, tbl: String): String =
+      s"""SELECT '$method' AS method,
+            (SELECT count(*) FROM exact) AS n_exact,
+            (SELECT count(*) FROM exact e JOIN $tbl a
+              ON e.query_id = a.query_id AND e.corpus_id = a.corpus_id) AS n_hit,
+            (SELECT count(*) FROM $tbl
+              WHERE corpus_id = query_id - 1000000) AS n_src_hit"""
+    s"""WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pv AS (SELECT vec_id, v FROM ve
+               UNION ALL
+               SELECT vec_id + 1000000 AS vec_id,
+                 list_transform(v, x -> x + 0.02) AS v
+               FROM ve WHERE vec_id % 40 = 0),
+        q0 AS (SELECT vec_id AS query_id, v AS qv FROM pv
+               WHERE vec_id >= 1000000),
+        ex_scored AS (
+          SELECT query_id, vec_id AS corpus_id,
+            ${cosineSql("qv", "v", 4)} AS cs
+          FROM pv CROSS JOIN q0 WHERE query_id <> vec_id),
+        exact AS (${topk("ex_scored")}),
+        b AS (SELECT vec_id, v, $bucketSql AS bucket FROM pv),
+        lq AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b
+               WHERE vec_id >= 1000000),
+        l_scored AS (
+          SELECT query_id, c.vec_id AS corpus_id,
+            ${cosineSql("qv", "c.v", 4)} AS cs
+          FROM b c JOIN lq ON c.bucket = lq.bucket
+          WHERE query_id <> c.vec_id),
+        lsh AS (${topk("l_scored")}),
+        cents AS (SELECT vec_id AS cent_id, v AS centv FROM pv
+                  WHERE vec_id % 100 = 0),
+        assigned AS (${assign("pv", "cents")}),
+        iq AS (SELECT vec_id AS query_id, v AS qv, cell FROM assigned
+               WHERE vec_id >= 1000000),
+        i_scored AS (
+          SELECT query_id, c.vec_id AS corpus_id,
+            ${cosineSql("qv", "c.v", 4)} AS cs
+          FROM assigned c JOIN iq ON c.cell = iq.cell
+          WHERE query_id <> c.vec_id),
+        ivf AS (${topk("i_scored")}),
+        dims AS (
+          SELECT cell, t.pos AS pos, v[t.pos] AS x
+          FROM assigned, generate_series(1, 64) AS t(pos)),
+        means AS (
+          SELECT cell, pos,
+            CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean
+          FROM dims GROUP BY cell, pos),
+        cents1 AS (
+          SELECT cell AS cent_id, list(mean ORDER BY pos) AS centv
+          FROM means GROUP BY cell),
+        a1 AS (${assign("pv", "cents1")}),
+        tq AS (SELECT vec_id AS query_id, v AS qv, cell FROM a1
+               WHERE vec_id >= 1000000),
+        t_scored AS (
+          SELECT query_id, c.vec_id AS corpus_id,
+            ${cosineSql("qv", "c.v", 4)} AS cs
+          FROM a1 c JOIN tq ON c.cell = tq.cell
+          WHERE query_id <> c.vec_id),
+        ivft AS (${topk("t_scored")}),
+        pdq AS (SELECT vec_id, list_transform(v,
+            x -> CAST(round(greatest(least(x, 1.0), -1.0) * 127) AS DOUBLE)
+              / 127.0) AS v
+          FROM pv),
+        qcents AS (SELECT vec_id AS cent_id, v AS centv FROM pdq
+                   WHERE vec_id % 100 = 0),
+        qassigned AS (${assign("pdq", "qcents")}),
+        qiq AS (SELECT vec_id AS query_id, v AS qv, cell FROM qassigned
+                WHERE vec_id >= 1000000),
+        qi_scored AS (
+          SELECT query_id, c.vec_id AS corpus_id,
+            ${cosineSql("qv", "c.v", 4)} AS cs
+          FROM qassigned c JOIN qiq ON c.cell = qiq.cell
+          WHERE query_id <> c.vec_id),
+        ivf8 AS (${topk("qi_scored")}),
+        nq AS (SELECT count(*) AS n FROM q0),
+        audit AS (
+          ${auditRow("ivf", "ivf")}
+          UNION ALL ${auditRow("ivf_int8", "ivf8")}
+          UNION ALL ${auditRow("ivf_trained", "ivft")}
+          UNION ALL ${auditRow("lsh", "lsh")})
+        SELECT method, CAST(n_exact AS BIGINT) AS n_exact,
+          CAST(n_hit AS BIGINT) AS n_hit,
+          CASE WHEN n_exact > 0 THEN n_hit * 1000000 // n_exact
+            ELSE 0 END AS recall_ppm,
+          CAST((SELECT n FROM nq) AS BIGINT) AS n_q,
+          CAST(n_src_hit AS BIGINT) AS n_src_hit,
+          CASE WHEN (SELECT n FROM nq) > 0
+            THEN n_src_hit * 1000000 // (SELECT n FROM nq)
+            ELSE 0 END AS src_recall_ppm
+        FROM audit ORDER BY method"""
+  }
+
   private[graft] def markersIn(ms: Seq[String]): String =
     ms.map(m => s"'$m'").mkString("(", ", ", ")")
 
@@ -750,6 +916,7 @@ object TrainingQueries {
     "c7c_ann_ivf_trained" -> c7cOracleSql,
     "c89_ann_int8" -> c89OracleSql,
     "c65_ann_recall" -> c65OracleSql,
+    "c65b_ann_recall_planted" -> c65bOracleSql,
     "c8_lang_id" -> c8OracleSql,
     "c9_quality" -> c9OracleSql,
     "c10_token_count" -> c10OracleSql,
