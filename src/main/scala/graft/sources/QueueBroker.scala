@@ -29,10 +29,17 @@ import scala.collection.mutable.ArrayBuffer
   *   END <p>                   -> OK <endOffset>
   *   PUB <p> <b64>             -> OK <assignedOffset>
   *   FETCH <p> <from> <until>  -> OK <n> then n lines of <b64>
+  *   PUBBATCH <qid> <e> <w> <n>, n lines of "<p> <b64>"
+  *                             -> OK <appended>  (0 on retry — the
+  *                                Kafka idempotent-producer dedup)
   * }}}
   */
 final class QueueBroker(val numPartitions: Int = 2) extends AutoCloseable {
   private val logs = Array.fill(numPartitions)(new ArrayBuffer[String]())
+  // idempotent-producer ledger: one entry per accepted (query, epoch,
+  // writer) batch — the Kafka producer-id/sequence dedup model, which
+  // is what makes sink-side epoch retries exactly-once (PUBBATCH)
+  private val seenBatches = scala.collection.mutable.Set[String]()
   private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
   @volatile private var running = true
 
@@ -92,6 +99,27 @@ final class QueueBroker(val numPartitions: Int = 2) extends AutoCloseable {
               out.println(Base64.getEncoder.encodeToString(
                 s.getBytes(StandardCharsets.UTF_8)))
             }
+          case "PUBBATCH" =>
+            // PUBBATCH <queryId> <epoch> <writer> <n>, then n lines of
+            // "<partition> <b64>" — appended atomically, or skipped
+            // wholesale when this (query, epoch, writer) batch was
+            // already accepted (task/epoch retry)
+            val key = s"${parts(1)}:${parts(2)}:${parts(3)}"
+            val n = parts(4).toInt
+            val rows = (0 until n).map { _ =>
+              val sp = in.readLine().split(" ", 2)
+              (sp(0).toInt, new String(
+                Base64.getDecoder.decode(sp(1)), StandardCharsets.UTF_8))
+            }
+            val appended = logs.synchronized {
+              if (seenBatches.contains(key)) 0
+              else {
+                rows.foreach { case (p, s) => logs(p) += s }
+                seenBatches += key
+                rows.size
+              }
+            }
+            out.println(s"OK $appended")
           case other => out.println(s"ERR unknown command $other")
         }
         line = in.readLine()
@@ -142,6 +170,22 @@ object QueueBroker {
       val n = request(s"FETCH $partition $from $until").toInt
       Vector.fill(n)(new String(
         Base64.getDecoder.decode(in.readLine()), StandardCharsets.UTF_8))
+    }
+
+    /** Idempotent batch publish — the broker accepts a given
+      * (queryId, epoch, writer) batch EXACTLY once; retries return 0.
+      * `queryId` must contain no whitespace. Returns rows appended. */
+    def publishBatch(queryId: String, epoch: Long, writer: Int,
+                     rows: Seq[(Int, String)]): Long = {
+      out.println(s"PUBBATCH $queryId $epoch $writer ${rows.size}")
+      rows.foreach { case (p, s) =>
+        out.println(s"$p " + Base64.getEncoder.encodeToString(
+          s.getBytes(StandardCharsets.UTF_8)))
+      }
+      val resp = in.readLine()
+      if (resp == null || !resp.startsWith("OK "))
+        throw new java.io.IOException(s"broker error for PUBBATCH: $resp")
+      resp.drop(3).toLong
     }
 
     override def close(): Unit = {

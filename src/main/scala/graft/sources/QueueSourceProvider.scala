@@ -5,10 +5,12 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.streaming.StreamingWrite
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -60,14 +62,15 @@ object QueueSourceProvider {
 }
 
 private[sources] final class QueueTable(props: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   private def opt(key: String): String = props.getOrElse(key,
     throw new IllegalArgumentException(s"graft-queue requires option '$key'"))
 
   override def name(): String = s"graft-queue(${opt("host")}:${opt("port")})"
   override def schema(): StructType = QueueSourceProvider.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -75,6 +78,16 @@ private[sources] final class QueueTable(props: Map[String, String])
         opt("host"), opt("port").toInt,
         props.get("maxrecordspertrigger").orElse(props.get("maxRecordsPerTrigger"))
           .map(_.toLong).getOrElse(0L))
+    }
+
+  /** The producer half ([[QueueStreamingWrite]]): epoch-idempotent
+    * PUBBATCH appends — symmetric with the Kafka surface both ways. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new QueueStreamingWrite(opt("host"), opt("port").toInt, info)
+      }
     }
 }
 

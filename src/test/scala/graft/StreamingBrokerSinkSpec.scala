@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.QueueBroker
+
+/** The WRITE half of the broker connector
+  * ([[graft.sources.QueueStreamWriter]]): `writeStream.format
+  * ("graft-queue")` publishing through epoch-idempotent PUBBATCH
+  * appends — the sibling StreamingBrokerSpec's ask, write-side
+  * (reference: main.ts:388-409, the producer half of the retry loop).
+  * Forces BOTH retry shapes the protocol must absorb — a task-level
+  * duplicate commit and a whole-epoch replay — and asserts the log
+  * gained nothing. */
+class StreamingBrokerSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def drain(b: QueueBroker): Seq[String] =
+    (0 until b.numPartitions).flatMap { p =>
+      val c = new QueueBroker.Client(b.host, b.port)
+      try c.fetch(p, 0, c.endOffset(p)) finally c.close()
+    }
+
+  test("writeStream publishes each row exactly once; roundtrip reads back") {
+    val broker = new QueueBroker(numPartitions = 2)
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[String]
+      in.addData((1 to 20).map(i => s"m$i"): _*)
+      val ck = tmpDir("graft_sink_ck")
+      val q = in.toDF().select(col("value"))
+        .writeStream.format("graft-queue")
+        .option("host", broker.host)
+        .option("port", broker.port.toString)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(drain(broker).sorted == (1 to 20).map(i => s"m$i").sorted)
+
+      // second micro-batch appends (new epoch, not a dup)
+      in.addData("extra1", "extra2")
+      val q2 = in.toDF().select(col("value"))
+        .writeStream.format("graft-queue")
+        .option("host", broker.host)
+        .option("port", broker.port.toString)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+      assert(drain(broker).size == 22)
+
+      // read the log back through the source half — the connector is
+      // symmetric: what the sink produced is exactly what a consumer sees
+      val rows = spark.readStream.format("graft-queue")
+        .option("host", broker.host)
+        .option("port", broker.port.toString)
+        .load()
+      val outCk = tmpDir("graft_sink_rt")
+      val got = scala.collection.mutable.ArrayBuffer[String]()
+      val rt = rows.writeStream
+        .option("checkpointLocation", s"$outCk/ck")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= b.select("value").collect().map(_.getString(0)); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      rt.awaitTermination()
+      assert(got.sorted == drain(broker).sorted)
+    } finally broker.close()
+  }
+
+  test("explicit partition column routes rows; hash routing is deterministic") {
+    val broker = new QueueBroker(numPartitions = 3)
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(String, Int)]
+      in.addData((1 to 9).map(i => (s"r$i", i % 3)): _*)
+      val q = in.toDF().toDF("value", "partition")
+        .writeStream.format("graft-queue")
+        .option("host", broker.host)
+        .option("port", broker.port.toString)
+        .option("checkpointLocation", tmpDir("graft_sink_part"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val c = new QueueBroker.Client(broker.host, broker.port)
+      try (0 until 3).foreach { p =>
+        val got = c.fetch(p, 0, c.endOffset(p))
+        assert(got.size == 3, s"partition $p: $got")
+        assert(got.forall(v => v.drop(1).toInt % 3 == p))
+      } finally c.close()
+    } finally broker.close()
+  }
+
+  test("task retry and epoch replay are deduped — the log gains nothing") {
+    val broker = new QueueBroker(numPartitions = 2)
+    try {
+      val rows = Seq((0, "a"), (1, "b"), (0, "c"))
+      val c = new QueueBroker.Client(broker.host, broker.port)
+      try {
+        // first offer of (query q1, epoch 7, writer 0): accepted
+        assert(c.publishBatch("q1", 7L, 0, rows) == 3L)
+        // task retry (same triple): rejected wholesale
+        assert(c.publishBatch("q1", 7L, 0, rows) == 0L)
+        // epoch replay after restart re-offers every writer's batch
+        val c2 = new QueueBroker.Client(broker.host, broker.port)
+        try assert(c2.publishBatch("q1", 7L, 0, rows) == 0L)
+        finally c2.close()
+        // a different writer, epoch, or query is NOT a dup
+        assert(c.publishBatch("q1", 7L, 1, rows.take(1)) == 1L)
+        assert(c.publishBatch("q1", 8L, 0, rows.take(1)) == 1L)
+        assert(c.publishBatch("q2", 7L, 0, rows.take(1)) == 1L)
+        assert(c.endOffset(0) + c.endOffset(1) == 6L)
+      } finally c.close()
+    } finally broker.close()
+  }
+}
