@@ -245,6 +245,8 @@ object AnalyticsQueries2 {
     val daily = T(s, dir, "events")
       .groupBy(date_format(Fns.nanosToTimestamp(col("ts")), "yyyy-MM-dd").as("event_date"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("d"))
+    // bounded input: the |days| rollup — the single-partition moving
+    // frames sort days, never events
     val wOrd = Window.orderBy(col("event_date"))
     daily
       .withColumn("mov7", sum(col("d")).over(wOrd.rowsBetween(-6, 0)))

@@ -287,6 +287,8 @@ object AnalyticsQueries7 {
       .groupBy(date_format(date_trunc("week",
           Fns.nanosToTimestamp(col("ts"))), "yyyy-MM-dd").as("week"))
       .agg(count(lit(1)).as("n"), Fns.sumExact(col("value"), 2).as("revenue"))
+    // bounded input: the |weeks| rollup — the single-partition lag
+    // window sorts weeks, never events
     val w = Window.orderBy(col("week"))
     weekly
       .withColumn("prev", lag(col("revenue"), 1).over(w))
@@ -414,6 +416,7 @@ object AnalyticsQueries7 {
     grid.join(reached, Seq("step"), "left")
       .withColumn("n_reached", coalesce(col("n_reached"), lit(0L)))
       .withColumn("base", coalesce(
+        // bounded input: the 3-row step grid
         lag(col("n_reached"), 1).over(Window.orderBy(col("step"))),
         col("n_total")))
       .select(col("step"), col("n_reached"),
@@ -526,6 +529,9 @@ object AnalyticsQueries7 {
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+    // input is the per-user rollup (≪ events); concentration needs the
+    // FULL ranking (no top-k prune applies) — at extreme |users| swap
+    // the sort for a b52-style distributed quantile cut on cents
     val w = Window.orderBy(col("cents").desc, col("user_id"))
     val ranked = perUser
       .withColumn("rn", row_number().over(w))

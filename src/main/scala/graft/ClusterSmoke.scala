@@ -51,12 +51,17 @@ object ClusterSmoke {
       // and the driver-checked approx-distinct session mode
       "a15b_jdbc_evolve_net", "b105_approx_mode")
     var failed = 0
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     names.foreach { n =>
+      // queries are independent — don't let one query's persisted
+      // intermediates occupy executor storage for the next (USAGE §5)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
         val rows = SparkEntry.queries(n)(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
         require(rows > 0, s"$n returned 0 rows")
+        timings(n) = sec
         println(f"CLUSTER_SMOKE OK   $n%-24s rows=$rows%-8d ${sec}%6.2f s")
       } catch { case e: Throwable =>
         failed += 1
@@ -64,6 +69,12 @@ object ClusterSmoke {
       }
     }
     println(s"CLUSTER_SMOKE DONE failed=$failed/${names.size}")
+    // one JSON line per run — tools/cluster_smoke.sh tees it into a
+    // CLUSTER_BENCH artifact so executor-JVM regressions (broadcast,
+    // serialization, RPC) diff round-over-round like local[32] ones do
+    val qjson = timings.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
+    println(s"""CLUSTER_BENCH {"sf":"$sfDir","failed":$failed,""" +
+      f""""total":${timings.values.sum}%.3f,"queries":{$qjson}}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

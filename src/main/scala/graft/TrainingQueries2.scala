@@ -75,6 +75,8 @@ object TrainingQueries2 {
       .orderBy(col("n_total").desc, col("word"))
       .limit(50)
     v.withColumn("rk",
+      // bounded input: the vocab rollup (|distinct words| ≪ tokens);
+      // the rank filter plans as WindowGroupLimit (PlanAuditSpec)
         row_number().over(Window.orderBy(col("n_total").desc, col("word"))))
       .select(col("rk"), col("word"), col("n_total"), col("n_docs"))
       .orderBy(col("rk"))

@@ -34,6 +34,8 @@ object TrainingQueries5 {
     val scored = Importance
       .dsirScores(docs, "doc_id", "text", isTarget = col("lang") === "en")
       .withColumn("dsir_score", round(col("score"), 4))
+    // bounded input: one row per doc after the score rollup; the top-k
+    // filter plans as WindowGroupLimit (per-partition limit first)
     val w = Window.orderBy(col("dsir_score").desc, col("doc_id"))
     scored.join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .orderBy(col("dsir_score").desc, col("doc_id")).limit(50)

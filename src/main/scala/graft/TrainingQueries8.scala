@@ -53,6 +53,7 @@ object TrainingQueries8 {
                           vocabRankLo: Int, vocabRankHi: Int, k: Int): DataFrame = {
     val tf = TfIdf.termFreq(docs, idCol, textCol).persist()
     val query = tf.groupBy("word").agg(sum("term_freq").as("n_total"))
+      // bounded input: the vocab rollup; rank plans as WindowGroupLimit
       .withColumn("vrk",
         row_number().over(Window.orderBy(col("n_total").desc, col("word"))))
       .filter(col("vrk").between(vocabRankLo, vocabRankHi)).select("word")
@@ -72,6 +73,8 @@ object TrainingQueries8 {
       .groupBy(col(idCol))
       .agg(sum("score_micro").as("score_micro"),
         count(lit(1)).as("n_terms_hit"))
+      // bounded input: one row per matched doc after the score rollup;
+      // the top-k filter plans as WindowGroupLimit (PlanAuditSpec pin)
       .withColumn("rk",
         row_number().over(Window.orderBy(col("score_micro").desc, col(idCol))))
       .filter(col("rk") <= k)
@@ -100,6 +103,8 @@ object TrainingQueries8 {
   private def c92BpePairs(s: SparkSession, dir: String): DataFrame = {
     adjacentPairs(T(s, dir, "documents"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
+      // bounded input: the bigram-type rollup (vocab²-bounded ≪ tokens);
+      // top-20 plans as WindowGroupLimit (PlanAuditSpec pin)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("n_pairs").desc, col("w1"), col("w2"))))
       .filter(col("rk") <= 20)
@@ -213,6 +218,8 @@ object TrainingQueries8 {
       .select(transform(col("ps"), p => p.getField("qm").cast("double")).as("qv"))
     val sem = emb.crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"), Fns.cosine(col("qv"), col("v"), 4).as("cos"))
+      // bounded input: one score row per doc; top-100 plans as
+      // WindowGroupLimit (at index scale this pass swaps for c7b IVF)
       .withColumn("rk_sem",
         row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
       .filter(col("rk_sem") <= 100)
@@ -221,6 +228,7 @@ object TrainingQueries8 {
       .withColumn("rrf_micro",
         coalesce(expr("1000000 div (60 + rk_lex)"), lit(0L)) +
           coalesce(expr("1000000 div (60 + rk_sem)"), lit(0L)))
+      // bounded input: the two k-row retrieval lists' fusion
       .withColumn("rk", row_number().over(
         Window.orderBy(col("rrf_micro").desc, col("doc_id"))))
       .filter(col("rk") <= 20)
@@ -245,6 +253,8 @@ object TrainingQueries8 {
       .agg(count(lit(1)).as("n_right_contexts"))
     left.join(right, Seq("word"), "left_outer")
       .crossJoin(broadcast(total))
+      // bounded input: the per-word continuation rollup (vocab-sized);
+      // top-k plans as WindowGroupLimit (PlanAuditSpec pin)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("n_left_contexts").desc, col("word"))))
       .filter(col("rk") <= k)
@@ -348,6 +358,8 @@ object TrainingQueries8 {
                   * cast(n * sjj - sj * sj as double)) * 1000000) as bigint)
            ELSE 0L END"""))
       .withColumn("rk", row_number().over(
+        // bounded input: d(d−1)/2 correlation cells (dims², not rows);
+        // top-20 plans as WindowGroupLimit (PlanAuditSpec pin)
         Window.orderBy(abs(col("corr_ppm")).desc, col("i"), col("j"))))
       .filter(col("rk") <= 20)
       .select(col("rk"), col("i"), col("j"), col("corr_ppm"))
@@ -564,6 +576,7 @@ object TrainingQueries8 {
     import s.implicits._
     val counts = adjacentPairs(T(s, dir, "documents"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    // bounded input: the bigram-type rollup (vocab²-bounded)
     val w = Window.orderBy(col("n").desc, col("w1"), col("w2"))
     val ranked = counts
       .withColumn("rk", row_number().over(w))

@@ -57,6 +57,8 @@ object TfIdf {
     tf.groupBy(col("word"))
       .agg(sum(col("term_freq")).as("n_total"), count(lit(1)).as("n_docs"))
       .withColumn("rk",
+      // bounded input: the vocab rollup (|distinct words| ≪ tokens);
+      // rank filters over it plan as WindowGroupLimit
         row_number().over(Window.orderBy(col("n_total").desc, col("word"))))
   }
 }

@@ -915,4 +915,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(explodes == 1 + cacheReads,
       s"expected 1 live trigram explode outside the cache:\n$p")
   }
+
+  test("partition-less rank windows prune via WindowGroupLimit (c90/c92/c93/c94/c96)") {
+    // These global rank windows sort ROLLUP-sized inputs (vocab,
+    // bigram types, per-doc scores, d²/2 correlation cells — never the
+    // corpus), and Spark 4.1 prunes the rank-k filter below the
+    // single-partition final sort: either a per-partition
+    // WindowGroupLimit or (when the window's sort IS the rank order) a
+    // TakeOrderedAndProject — each task forwards ≤ k rows either way.
+    // The two `WindowExec: No Partition Defined` bench warnings are
+    // these — bounded by construction; this guard pins the limit node
+    // so a regression (e.g. a rank filter rewritten past the pruning
+    // pattern) fails here, not in a benchmark.
+    Seq("c90_bm25", "c92_bpe_pairs", "c93_prf_hybrid", "c94_kn_counts",
+        "c96_embed_corr").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit") ||
+          p.contains("TakeOrderedAndProject"),
+        s"$q: global rank lost its limit prune:\n$p")
+    }
+  }
 }
