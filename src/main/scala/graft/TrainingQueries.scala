@@ -284,8 +284,13 @@ object TrainingQueries {
       df.select(col("query_id"), col("corpus_id"))
     val exact = pairs(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
       k = 5, roundScale = 4)).persist()
+    // every frame this query persists, released before returning — the
+    // result below is materialized in-query (4 audit rows), so the
+    // caches never outlive the call (no clearCache() needed downstream)
+    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](emb, exact)
     def audit(method: String, annRaw: DataFrame): DataFrame = {
       val ann = pairs(annRaw).persist() // |q|·k rows — tiny
+      persisted += ann
       val hits = exact.join(ann, Seq("query_id", "corpus_id"), "left_semi")
       val srcHits = ann.filter(col("corpus_id") === col("query_id") - 1000000L)
       exact.agg(count(lit(1)).as("n_exact"))
@@ -301,7 +306,7 @@ object TrainingQueries {
             .as("src_recall_ppm"))
     }
     val deq = int8Deq(emb)
-    audit("ivf", Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+    val audits = audit("ivf", Similarity.ivfTopK(emb, q, "vec_id", "embedding",
         k = 5, stride = 100, roundScale = 4))
       .unionAll(audit("ivf_int8", Similarity.ivfTopK(deq,
         deq.filter(col("vec_id") >= 1000000L), "vec_id", "embedding",
@@ -312,6 +317,10 @@ object TrainingQueries {
       .unionAll(audit("lsh", Similarity.lshTopK(emb, q, "vec_id",
         "embedding", k = 5, planes = 8, dim = 64, roundScale = 4)))
       .orderBy(col("method"))
+    // 4 rows: materialize, release every cache, hand back a local frame
+    val rows = audits.collect().toSeq
+    persisted.foreach(_.unpersist())
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), audits.schema)
   }
 
   // ------------------------------------------------------------------

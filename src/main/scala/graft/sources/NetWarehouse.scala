@@ -86,11 +86,14 @@ final class NetWarehouse(dbName: String) extends AutoCloseable {
   }
 
   private def serve(sock: Socket): Unit = {
-    val conn = DriverManager.getConnection(derbyUrl)
-    val ois = new ObjectInputStream(sock.getInputStream)
-    val oos = new ObjectOutputStream(sock.getOutputStream)
-    oos.flush()
+    // Setup can fail (db dropped while a connection races in); the socket
+    // must close on ANY path, so acquire everything inside the try.
+    var conn: Connection = null
     try {
+      conn = DriverManager.getConnection(derbyUrl)
+      val ois = new ObjectInputStream(sock.getInputStream)
+      val oos = new ObjectOutputStream(sock.getOutputStream)
+      oos.flush()
       var open = true
       while (open) {
         val msg = ois.readObject().asInstanceOf[Array[AnyRef]]
@@ -135,7 +138,7 @@ final class NetWarehouse(dbName: String) extends AutoCloseable {
             }
             result match {
               case _: ResultSet => Array[AnyRef]("err",
-                "graftnet: method returning ResultSet not supported")
+                "graftnet: method returning ResultSet not supported", null)
               case v => Array[AnyRef]("ok", v)
             }
           } catch {
@@ -151,10 +154,12 @@ final class NetWarehouse(dbName: String) extends AutoCloseable {
         oos.reset()
         oos.flush()
       }
-    } catch { case _: Exception => () } // client went away
+    } catch { case _: Exception => () } // client went away / setup failed
     finally {
-      try { if (!conn.getAutoCommit) conn.rollback() } catch { case _: Exception => () }
-      try conn.close() catch { case _: Exception => () }
+      if (conn != null) {
+        try { if (!conn.getAutoCommit) conn.rollback() } catch { case _: Exception => () }
+        try conn.close() catch { case _: Exception => () }
+      }
       try sock.close() catch { case _: Exception => () }
     }
   }

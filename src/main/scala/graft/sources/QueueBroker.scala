@@ -38,8 +38,42 @@ final class QueueBroker(val numPartitions: Int = 2) extends AutoCloseable {
   private val logs = Array.fill(numPartitions)(new ArrayBuffer[String]())
   // idempotent-producer ledger: one entry per accepted (query, epoch,
   // writer) batch — the Kafka producer-id/sequence dedup model, which
-  // is what makes sink-side epoch retries exactly-once (PUBBATCH)
-  private val seenBatches = scala.collection.mutable.Set[String]()
+  // is what makes sink-side epoch retries exactly-once (PUBBATCH).
+  // Bounded: epochs commit in order per query, so once epoch E is seen,
+  // a replay can only target E-1/E (task retry within the epoch, or the
+  // epoch re-run after a restart from the last checkpoint). Entries
+  // below maxEpoch - retainedEpochs can never legally replay and are
+  // evicted — without this a long-running stream leaks one entry per
+  // (epoch × writer) forever.
+  // The ledger also keeps a content digest per accepted batch: a replay
+  // must be byte-identical (same rows on the same partitions). If a
+  // restart changed the sink's partition layout, replayed rows arrive
+  // under different writer ids with different content — digest mismatch
+  // fails the write LOUDLY instead of silently dropping/duplicating.
+  private val retainedEpochs = 8L
+  private val seenBatches =
+    scala.collection.mutable.Map[String,
+      scala.collection.mutable.Map[Long, scala.collection.mutable.Map[Int, Long]]]()
+
+  /** Ledger entry count across all queries/epochs — test hook for the
+    * boundedness guarantee. */
+  private[graft] def ledgerSize: Int = logs.synchronized {
+    seenBatches.valuesIterator.map(_.valuesIterator.map(_.size).sum).sum
+  }
+
+  /** None = unseen; Some(digest) = previously accepted with that digest. */
+  private def batchSeen(query: String, epoch: Long, writer: Int): Option[Long] =
+    seenBatches.get(query).flatMap(_.get(epoch)).flatMap(_.get(writer))
+
+  private def recordBatch(query: String, epoch: Long, writer: Int,
+                          digest: Long): Unit = {
+    val epochs = seenBatches.getOrElseUpdate(query,
+      scala.collection.mutable.Map[Long, scala.collection.mutable.Map[Int, Long]]())
+    epochs.getOrElseUpdate(epoch, scala.collection.mutable.Map[Int, Long]())
+      .update(writer, digest)
+    val floor = epochs.keys.max - retainedEpochs
+    epochs.filterInPlace((e, _) => e >= floor)
+  }
   private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
   @volatile private var running = true
 
@@ -104,22 +138,32 @@ final class QueueBroker(val numPartitions: Int = 2) extends AutoCloseable {
             // "<partition> <b64>" — appended atomically, or skipped
             // wholesale when this (query, epoch, writer) batch was
             // already accepted (task/epoch retry)
-            val key = s"${parts(1)}:${parts(2)}:${parts(3)}"
+            val (qid, epoch, writer) =
+              (parts(1), parts(2).toLong, parts(3).toInt)
             val n = parts(4).toInt
             val rows = (0 until n).map { _ =>
               val sp = in.readLine().split(" ", 2)
               (sp(0).toInt, new String(
                 Base64.getDecoder.decode(sp(1)), StandardCharsets.UTF_8))
             }
-            val appended = logs.synchronized {
-              if (seenBatches.contains(key)) 0
-              else {
-                rows.foreach { case (p, s) => logs(p) += s }
-                seenBatches += key
-                rows.size
+            val digest = QueueBroker.batchDigest(rows)
+            val reply = logs.synchronized {
+              batchSeen(qid, epoch, writer) match {
+                case Some(prev) if prev == digest => "OK 0"
+                case Some(_) =>
+                  // key replay with DIFFERENT content: the producer's
+                  // partitioning changed across a restart — accepting
+                  // would lose or duplicate rows, so refuse loudly
+                  s"ERR digest mismatch for $qid epoch $epoch writer " +
+                    s"$writer: replayed batch content differs from the " +
+                    "accepted one (non-deterministic sink partitioning?)"
+                case None =>
+                  rows.foreach { case (p, s) => logs(p) += s }
+                  recordBatch(qid, epoch, writer, digest)
+                  s"OK ${rows.size}"
               }
             }
-            out.println(s"OK $appended")
+            out.println(reply)
           case other => out.println(s"ERR unknown command $other")
         }
         line = in.readLine()
@@ -135,6 +179,15 @@ final class QueueBroker(val numPartitions: Int = 2) extends AutoCloseable {
 }
 
 object QueueBroker {
+
+  /** Order-sensitive 64-bit content digest of a batch — computed
+    * identically broker-side on the decoded rows, so it needs no
+    * extra protocol field and an old client still gets the check. */
+  private[sources] def batchDigest(rows: Seq[(Int, String)]): Long =
+    rows.foldLeft(1125899906842597L) { case (h, (p, s)) =>
+      val hs = scala.util.hashing.MurmurHash3.stringHash(s, p)
+      h * 31 + hs
+    }
 
   /** Socket client — used on the DRIVER for offset discovery and on
     * EXECUTORS for range fetches ([[QueueSourceProvider]]'s partition

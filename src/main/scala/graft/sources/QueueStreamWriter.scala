@@ -27,6 +27,16 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
   *    routes explicitly (pmod into broker partitions), else rows
   *    route by a deterministic hash of the value — retries must land
   *    on the same partitions for the dedup to be byte-equivalent.
+  *
+  * CONSTRAINT: the dedup key is (queryId, epochId, partitionId), so a
+  * replayed epoch must re-offer byte-identical batches under the same
+  * writer ids. That holds when the upstream plan is deterministic and
+  * the sink's partition layout is stable across restarts (do NOT
+  * change `spark.sql.shuffle.partitions` between a crash and its
+  * recovery). The broker enforces it: each accepted batch's content
+  * digest is remembered, and a key replay with different content is
+  * REFUSED with an error (fail-loud) rather than silently dropped —
+  * see [[QueueBroker.batchDigest]].
   */
 private[sources] final class QueueStreamingWrite(
     host: String, port: Int, info: LogicalWriteInfo)

@@ -115,4 +115,47 @@ class StreamingBrokerSinkSpec extends SparkSpec {
       } finally c.close()
     } finally broker.close()
   }
+
+  test("key replay with DIFFERENT content is refused loudly, not silently dropped") {
+    // the r8 advisor's scenario: a restart changes the sink's partition
+    // layout, so a replayed (query, epoch, writer) key carries other
+    // rows — accepting would lose/duplicate; the broker must refuse
+    val broker = new QueueBroker(numPartitions = 2)
+    try {
+      val c = new QueueBroker.Client(broker.host, broker.port)
+      try {
+        assert(c.publishBatch("q1", 3L, 0, Seq((0, "a"), (1, "b"))) == 2L)
+        val e = intercept[java.io.IOException] {
+          c.publishBatch("q1", 3L, 0, Seq((0, "a"), (1, "DIFFERENT")))
+        }
+        assert(e.getMessage.contains("digest mismatch"))
+        // byte-identical replay still dedups cleanly afterwards
+        val c2 = new QueueBroker.Client(broker.host, broker.port)
+        try assert(c2.publishBatch("q1", 3L, 0, Seq((0, "a"), (1, "b"))) == 0L)
+        finally c2.close()
+      } finally c.close()
+    } finally broker.close()
+  }
+
+  test("dedup ledger is bounded: old epochs evict, recent ones stay deduped") {
+    val broker = new QueueBroker(numPartitions = 1)
+    try {
+      val c = new QueueBroker.Client(broker.host, broker.port)
+      try {
+        // a long-running stream: 200 epochs x 2 writers
+        (0L until 200L).foreach { e =>
+          assert(c.publishBatch("q1", e, 0, Seq((0, s"e$e-w0"))) == 1L)
+          assert(c.publishBatch("q1", e, 1, Seq((0, s"e$e-w1"))) == 1L)
+        }
+        // without eviction this would be 400 entries; the watermark
+        // keeps only the retained-epoch window per query
+        assert(broker.ledgerSize <= 2 * 9,
+          s"ledger leaked: ${broker.ledgerSize} entries after 200 epochs")
+        // epochs inside the retained window still dedup (the only
+        // epochs Spark can legally replay after a restart)
+        assert(c.publishBatch("q1", 199L, 0, Seq((0, "e199-w0"))) == 0L)
+        assert(c.publishBatch("q1", 195L, 1, Seq((0, "e195-w1"))) == 0L)
+      } finally c.close()
+    } finally broker.close()
+  }
 }
