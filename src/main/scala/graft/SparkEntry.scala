@@ -408,6 +408,162 @@ object SparkEntry {
     } finally broker.close()
   }
 
+  /** A17 promotion: the reference's WHOLE warehouse loop as ONE
+    * driver-checked row (main.ts:540 queue.process → flatten →
+    * clickhouse-batch-client.class.ts:492-568 evolve), every byte on
+    * real seams. A deterministic 1-in-11 event slice is published
+    * through the DSv2 WRITE sink (`writeStream.format("graft-queue")`
+    * — the A18b seam, driver-visible here), consumed back through the
+    * DSv2 read connector, flattened (JSON props → typed columns), and
+    * evolved into per-type JDBC warehouse tables. Two staged batches
+    * split at half max event_id (the a15 rule): batch 2 widens
+    * props.k long→string AND adds a new key v, so CREATE TABLE, the
+    * catalog ALTER TABLE ADD COLUMN, and the widen-to-String staged
+    * swap all run mid-stream, across a checkpointed restart that must
+    * consume ONLY new broker offsets. The final contents read back
+    * over JDBC are what the oracle checks. */
+  private def a17WarehouseRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val base = "jdbc:derby:memory:graft_a17"
+    try { java.sql.DriverManager.getConnection(s"$base;drop=true"); () }
+    catch { case _: java.sql.SQLException => () } // drop reports via exception
+    val url = s"$base;create=true"
+    val broker = new graft.sources.QueueBroker(numPartitions = 2)
+    try {
+      val ev = T(s, dir, "events")
+        .filter(col("event_id") % 11 === 0 &&
+          col("event_type").isNotNull && length(col("event_type")) > 0)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val maxRow = ev.agg(max(col("event_id"))).collect()(0)
+      require(!maxRow.isNullAt(0),
+        s"a17_warehouse_roundtrip: no events with event_id % 11 == 0 under $dir")
+      val half = maxRow.getLong(0) / 2
+      // batch 1: props {"k": <long>}; batch 2: k widened to string + new key v
+      val b1 = ev.filter(col("event_id") <= half)
+        .select(to_json(struct(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"),
+          to_json(struct(col("k"))).as("props"))).as("value"))
+      val b2 = ev.filter(col("event_id") > half)
+        .select(to_json(struct(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"),
+          to_json(struct(concat(lit("s"), col("k")).as("k"),
+            (col("event_id") % 7).as("v"))).as("props"))).as("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_a17").toString
+      val pubSchema = StructType(Seq(StructField("value", StringType)))
+      // producer seat: the DSv2 streaming WRITE sink publishes each
+      // staged batch onto the live broker (epoch-idempotent PUBBATCH)
+      def publish(df: DataFrame, tag: String): Unit = {
+        df.write.mode("overwrite").parquet(s"$tmp/in_$tag")
+        s.readStream.schema(pubSchema).parquet(s"$tmp/in_$tag")
+          .writeStream.format("graft-queue")
+          .option("host", broker.host)
+          .option("port", broker.port.toString)
+          .option("checkpointLocation", s"$tmp/pub_ck_$tag")
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      }
+      val eventSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      def consumed: DataFrame = s.readStream.format("graft-queue")
+        .option("host", broker.host)
+        .option("port", broker.port.toString)
+        .load()
+        .select(from_json(col("value"), eventSchema).as("e")).select("e.*")
+      val cfg = graft.streaming.EventPipeline.Config(
+        inputDir = "", outputDir = s"$tmp/out", checkpointDir = s"$tmp/ck")
+      def drainToWarehouse(): Unit =
+        graft.streaming.EventPipeline.startEvolvingJdbc(s,
+          graft.streaming.EventPipeline.FrameEventSource(consumed), cfg, url)
+          .awaitTermination()
+      publish(b1, "b1"); drainToWarehouse()
+      publish(b2, "b2"); drainToWarehouse() // restart: ONLY new offsets
+      // read back over JDBC; per-type tables align to the merged shape
+      // (a type all of whose rows landed in batch 1 never widened k,
+      // and never gained v — cast/backfill at read, like mergeSchema)
+      val types = ev.select(col("event_type")).distinct()
+        .collect().map(_.getString(0)) // bounded by table count
+      types.toSeq.sorted.map { t =>
+        var tb = graft.sources.JdbcEventSink.readTable(s, url,
+          graft.sources.JdbcEventSink.tableName(t))
+        if (!tb.columns.contains("k")) tb = tb.withColumn("k", lit(null))
+        if (!tb.columns.contains("v")) tb = tb.withColumn("v", lit(null))
+        tb.select(col("event_id"), lit(t).as("event_type"), col("user_id"),
+          col("value"), col("k").cast("string").as("k"),
+          col("v").cast("long").as("v"))
+      }.reduce(_.unionAll(_)).orderBy(col("event_id"))
+    } finally broker.close()
+  }
+
+  /** A18 promotion: the reference's RETRY LOOP as a driver-checked row
+    * (main.ts:388-409 re-enqueue + 463-514 never-lose-a-row). A
+    * deterministic 1-in-31 event slice — with every third row
+    * POISONED (event_type nulled) — is published onto a live broker
+    * by the executor-parallel [[graft.sources.QueuePublisher]], routed
+    * by the streaming pipeline with rows dead-lettering instead of
+    * dropping, repaired (type defaulted to 'recovered'), RE-ENQUEUED
+    * over the socket as single-row retry jobs, and drained by a
+    * checkpointed rerun that must consume only the re-enqueued
+    * offsets. The oracle checks every slice row arrived exactly once,
+    * under its original type or 'recovered' — a lost, duplicated, or
+    * double-recovered row breaks the hash. */
+  private def a18RetryRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val broker = new graft.sources.QueueBroker(numPartitions = 2)
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_a18").toString
+      val cfg = graft.streaming.EventPipeline.Config(
+        inputDir = "", outputDir = s"$tmp/out", checkpointDir = s"$tmp/ck",
+        dlqDir = Some(s"$tmp/dlq"))
+      val slice = T(s, dir, "events").filter(col("event_id") % 31 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          when(col("event_id") % 3 === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")).as("event_type"),
+          col("value"), lit("{}").as("props"))
+      val published = graft.sources.QueuePublisher.publish(
+        slice.select(to_json(struct(col("event_id"), col("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props")))
+          .as("payload"), col("event_id")),
+        broker.host, broker.port, col("payload"), col("event_id"))
+      require(published > 0,
+        s"a18_retry_roundtrip: no events with event_id % 31 == 0 under $dir")
+      val eventSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      def consumed: DataFrame = s.readStream.format("graft-queue")
+        .option("host", broker.host)
+        .option("port", broker.port.toString)
+        .load()
+        .select(from_json(col("value"), eventSchema).as("e")).select("e.*")
+      def run(): Unit = graft.streaming.EventPipeline.start(s,
+        graft.streaming.EventPipeline.FrameEventSource(consumed), cfg,
+        availableNow = true).awaitTermination()
+      run()
+      // repair the dead letters and re-enqueue over the wire (the
+      // reference's single-row retry jobs); a poison-free slice has no
+      // DLQ directory and nothing to replay
+      val dlq = try Some(s.read.parquet(cfg.dlqDir.get))
+                catch { case _: Exception => None }
+      dlq.foreach { d =>
+        val repaired = d.select(to_json(struct(col("event_id"), col("ts"),
+          col("user_id"), lit("recovered").as("event_type"), col("value"),
+          col("props"))).as("payload"), col("event_id"))
+        graft.sources.QueuePublisher.publish(repaired,
+          broker.host, broker.port, col("payload"), col("event_id"))
+        run() // same checkpoint: drains ONLY the re-enqueued offsets
+      }
+      s.read.parquet(cfg.outputDir)
+        .select(col("event_id"),
+          col("event_type").cast("string").as("event_type"),
+          col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    } finally broker.close()
+  }
+
   // ---------------------------------------------------------------
   // B. Analytics over the ingested tables
   // ---------------------------------------------------------------
@@ -473,6 +629,8 @@ object SparkEntry {
     "a15_jdbc_evolve" -> (a15JdbcEvolve _),
     "a15b_jdbc_evolve_net" -> (a15bJdbcEvolveNet _),
     "a16_broker_roundtrip" -> (a16BrokerRoundtrip _),
+    "a17_warehouse_roundtrip" -> (a17WarehouseRoundtrip _),
+    "a18_retry_roundtrip" -> (a18RetryRoundtrip _),
     "b1_pricing_summary" -> (b1Pricing _),
     "b8_daily_rollup" -> (b8DailyRollup _)
   ) ++ AnalyticsQueries.queries ++ AnalyticsQueries2.queries ++
@@ -521,6 +679,36 @@ object SparkEntry {
          WHERE event_id % 13 = 0 AND event_type IS NOT NULL
            AND len(event_type) > 0
          GROUP BY event_type ORDER BY event_type""",
+    // a17: the whole warehouse loop — broker write-sink + DSv2 read +
+    // flatten + JDBC evolve (CREATE / ADD COLUMN / widen) — replayed
+    // on a 1-in-11 slice; the oracle is the slice's expected final
+    // warehouse contents
+    "a17_warehouse_roundtrip" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, value,
+             try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events
+           WHERE event_id % 11 = 0 AND event_type IS NOT NULL
+             AND len(event_type) > 0),
+         h AS (SELECT max(event_id) // 2 AS half FROM ev)
+         SELECT event_id, event_type, user_id, value,
+           CASE WHEN k IS NULL THEN NULL
+                WHEN event_id <= (SELECT half FROM h)
+                  THEN CAST(k AS VARCHAR)
+                ELSE 's' || CAST(k AS VARCHAR) END AS k,
+           CASE WHEN event_id > (SELECT half FROM h)
+             THEN event_id % 7 END AS v
+         FROM ev ORDER BY event_id""",
+    // a18: the retry loop — every slice row arrives exactly once,
+    // poisoned rows (and natively type-less ones) under 'recovered'
+    "a18_retry_roundtrip" ->
+      """SELECT event_id,
+           CASE WHEN event_id % 3 = 0 OR event_type IS NULL
+                  OR len(event_type) = 0
+             THEN 'recovered' ELSE event_type END AS event_type,
+           user_id, value
+         FROM events WHERE event_id % 31 = 0
+         ORDER BY event_id""",
     "a15_jdbc_evolve" ->
       """WITH ev AS (
            SELECT event_id, value,
