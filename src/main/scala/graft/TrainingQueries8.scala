@@ -351,11 +351,20 @@ object TrainingQueries8 {
         s"element_at(g, ${idx("i", "j")}) as sij",
         s"element_at(g, ${idx("i", "i")}) as sii",
         s"element_at(g, ${idx("j", "j")}) as sjj")
+      // corr arithmetic in decimal(38,0): n·s_ij grows as N²·milli² and
+      // would pass int64 at N ≈ 5e6 worst-case rows; the lift runs on
+      // d(d-1)/2 = 2016 cells only (free), leaving the aggregate's own
+      // int64 element sums (safe to ~2.7e13 rows) as the sole ceiling —
+      // bounds measured by the r9 sf1 overflow sweep, docs/SCALE.md
+      .withColumn("nd", col("n").cast("decimal(38,0)"))
+      .withColumn("vi", expr("nd * sii - cast(si as decimal(38,0)) * si"))
+      .withColumn("vj", expr("nd * sjj - cast(sj as decimal(38,0)) * sj"))
       .withColumn("corr_ppm", expr(
-        """CASE WHEN (n * sii - si * si) > 0 AND (n * sjj - sj * sj) > 0
-           THEN cast(round(cast(n * sij - si * sj as double)
-             / sqrt(cast(n * sii - si * si as double)
-                  * cast(n * sjj - sj * sj as double)) * 1000000) as bigint)
+        """CASE WHEN vi > 0 AND vj > 0
+           THEN cast(round(
+             cast(nd * sij - cast(si as decimal(38,0)) * sj as double)
+             / sqrt(cast(vi as double) * cast(vj as double)) * 1000000)
+             as bigint)
            ELSE 0L END"""))
       .withColumn("rk", row_number().over(
         // bounded input: d(d−1)/2 correlation cells (dims², not rows);
