@@ -49,7 +49,13 @@ object ClusterSmoke {
       "c103_merge_sweep",
       // r8: the networked JDBC warehouse seam (closes the r7 FAIL)
       // and the driver-checked approx-distinct session mode
-      "a15b_jdbc_evolve_net", "b105_approx_mode")
+      "a15b_jdbc_evolve_net", "b105_approx_mode",
+      // r9: the two whole-loop promotions — a17 chains the DSv2 write
+      // sink, the broker connector, and the NETWORK warehouse (all
+      // wire seams, so it must survive real executors); a18 runs the
+      // poison→DLQ→re-enqueue→recover loop with executor-side
+      // producer sockets
+      "a17_warehouse_roundtrip", "a18_retry_roundtrip")
     var failed = 0
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     names.foreach { n =>

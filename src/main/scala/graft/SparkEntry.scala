@@ -425,10 +425,12 @@ object SparkEntry {
   private def a17WarehouseRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
-    val base = "jdbc:derby:memory:graft_a17"
-    try { java.sql.DriverManager.getConnection(s"$base;drop=true"); () }
-    catch { case _: java.sql.SQLException => () } // drop reports via exception
-    val url = s"$base;create=true"
+    // NETWORK-served warehouse (not embedded Derby): executor tasks
+    // dial the catalog over sockets, so this row also runs under
+    // local-cluster — the a15 lesson (an in-memory embedded DB is
+    // invisible to executor JVMs)
+    val wh = new graft.sources.NetWarehouse("graft_a17")
+    val url = wh.url
     val broker = new graft.sources.QueueBroker(numPartitions = 2)
     try {
       val ev = T(s, dir, "events")
@@ -441,7 +443,15 @@ object SparkEntry {
       require(!maxRow.isNullAt(0),
         s"a17_warehouse_roundtrip: no events with event_id % 11 == 0 under $dir")
       val half = maxRow.getLong(0) / 2
-      // batch 1: props {"k": <long>}; batch 2: k widened to string + new key v
+      // the reference risks exactly ONE widen ALTER (JdbcEventSink's
+      // contract) — so batch 2 widens k long→string for a single
+      // deterministic type (the slice's first, alphabetically) and
+      // adds key v for every type: one staged-rewrite swap, four
+      // metadata-only ADD COLUMNs (a widen is a full table rewrite
+      // over the wire; five of them would be bench-dominating AND
+      // unfaithful to the reference's one-risky-ALTER shape)
+      val widenType = ev.agg(min(col("event_type"))).collect()(0).getString(0)
+      // batch 1: props {"k": <long>}; batch 2: widened k + new key v
       val b1 = ev.filter(col("event_id") <= half)
         .select(to_json(struct(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"),
@@ -449,8 +459,11 @@ object SparkEntry {
       val b2 = ev.filter(col("event_id") > half)
         .select(to_json(struct(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"),
-          to_json(struct(concat(lit("s"), col("k")).as("k"),
-            (col("event_id") % 7).as("v"))).as("props"))).as("value"))
+          when(col("event_type") === widenType,
+            to_json(struct(concat(lit("s"), col("k")).as("k"),
+              (col("event_id") % 7).as("v"))))
+            .otherwise(to_json(struct(col("k"),
+              (col("event_id") % 7).as("v")))).as("props"))).as("value"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_a17").toString
       val pubSchema = StructType(Seq(StructField("value", StringType)))
       // producer seat: the DSv2 streaming WRITE sink publishes each
@@ -483,10 +496,12 @@ object SparkEntry {
       publish(b2, "b2"); drainToWarehouse() // restart: ONLY new offsets
       // read back over JDBC; per-type tables align to the merged shape
       // (a type all of whose rows landed in batch 1 never widened k,
-      // and never gained v — cast/backfill at read, like mergeSchema)
+      // and never gained v — cast/backfill at read, like mergeSchema);
+      // staged to parquet BEFORE the warehouse closes (the a15b/a16
+      // pattern — the returned frame must not depend on live servers)
       val types = ev.select(col("event_type")).distinct()
         .collect().map(_.getString(0)) // bounded by table count
-      types.toSeq.sorted.map { t =>
+      val back = types.toSeq.sorted.map { t =>
         var tb = graft.sources.JdbcEventSink.readTable(s, url,
           graft.sources.JdbcEventSink.tableName(t))
         if (!tb.columns.contains("k")) tb = tb.withColumn("k", lit(null))
@@ -494,8 +509,10 @@ object SparkEntry {
         tb.select(col("event_id"), lit(t).as("event_type"), col("user_id"),
           col("value"), col("k").cast("string").as("k"),
           col("v").cast("long").as("v"))
-      }.reduce(_.unionAll(_)).orderBy(col("event_id"))
-    } finally broker.close()
+      }.reduce(_.unionAll(_))
+      back.write.mode("overwrite").parquet(s"$tmp/back")
+      s.read.parquet(s"$tmp/back").orderBy(col("event_id"))
+    } finally { broker.close(); wh.close() }
   }
 
   /** A18 promotion: the reference's RETRY LOOP as a driver-checked row
@@ -690,12 +707,14 @@ object SparkEntry {
            FROM events
            WHERE event_id % 11 = 0 AND event_type IS NOT NULL
              AND len(event_type) > 0),
-         h AS (SELECT max(event_id) // 2 AS half FROM ev)
+         h AS (SELECT max(event_id) // 2 AS half,
+                      min(event_type) AS widen_type FROM ev)
          SELECT event_id, event_type, user_id, value,
            CASE WHEN k IS NULL THEN NULL
-                WHEN event_id <= (SELECT half FROM h)
-                  THEN CAST(k AS VARCHAR)
-                ELSE 's' || CAST(k AS VARCHAR) END AS k,
+                WHEN event_id > (SELECT half FROM h)
+                  AND event_type = (SELECT widen_type FROM h)
+                  THEN 's' || CAST(k AS VARCHAR)
+                ELSE CAST(k AS VARCHAR) END AS k,
            CASE WHEN event_id > (SELECT half FROM h)
              THEN event_id % 7 END AS v
          FROM ev ORDER BY event_id""",

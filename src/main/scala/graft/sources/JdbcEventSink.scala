@@ -73,6 +73,21 @@ object JdbcEventSink {
 
   private def qi(id: String): String = "\"" + id + "\""
 
+  /** Cap the INSERT fan-out: each write partition opens its own
+    * warehouse connection (Spark's JDBC writer), so a 32-shuffle-
+    * partition micro-batch filtered per type would dial the catalog
+    * 32× per table per batch — connection handshakes dominate small
+    * batches (measured ~10 s of pure setup on a17's 10 evolve rounds
+    * over the network warehouse). The reference bounds this the same
+    * way: one bulker channel per table, READ_MAX_CONCURRENCY-bounded
+    * (main.ts:40-77). Default 8 parallel inserts per table append;
+    * tune with spark.graft.jdbc.maxWritePartitions (raise it when the
+    * warehouse genuinely takes more parallel INSERT channels). */
+  private def capped(spark: SparkSession, df: DataFrame): DataFrame = {
+    val maxW = spark.conf.get("spark.graft.jdbc.maxWritePartitions", "8").toInt
+    df.coalesce(maxW) // no-op when df already has <= maxW partitions
+  }
+
   /** Append `df` to `table`, evolving the table's catalog schema with
     * the reference's merge rules. Returns the table's schema after
     * the append. Table names must be plain identifiers
@@ -83,7 +98,7 @@ object JdbcEventSink {
       case None =>
         // first batch CREATEs the table at the batch schema, exactly
         // like the parquet twin (and the reference's CREATE path)
-        df.write.jdbc(url, table, props(url))
+        capped(spark, df).write.jdbc(url, table, props(url))
         df.schema
       case Some(ex) =>
         val target = SchemaEvolution.merge(ex, df.schema)
@@ -106,7 +121,7 @@ object JdbcEventSink {
               catch { case _: java.sql.SQLException => () } // absent: fine
             }
           }
-          combined.write.jdbc(url, stage, props(url))
+          capped(spark, combined).write.jdbc(url, stage, props(url))
           withConn(url) { c =>
             val st = c.createStatement()
             st.execute(s"RENAME TABLE $table TO $retired")
@@ -122,7 +137,7 @@ object JdbcEventSink {
                 s"${qi(f.name)} ${derbyType(f.dataType)}")
             }
           }
-          SchemaEvolution.align(df, target)
+          capped(spark, SchemaEvolution.align(df, target))
             .write.mode("append").jdbc(url, table, props(url))
         }
         target

@@ -45,6 +45,10 @@ final class NetWarehouse(dbName: String) extends AutoCloseable {
     while (running) {
       try {
         val sock = server.accept()
+        // without this, every small reply waits out Nagle + delayed-ACK
+        // (~40 ms per RPC measured on loopback — the client side alone
+        // is not enough, replies stall in the server's send buffer)
+        sock.setTcpNoDelay(true)
         val t = new Thread(() => serve(sock))
         t.setDaemon(true)
         t.start()

@@ -84,6 +84,7 @@ final class QueueBroker(val numPartitions: Int = 2) extends AutoCloseable {
     while (running) {
       try {
         val sock = server.accept()
+        sock.setTcpNoDelay(true) // small replies must not wait out Nagle
         val t = new Thread(() => serve(sock))
         t.setDaemon(true)
         t.start()
@@ -195,6 +196,7 @@ object QueueBroker {
     * does per task). */
   final class Client(host: String, port: Int) extends AutoCloseable {
     private val sock = new Socket(host, port)
+    sock.setTcpNoDelay(true)
     private val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
     private val out = new PrintWriter(sock.getOutputStream, true)
