@@ -26,11 +26,19 @@ sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 
 con = duckdb.connect()
+# spill instead of bad_alloc on the quadratic oracles (the c65b
+# brute-force mirror at sf1 allocates tens of GB of intermediates)
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
+con.execute("SET max_temp_directory_size='100GB'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# optional name filter for re-running a single heavy compare
+if len(sys.argv) > 3:
+    keep = set(sys.argv[3].split(","))
+    oracle = {k: v for k, v in oracle.items() if k in keep}
 
 
 def kind(dtype):
