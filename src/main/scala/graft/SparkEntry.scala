@@ -626,6 +626,83 @@ object SparkEntry {
         col("n_events"), col("sum_value"), col("n_users"))
       .orderBy(col("event_type"), col("event_date"))
 
+  /** B33 promotion: the streaming SummingMergeTree view as a DRIVER
+    * row. Events split into 3 id-striped files feed the rollup one
+    * file per trigger — three micro-batches, each appending ONE
+    * partial-state part per key — then the WHOLE stream replays with
+    * a fresh checkpoint (every part written twice, the at-least-once
+    * worst case). The read-side view (batch_id dedup → merge →
+    * finalize) must still equal the direct groupBy over all events —
+    * a failed dedup doubles every sum and breaks the hash. n_parts
+    * pins multi-part maintenance (keys genuinely span parts, the
+    * merge is real, not one part passing through). */
+  private def b33StreamingRollup(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_b33").toString
+    val ev = T(s, dir, "events")
+      .filter(col("event_type").isNotNull && length(col("event_type")) > 0)
+      .select(col("event_type"),
+        Fns.floorDivLong(col("ts"), 86400L * 1000000000L).as("day"),
+        col("value"), pmod(col("event_id"), lit(3)).as("part"))
+    (0 until 3).foreach { p =>
+      ev.filter(col("part") === p).drop("part")
+        .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    }
+    val schema = s.read.parquet(s"$tmp/in").schema
+    def maintain(ck: String): Unit = graft.streaming.StreamingRollup.start(s,
+      graft.streaming.EventPipeline.FileEventSource(schema, s"$tmp/in", 1),
+      s"$tmp/states", ck, keys = Seq("event_type", "day"),
+      value = col("value")).awaitTermination()
+    maintain(s"$tmp/ck1")
+    maintain(s"$tmp/ck2") // full replay: duplicate parts for every batch
+    val keys = Seq("event_type", "day")
+    val parts = s.read.parquet(s"$tmp/states")
+      .dropDuplicates(keys :+ "batch_id")
+      .groupBy(keys.map(col): _*)
+      .agg(countDistinct(col("batch_id")).as("n_parts"))
+    graft.streaming.StreamingRollup.readFinal(s, s"$tmp/states", keys)
+      .join(parts, keys)
+      .select(col("event_type"), col("day"), col("n_rows"),
+        col("sum_value"), col("n_parts"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** B23 promotion (the sessions leg — the hardest semantics of the
+    * streaming-analytics row): native `session_window` sessionization
+    * RUN AS A STREAM (two time-ordered micro-batches, so sessions
+    * straddling the file boundary must merge through state), checked
+    * against a gaps-and-islands oracle: a new session starts strictly
+    * past the 30-minute gap, an event exactly AT the gap boundary
+    * merges (Spark coalesces touching windows). */
+  private def b23StreamSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_b23").toString
+    val ev = T(s, dir, "events").filter(col("event_id") % 7 === 0)
+      .select(col("ts"), col("user_id"), col("value"))
+    val maxRow = ev.agg(max(col("ts"))).collect()(0)
+    require(!maxRow.isNullAt(0),
+      s"b23_stream_sessions: no events with event_id % 7 == 0 under $dir")
+    val mid = maxRow.getLong(0) / 2
+    // time-ordered halves: later files only carry later events, so the
+    // watermark never discards a straggler the batch oracle would keep
+    Seq(col("ts") <= mid, col("ts") > mid).foreach { cond =>
+      ev.filter(cond).coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    }
+    val schema = s.read.parquet(s"$tmp/in").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    graft.streaming.StreamingAnalytics.sessionWindowRollup(stream)
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", s"$tmp/ck")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(s"$tmp/out"); ()
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.read.parquet(s"$tmp/out")
+      .select(col("user_id"), col("session_start_s"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("session_start_s"))
+  }
+
   // ---------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -649,7 +726,9 @@ object SparkEntry {
     "a17_warehouse_roundtrip" -> (a17WarehouseRoundtrip _),
     "a18_retry_roundtrip" -> (a18RetryRoundtrip _),
     "b1_pricing_summary" -> (b1Pricing _),
-    "b8_daily_rollup" -> (b8DailyRollup _)
+    "b8_daily_rollup" -> (b8DailyRollup _),
+    "b23_stream_sessions" -> (b23StreamSessions _),
+    "b33_streaming_rollup" -> (b33StreamingRollup _)
   ) ++ AnalyticsQueries.queries ++ AnalyticsQueries2.queries ++
     AnalyticsQueries3.queries ++ AnalyticsQueries4.queries ++
     AnalyticsQueries5.queries ++ AnalyticsQueries6.queries ++
@@ -696,6 +775,40 @@ object SparkEntry {
          WHERE event_id % 13 = 0 AND event_type IS NOT NULL
            AND len(event_type) > 0
          GROUP BY event_type ORDER BY event_type""",
+    // b33: the streaming summing view must equal the direct rollup —
+    // through 3 parts per key AND a whole-stream replay (batch_id
+    // dedup); n_parts pins real multi-part maintenance
+    "b33_streaming_rollup" ->
+      """SELECT event_type,
+           epoch_ns(ts) // 86400000000000 AS day,
+           count(*) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           count(DISTINCT event_id % 3) AS n_parts
+         FROM events
+         WHERE event_type IS NOT NULL AND len(event_type) > 0
+         GROUP BY 1, 2 ORDER BY event_type, day""",
+    // b23: streaming session_window vs the gaps-and-islands fold —
+    // new session strictly past the 30-min gap, boundary-touch merges
+    "b23_stream_sessions" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_ns(ts) AS tsn, value
+           FROM events WHERE event_id % 7 = 0),
+         m AS (
+           SELECT user_id, tsn, value,
+             CASE WHEN tsn - lag(tsn) OVER
+                 (PARTITION BY user_id ORDER BY tsn)
+               > 1800000000000 THEN 1 ELSE 0 END AS brk
+           FROM ev),
+         s AS (
+           SELECT user_id, tsn, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY tsn
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m)
+         SELECT user_id, min(tsn) // 1000000000 AS session_start_s,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start_s""",
     // a17: the whole warehouse loop — broker write-sink + DSv2 read +
     // flatten + JDBC evolve (CREATE / ADD COLUMN / widen) — replayed
     // on a 1-in-11 slice; the oracle is the slice's expected final
