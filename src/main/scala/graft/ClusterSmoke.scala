@@ -55,7 +55,10 @@ object ClusterSmoke {
       // wire seams, so it must survive real executors); a18 runs the
       // poison→DLQ→re-enqueue→recover loop with executor-side
       // producer sockets
-      "a17_warehouse_roundtrip", "a18_retry_roundtrip")
+      "a17_warehouse_roundtrip", "a18_retry_roundtrip",
+      // r9: streaming state merges under real executors — session
+      // state and partial-rollup parts cross JVM boundaries here
+      "b23_stream_sessions", "b33_streaming_rollup")
     // Untimed warmup (the local Bench discipline): executor-JVM spin-up,
     // codegen/janino compilation, and the first parquet-reader init
     // otherwise all land on whichever query runs first — r9's artifact
