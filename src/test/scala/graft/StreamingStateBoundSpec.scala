@@ -81,4 +81,47 @@ class StreamingStateBoundSpec extends SparkSpec {
         "saturated groups must report exactly n+1")
     } finally q.stop()
   }
+
+  test("ohlcStream: 100 micro-batches into 2 live bars, state rows == bars") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val hour = 3600L * ns
+    val q = StreamingAnalytics.ohlcStream(in.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ohlc_bound").start()
+    try {
+      (0 until 100).foreach { b =>
+        // all events land in hour 0 or hour 1 of one type: 2 bars ever
+        in.addData(Event(b.toLong, (b % 2) * hour + b * ns, 1L,
+          "trade", b * 1.0))
+        q.processAllAvailable()
+      }
+      val counts = stateRowCounts(q)
+      assert(counts.nonEmpty && counts.max <= 2,
+        s"state grew past the bar count: max ${counts.max} rows > 2 bars")
+      assert(counts.last == 2)
+    } finally q.stop()
+  }
+
+  test("transitionStream: 100 micro-batches, state rows == users (one last-event triple each)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val users = 5
+    val q = StreamingAnalytics.transitionStream(in.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trans_bound").start()
+    try {
+      (0 until 100).foreach { b =>
+        in.addData(Event(b.toLong, b.toLong * ns, (b % users).toLong,
+          if (b % 2 == 0) "a" else "b", 1.0))
+        q.processAllAvailable()
+      }
+      val counts = stateRowCounts(q)
+      assert(counts.nonEmpty && counts.max <= users,
+        s"state grew past the user count: max ${counts.max} rows > $users")
+      assert(counts.last == users)
+      // 100 events over 5 users -> 95 edges emitted, none lost
+      assert(spark.table("trans_bound").count() == 95L)
+    } finally q.stop()
+  }
 }
