@@ -522,7 +522,8 @@ object SparkEntry {
     * by the executor-parallel [[graft.sources.QueuePublisher]], routed
     * by the streaming pipeline with rows dead-lettering instead of
     * dropping, repaired (type defaulted to 'recovered'), RE-ENQUEUED
-    * over the socket as single-row retry jobs, and drained by a
+    * over the socket as retry jobs (one idempotent PUBBATCH per task
+    * on the wire), and drained by a
     * checkpointed rerun that must consume only the re-enqueued
     * offsets. The oracle checks every slice row arrived exactly once,
     * under its original type or 'recovered' — a lost, duplicated, or

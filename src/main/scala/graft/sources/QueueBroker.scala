@@ -50,10 +50,26 @@ final class QueueBroker(val numPartitions: Int = 2) extends AutoCloseable {
   // restart changed the sink's partition layout, replayed rows arrive
   // under different writer ids with different content — digest mismatch
   // fails the write LOUDLY instead of silently dropping/duplicating.
+  // Streaming sinks reuse ONE queryId across epochs (bounded by the
+  // epoch watermark above), but batch publishers ([[QueuePublisher]])
+  // mint a fresh call id per publish — without a bound across QUERIES
+  // a long-lived broker leaks one entry per call. Retain the most
+  // recently touched queries and evict the rest LRU: a task retry can
+  // only arrive while its job is still running, so an id idle behind
+  // 256 newer ones can never legally replay (same reasoning as Kafka's
+  // producer-id expiry).
   private val retainedEpochs = 8L
+  private val retainedQueries = 256
+  private var touchCounter = 0L
+  private val queryTouch = scala.collection.mutable.Map[String, Long]()
   private val seenBatches =
     scala.collection.mutable.Map[String,
       scala.collection.mutable.Map[Long, scala.collection.mutable.Map[Int, Long]]]()
+
+  private def touch(query: String): Unit = {
+    touchCounter += 1
+    queryTouch(query) = touchCounter
+  }
 
   /** Ledger entry count across all queries/epochs — test hook for the
     * boundedness guarantee. */
@@ -62,8 +78,11 @@ final class QueueBroker(val numPartitions: Int = 2) extends AutoCloseable {
   }
 
   /** None = unseen; Some(digest) = previously accepted with that digest. */
-  private def batchSeen(query: String, epoch: Long, writer: Int): Option[Long] =
-    seenBatches.get(query).flatMap(_.get(epoch)).flatMap(_.get(writer))
+  private def batchSeen(query: String, epoch: Long, writer: Int): Option[Long] = {
+    val hit = seenBatches.get(query).flatMap(_.get(epoch)).flatMap(_.get(writer))
+    if (seenBatches.contains(query)) touch(query) // keep active queries hot
+    hit
+  }
 
   private def recordBatch(query: String, epoch: Long, writer: Int,
                           digest: Long): Unit = {
@@ -73,6 +92,12 @@ final class QueueBroker(val numPartitions: Int = 2) extends AutoCloseable {
       .update(writer, digest)
     val floor = epochs.keys.max - retainedEpochs
     epochs.filterInPlace((e, _) => e >= floor)
+    touch(query)
+    while (seenBatches.size > retainedQueries) {
+      val coldest = queryTouch.minBy(_._2)._1
+      seenBatches.remove(coldest)
+      queryTouch.remove(coldest)
+    }
   }
   private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
   @volatile private var running = true

@@ -158,4 +158,30 @@ class StreamingBrokerSinkSpec extends SparkSpec {
       } finally c.close()
     } finally broker.close()
   }
+
+  test("dedup ledger is bounded across QUERIES: fresh publish call ids evict LRU") {
+    // QueuePublisher mints a fresh call id per publish(); the epoch
+    // watermark alone never evicts those (each lives at epoch 0 of its
+    // own query), so the broker also LRU-bounds the query count
+    val broker = new QueueBroker(numPartitions = 1)
+    try {
+      val c = new QueueBroker.Client(broker.host, broker.port)
+      try {
+        (0 until 600).foreach { i =>
+          assert(c.publishBatch(s"pub-$i", 0L, 0, Seq((0, s"job$i"))) == 1L)
+        }
+        assert(broker.ledgerSize <= 256,
+          s"ledger leaked across queries: ${broker.ledgerSize} after 600 calls")
+        // recent call ids still dedup their task retries…
+        assert(c.publishBatch("pub-599", 0L, 0, Seq((0, "job599"))) == 0L)
+        // …and a LIVE streaming query interleaved with publish churn is
+        // kept hot by its replay checks, not evicted out from under it
+        assert(c.publishBatch("stream-q", 7L, 0, Seq((0, "s7"))) == 1L)
+        (600 until 900).foreach { i =>
+          assert(c.publishBatch(s"pub-$i", 0L, 0, Seq((0, s"job$i"))) == 1L)
+          assert(c.publishBatch("stream-q", 7L, 0, Seq((0, "s7"))) == 0L)
+        }
+      } finally c.close()
+    } finally broker.close()
+  }
 }
