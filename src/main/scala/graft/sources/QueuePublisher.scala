@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   * logical job (fresh call id) and appends again, as re-enqueue
   * semantics require. The consumer-side `message_id` dedup remains
   * the end-to-end backstop for replays above this layer.
+  *
+  * Each task buffers its slice before the send (same contract as the
+  * DSv2 sink's commit-time buffer) and opens one broker connection, so
+  * the publish frame is coalesced to at most
+  * `spark.graft.queue.maxPublishPartitions` (default 8) tasks — a
+  * 10k-partition retry frame must not open 10k sockets against one
+  * broker, and narrower tasks also keep the per-task buffer small.
+  * Coalesce is narrow (no shuffle); 0 disables the cap.
   */
 object QueuePublisher {
 
@@ -34,13 +42,17 @@ object QueuePublisher {
       val c = new QueueBroker.Client(host, port)
       try c.numPartitions finally c.close()
     }
+    val maxTasks = df.sparkSession.conf
+      .get("spark.graft.queue.maxPublishPartitions", "8").toInt
     // fresh id per logical publish; tasks of ONE call share it so their
     // retries dedup, while a later call is a new job (no whitespace —
     // PUBBATCH keys are space-delimited on the wire)
     val callId = "pub-" + java.util.UUID.randomUUID().toString
-    df.select(payload.cast("string").as("__p"),
+    val routed = df.select(payload.cast("string").as("__p"),
         pmod(hash(key), lit(parts)).as("__bp"))
       .filter(col("__p").isNotNull)
+    val bounded = if (maxTasks > 0) routed.coalesce(maxTasks) else routed
+    bounded
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()

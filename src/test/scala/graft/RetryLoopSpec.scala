@@ -81,4 +81,21 @@ class RetryLoopSpec extends SparkSpec {
       assert(clicks.count() == 2, "clean restart must not re-route old rows")
     } finally broker.close()
   }
+
+  test("publish caps its broker fan-out: a wide frame coalesces to maxPublishPartitions tasks") {
+    // one PUBBATCH ledger entry per task, so on a fresh broker the
+    // ledger size IS the connection/task count — a 100-partition retry
+    // frame must not open 100 sockets against one broker
+    val broker = new QueueBroker(numPartitions = 2)
+    try {
+      val df = spark.range(500).toDF("event_id").repartition(100)
+        .select(to_json(struct(col("event_id"))).as("payload"), col("event_id"))
+      val published = QueuePublisher.publish(df,
+        broker.host, broker.port, col("payload"), col("event_id"))
+      assert(published == 500L)
+      assert(broker.endOffsets.sum == 500L, "all rows must arrive exactly once")
+      assert(broker.ledgerSize <= 8,
+        s"fan-out leak: ${broker.ledgerSize} publish tasks for one call (cap is 8)")
+    } finally broker.close()
+  }
 }
