@@ -82,10 +82,12 @@ object JdbcEventSink {
     * way: one bulker channel per table, READ_MAX_CONCURRENCY-bounded
     * (main.ts:40-77). Default 8 parallel inserts per table append;
     * tune with spark.graft.jdbc.maxWritePartitions (raise it when the
-    * warehouse genuinely takes more parallel INSERT channels). */
+    * warehouse genuinely takes more parallel INSERT channels; 0
+    * disables the cap, same contract as the queue publisher's). */
   private def capped(spark: SparkSession, df: DataFrame): DataFrame = {
     val maxW = spark.conf.get("spark.graft.jdbc.maxWritePartitions", "8").toInt
-    df.coalesce(maxW) // no-op when df already has <= maxW partitions
+    // coalesce is a no-op when df already has <= maxW partitions
+    if (maxW > 0) df.coalesce(maxW) else df
   }
 
   /** Append `df` to `table`, evolving the table's catalog schema with
