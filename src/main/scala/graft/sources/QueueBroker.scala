@@ -20,7 +20,11 @@ import scala.collection.mutable.ArrayBuffer
   *  - `END` returns a partition's log-end offset;
   *  - `FETCH from until` re-reads any retained range deterministically —
   *    which is precisely the property the checkpoint-replay story in
-  *    [[QueueSourceProvider]] depends on.
+  *    [[QueueSourceProvider]] depends on. Retention here is whole-log
+  *    (a test double keeps everything); a production broker prunes
+  *    below the consumers' committed offsets, which the connector
+  *    already tracks in its checkpoint, so nothing Spark-side assumes
+  *    offsets older than the last checkpoint stay readable.
   *
   * Protocol (line-oriented, payloads base64 so records may hold any
   * UTF-8 including newlines):
