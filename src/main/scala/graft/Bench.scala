@@ -74,7 +74,13 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_IDLE.json")))
-        """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+        // the baseline is only comparable at ITS OWN scale: a bench at
+        // a different sf dir (e.g. an sf1 sweep against the committed
+        // sf0.1 idle run) would "re-time" nearly every query and run
+        // the whole suite twice for nothing
+        val sfOf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        if (!sfOf.contains(sfDir)) Map.empty
+        else """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     val retimed = results.flatMap { case (name, sec) =>

@@ -442,25 +442,35 @@ object TrainingQueries {
         FROM cand c JOIN verified v ON c.id1 = v.id1 AND c.id2 = v.id2
         ORDER BY c.id1, c.id2"""
 
-  /** Mirror of Dedup.simHash32 + brute-force hamming pairs (the band
+  /** DuckDB mirror of [[graft.plans.SimHash64Util]]: 64 vote sums —
+    * bit i's source is bit (i mod 4) of hex digit (i div 4) of
+    * `md5(tok)`, the nibble read back from the hex string via
+    * substr+strpos — then sign → bit, packed into a signed BIGINT
+    * (bit 63 contributes min-long, the two's-complement identity). */
+  private[graft] def simhash64SumsSql: String =
+    (0 until 64).map { i =>
+      val nib = s"(strpos('0123456789abcdef', substr(md5(tok), ${(i >> 2) + 1}, 1)) - 1)"
+      s"sum(CASE WHEN (($nib >> ${i & 3}) & 1) = 1 THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(", ")
+
+  private[graft] def simhash64FpSql: String =
+    (0 until 64).map { i =>
+      val w = if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
+      s"(CASE WHEN s$i > 0 THEN CAST($w AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  /** Mirror of Dedup.simHash64 + brute-force hamming pairs (the band
     * join is exact for hamming ≤ 3, so brute force gives the same set). */
-  private def c3OracleSql: String = {
-    val odd = "('1','3','5','7','9','b','d','f')"
-    val sums = (0 until 32).map(i =>
-      s"sum(CASE WHEN substr(md5(tok), ${i + 1}, 1) IN $odd THEN 1 ELSE -1 END) AS s$i")
-      .mkString(", ")
-    val fp = (0 until 32).map(i =>
-      s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+  private def c3OracleSql: String =
     s"""WITH $corpusSql,
         toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM corpus),
-        sums AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
-        fp AS (SELECT doc_id, $fp AS simhash32 FROM sums)
+        sums AS (SELECT doc_id, $simhash64SumsSql FROM toks GROUP BY doc_id),
+        fp AS (SELECT doc_id, $simhash64FpSql AS simhash64 FROM sums)
         SELECT a.doc_id AS id1, b.doc_id AS id2,
-          bit_count(xor(a.simhash32, b.simhash32)) AS hamming
+          bit_count(xor(a.simhash64, b.simhash64)) AS hamming
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3
+        WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
         ORDER BY id1, id2"""
-  }
 
   private def c4OracleSql: String =
     s"""WITH $corpusSql,

@@ -688,22 +688,18 @@ object TrainingQueries7 {
           SELECT id1, id2, n_shared FROM pr WHERE n_shared >= 3
           ORDER BY id1, id2""",
     "c86_simhash_precision" -> {
-      val odd = "('1','3','5','7','9','b','d','f')"
-      val sums = (0 until 32).map(i =>
-        s"sum(CASE WHEN substr(md5(tok), ${i + 1}, 1) IN $odd THEN 1 ELSE -1 END) AS s$i")
-        .mkString(", ")
-      val fpBits = (0 until 32).map(i =>
-        s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
       s"""WITH ${TrainingQueries.corpusSql},
           toks AS (SELECT doc_id, unnest(${TrainingQueries.toksSql}) AS tok
             FROM corpus),
-          sums AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
-          fp AS (SELECT doc_id, $fpBits AS simhash32 FROM sums),
+          sums AS (SELECT doc_id, ${TrainingQueries.simhash64SumsSql}
+            FROM toks GROUP BY doc_id),
+          fp AS (SELECT doc_id, ${TrainingQueries.simhash64FpSql} AS simhash64
+            FROM sums),
           sp AS (
             SELECT a.doc_id AS id1, b.doc_id AS id2,
-              bit_count(xor(a.simhash32, b.simhash32)) AS hamming
+              bit_count(xor(a.simhash64, b.simhash64)) AS hamming
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3),
+            WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3),
           tk AS (SELECT doc_id, ${TrainingQueries.toksSql} AS tk FROM corpus),
           shd AS (
             SELECT doc_id, shs FROM (

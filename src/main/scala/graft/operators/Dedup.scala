@@ -311,48 +311,53 @@ object Dedup {
               s"i -> array_min(slice(hs, i, $w)))")))).as("fp"))
   }
 
-  /** SimHash fingerprint (32-bit: one ±1 vote per md5 hex-digit parity,
-    * summed over all tokens, sign → bit). Near-identical texts land
-    * within small hamming distance; pairing is then a band join on
-    * 8-bit bands, never a cross join. 32 bits (not 16) keeps band
-    * buckets fine-grained — 256 values per band — so bucket-mate
-    * candidate sets stay bounded even on vocabulary-correlated corpora.
+  /** SimHash fingerprint (64-bit: one ±1 vote per bit of the md5's
+    * first 64 bits, summed over all tokens, sign → bit). Near-identical
+    * texts land within small hamming distance; pairing is then a band
+    * join on 16-bit bands, never a cross join. Width is the scale dial:
+    * the band join costs Σ bucket² per band, so the band-key space must
+    * outgrow the corpus — 8-bit bands (the 32-bit fingerprint's) give
+    * 256 buckets and the r9 sf1 sweep measured the pairing going
+    * superlinear (1.05 s → 55 s for 10× docs); 16-bit bands give
+    * 65 536, a 256× lower collision coefficient, same pigeonhole-exact
+    * hamming ≤ 3 (the Manku WWW'07 64-bit shape).
     *
-    * One projection via [[graft.plans.SimHash32]] — no token explode,
-    * no 32-sum aggregate, no shuffle: fingerprinting is scan-speed.
+    * One projection via [[graft.plans.SimHash64]] — no token explode,
+    * no 64-sum aggregate, no shuffle: fingerprinting is scan-speed.
     * Docs with zero tokens are excluded (the aggregation form had no
     * group for them). */
-  def simHash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = Fns.tokens(col(textCol))
     docs.filter(size(toks) > 0)
       .select(col(idCol).as("doc_id"),
-        graft.plans.Cols.column(graft.plans.SimHash32(
-          graft.plans.Cols.expression(toks))).as("simhash32"))
+        graft.plans.Cols.column(graft.plans.SimHash64(
+          graft.plans.Cols.expression(toks))).as("simhash64"))
   }
 
-  /** SimHash near-dup pairs within `maxHamming`, found by a byte-band
-    * self-join (4 bands of 8 bits). Pigeonhole: hamming ≤ 3 over 4
-    * bands forces at least one identical band, so the band join is
-    * EXACT for maxHamming ≤ 3 — same pairs as a cross join, at
-    * |bucket|-sized cost. */
+  /** SimHash near-dup pairs within `maxHamming`, found by a 16-bit-band
+    * self-join (4 bands of 16 bits over the 64-bit fingerprint).
+    * Pigeonhole: hamming ≤ 3 over 4 bands forces at least one identical
+    * band, so the band join is EXACT for maxHamming ≤ 3 — same pairs as
+    * a cross join, at |bucket|-sized cost (and bucket sizes are what
+    * the 64-bit width bounds; see [[simHash64]]). */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4-band byte join is only exact for hamming <= 3")
-    val fp = simHash32(docs, idCol, textCol)
+    require(maxHamming <= 3, "4-band join is only exact for hamming <= 3")
+    val fp = simHash64(docs, idCol, textCol)
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash32"), 8 * b).bitwiseAND(255L).as("bk"))
+        shiftright(col("simhash64"), 16 * b).bitwiseAND(65535L).as("bk"))
     }
-    val banded = fp.select(col("doc_id"), col("simhash32"),
+    val banded = fp.select(col("doc_id"), col("simhash64"),
         explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash32"),
+      .select(col("doc_id"), col("simhash64"),
         col("bb.band").as("band"), col("bb.bk").as("bk"))
       .persist(StorageLevel.MEMORY_AND_DISK) // self-joined below
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        bit_count(col("a.simhash32").bitwiseXOR(col("b.simhash32"))).as("hamming"))
+        bit_count(col("a.simhash64").bitwiseXOR(col("b.simhash64"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -38,7 +38,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: identical texts distance 0; near-dups small distance") {
-    val fp = Dedup.simHash32(docs, "doc_id", "text")
+    val fp = Dedup.simHash64(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp(1L) == fp(2L)) // identical tokens -> identical fingerprint
     val d13 = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
