@@ -415,13 +415,15 @@ object SparkEntry {
     * through the DSv2 WRITE sink (`writeStream.format("graft-queue")`
     * — the A18b seam, driver-visible here), consumed back through the
     * DSv2 read connector, flattened (JSON props → typed columns), and
-    * evolved into per-type JDBC warehouse tables. Two staged batches
-    * split at half max event_id (the a15 rule): batch 2 widens
-    * props.k long→string AND adds a new key v, so CREATE TABLE, the
-    * catalog ALTER TABLE ADD COLUMN, and the widen-to-String staged
-    * swap all run mid-stream, across a checkpointed restart that must
-    * consume ONLY new broker offsets. The final contents read back
-    * over JDBC are what the oracle checks. */
+    * evolved into per-type JDBC warehouse tables. Three staged batches
+    * split at half max event_id (the a15 rule): the second half adds
+    * a new key v for every type and widens props.k long→string for
+    * ONE type (shipped as its own micro-batch — see the staging
+    * comment below), so CREATE TABLE, the catalog ALTER TABLE ADD
+    * COLUMN, and exactly one widen-to-String staged swap all run
+    * mid-stream, across checkpointed restarts that must consume ONLY
+    * new broker offsets. The final contents read back over JDBC are
+    * what the oracle checks. */
   private def a17WarehouseRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
@@ -444,26 +446,34 @@ object SparkEntry {
         s"a17_warehouse_roundtrip: no events with event_id % 11 == 0 under $dir")
       val half = maxRow.getLong(0) / 2
       // the reference risks exactly ONE widen ALTER (JdbcEventSink's
-      // contract) — so batch 2 widens k long→string for a single
-      // deterministic type (the slice's first, alphabetically) and
-      // adds key v for every type: one staged-rewrite swap, four
-      // metadata-only ADD COLUMNs (a widen is a full table rewrite
-      // over the wire; five of them would be bench-dominating AND
-      // unfaithful to the reference's one-risky-ALTER shape)
+      // contract) — so the second half widens k long→string for a
+      // single deterministic type (the slice's first, alphabetically)
+      // and adds key v for every type. The widen-type rows ship as
+      // their OWN micro-batch: JSON schema inference is batch-wide, so
+      // one string k in a mixed batch stringifies k for every type and
+      // all five tables would take the staged-rewrite widen path (a
+      // widen is a full table rewrite over the wire; five of them
+      // would be bench-dominating AND unfaithful to the reference's
+      // one-risky-ALTER shape). Staged separately: four metadata-only
+      // ADD COLUMNs, then the one real widen.
       val widenType = ev.agg(min(col("event_type"))).collect()(0).getString(0)
-      // batch 1: props {"k": <long>}; batch 2: widened k + new key v
+      // batch 1: props {"k": <long>}; batch 2a: k + new key v (types
+      // that never widen); batch 2b: widened k + v (the one type)
       val b1 = ev.filter(col("event_id") <= half)
         .select(to_json(struct(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"),
           to_json(struct(col("k"))).as("props"))).as("value"))
-      val b2 = ev.filter(col("event_id") > half)
+      val rest = ev.filter(col("event_id") > half)
+      val b2a = rest.filter(col("event_type") =!= widenType)
         .select(to_json(struct(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"),
-          when(col("event_type") === widenType,
-            to_json(struct(concat(lit("s"), col("k")).as("k"),
-              (col("event_id") % 7).as("v"))))
-            .otherwise(to_json(struct(col("k"),
-              (col("event_id") % 7).as("v")))).as("props"))).as("value"))
+          to_json(struct(col("k"),
+            (col("event_id") % 7).as("v"))).as("props"))).as("value"))
+      val b2b = rest.filter(col("event_type") === widenType)
+        .select(to_json(struct(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"),
+          to_json(struct(concat(lit("s"), col("k")).as("k"),
+            (col("event_id") % 7).as("v"))).as("props"))).as("value"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_a17").toString
       val pubSchema = StructType(Seq(StructField("value", StringType)))
       // producer seat: the DSv2 streaming WRITE sink publishes each
@@ -493,7 +503,9 @@ object SparkEntry {
           graft.streaming.EventPipeline.FrameEventSource(consumed), cfg, url)
           .awaitTermination()
       publish(b1, "b1"); drainToWarehouse()
-      publish(b2, "b2"); drainToWarehouse() // restart: ONLY new offsets
+      // each drain is a checkpointed restart consuming ONLY new offsets
+      publish(b2a, "b2a"); drainToWarehouse() // 4 metadata-only ADD COLUMNs
+      publish(b2b, "b2b"); drainToWarehouse() // the ONE staged-rewrite widen
       // read back over JDBC; per-type tables align to the merged shape
       // (a type all of whose rows landed in batch 1 never widened k,
       // and never gained v — cast/backfill at read, like mergeSchema);

@@ -56,24 +56,32 @@ final class QueueBroker(val numPartitions: Int = 2) extends AutoCloseable {
   // fails the write LOUDLY instead of silently dropping/duplicating.
   // Streaming sinks reuse ONE queryId across epochs (bounded by the
   // epoch watermark above), but batch publishers ([[QueuePublisher]])
-  // mint a fresh call id per publish — without a bound across QUERIES
-  // a long-lived broker leaks one entry per call. Retain the most
-  // recently touched queries and evict the rest LRU: a task retry can
-  // only arrive while its job is still running, so an id idle behind
-  // 256 newer ones can never legally replay (same reasoning as Kafka's
-  // producer-id expiry).
+  // mint a fresh call id per publish — without a bound across those
+  // ids a long-lived broker leaks one entry per call. ONLY that
+  // namespace is evictable: ids with the publisher's "pub-" prefix
+  // are LRU-bounded (a batch publish's task retry can only arrive
+  // while its Spark job is still running, so a pub id idle behind 256
+  // newer ones can never legally replay — Kafka's producer-id-expiry
+  // reasoning). Streaming sink ids are NEVER evicted: a streaming
+  // query may crash after the broker accepted an epoch but before the
+  // Spark checkpoint committed, and legally re-offer that epoch after
+  // an arbitrarily long outage — evicting its entries under publish
+  // churn would turn that replay into a silent double-append. Their
+  // footprint stays bounded by the per-query epoch watermark.
   private val retainedEpochs = 8L
   private val retainedQueries = 256
+  private val evictablePrefix = "pub-"
   private var touchCounter = 0L
   private val queryTouch = scala.collection.mutable.Map[String, Long]()
   private val seenBatches =
     scala.collection.mutable.Map[String,
       scala.collection.mutable.Map[Long, scala.collection.mutable.Map[Int, Long]]]()
 
-  private def touch(query: String): Unit = {
-    touchCounter += 1
-    queryTouch(query) = touchCounter
-  }
+  private def touch(query: String): Unit =
+    if (query.startsWith(evictablePrefix)) {
+      touchCounter += 1
+      queryTouch(query) = touchCounter
+    }
 
   /** Ledger entry count across all queries/epochs — test hook for the
     * boundedness guarantee. */
@@ -97,7 +105,7 @@ final class QueueBroker(val numPartitions: Int = 2) extends AutoCloseable {
     val floor = epochs.keys.max - retainedEpochs
     epochs.filterInPlace((e, _) => e >= floor)
     touch(query)
-    while (seenBatches.size > retainedQueries) {
+    while (queryTouch.size > retainedQueries) {
       val coldest = queryTouch.minBy(_._2)._1
       seenBatches.remove(coldest)
       queryTouch.remove(coldest)

@@ -25,13 +25,17 @@ import org.apache.spark.sql.functions._
   * semantics require. The consumer-side `message_id` dedup remains
   * the end-to-end backstop for replays above this layer.
   *
-  * Each task buffers its slice before the send (same contract as the
-  * DSv2 sink's commit-time buffer) and opens one broker connection, so
-  * the publish frame is coalesced to at most
-  * `spark.graft.queue.maxPublishPartitions` (default 8) tasks — a
-  * 10k-partition retry frame must not open 10k sockets against one
-  * broker, and narrower tasks also keep the per-task buffer small.
-  * Coalesce is narrow (no shuffle); 0 disables the cap.
+  * Each task buffers its slice before the send — PUBBATCH needs the
+  * whole frame up front (the broker dedups/digests it atomically), the
+  * same commit-time buffer contract as the DSv2 sink — and opens one
+  * broker connection. The publish frame is coalesced to at most
+  * `spark.graft.queue.maxPublishPartitions` (default 8) tasks so a
+  * 10k-partition retry frame doesn't open 10k sockets against one
+  * broker. The trade is explicit: fewer tasks = fewer connections but
+  * LARGER per-task buffers (~|rows|/maxTasks each, broker-side too) —
+  * for a very large replay, RAISE the cap to bound buffer size at the
+  * price of more connections, or 0 to disable the coalesce entirely.
+  * Coalesce is narrow (no shuffle).
   */
 object QueuePublisher {
 

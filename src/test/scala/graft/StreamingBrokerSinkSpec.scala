@@ -159,28 +159,33 @@ class StreamingBrokerSinkSpec extends SparkSpec {
     } finally broker.close()
   }
 
-  test("dedup ledger is bounded across QUERIES: fresh publish call ids evict LRU") {
-    // QueuePublisher mints a fresh call id per publish(); the epoch
-    // watermark alone never evicts those (each lives at epoch 0 of its
-    // own query), so the broker also LRU-bounds the query count
+  test("dedup ledger is bounded across publish call ids, and ONLY across those") {
+    // QueuePublisher mints a fresh "pub-" call id per publish(); the
+    // epoch watermark alone never evicts those (each lives at epoch 0
+    // of its own query), so the broker LRU-bounds that namespace —
+    // and ONLY that namespace: a streaming sink id must survive
+    // arbitrary publish churn untouched, because its query may crash
+    // after the broker accepted an epoch but before the checkpoint
+    // committed, and legally re-offer that epoch much later
     val broker = new QueueBroker(numPartitions = 1)
     try {
       val c = new QueueBroker.Client(broker.host, broker.port)
       try {
-        (0 until 600).foreach { i =>
-          assert(c.publishBatch(s"pub-$i", 0L, 0, Seq((0, s"job$i"))) == 1L)
-        }
-        assert(broker.ledgerSize <= 256,
-          s"ledger leaked across queries: ${broker.ledgerSize} after 600 calls")
-        // recent call ids still dedup their task retries…
-        assert(c.publishBatch("pub-599", 0L, 0, Seq((0, "job599"))) == 0L)
-        // …and a LIVE streaming query interleaved with publish churn is
-        // kept hot by its replay checks, not evicted out from under it
+        // a streaming epoch accepted BEFORE the churn, then never
+        // touched while 900 publish calls come and go
         assert(c.publishBatch("stream-q", 7L, 0, Seq((0, "s7"))) == 1L)
-        (600 until 900).foreach { i =>
+        (0 until 900).foreach { i =>
           assert(c.publishBatch(s"pub-$i", 0L, 0, Seq((0, s"job$i"))) == 1L)
-          assert(c.publishBatch("stream-q", 7L, 0, Seq((0, "s7"))) == 0L)
         }
+        assert(broker.ledgerSize <= 256 + 1,
+          s"ledger leaked across call ids: ${broker.ledgerSize} after 900 calls")
+        // recent call ids still dedup their task retries…
+        assert(c.publishBatch("pub-899", 0L, 0, Seq((0, "job899"))) == 0L)
+        // …and the crash-replayed streaming epoch is STILL deduped —
+        // eviction must never have touched the non-pub namespace
+        assert(c.publishBatch("stream-q", 7L, 0, Seq((0, "s7"))) == 0L,
+          "publish churn evicted a streaming query's epoch entry: a " +
+            "restart replay would silently double-append")
       } finally c.close()
     } finally broker.close()
   }

@@ -38,6 +38,9 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 # optional name filter for re-running a single heavy compare
 if len(sys.argv) > 3:
     keep = set(sys.argv[3].split(","))
+    unknown = sorted(keep - set(oracle))
+    if unknown:  # a typo'd name must not produce a silent green run
+        sys.exit(f"unknown query name(s) in filter: {unknown}")
     oracle = {k: v for k, v in oracle.items() if k in keep}
 
 

@@ -15,11 +15,16 @@ query map by hand; this makes it a command:
 Usage: python3 tools/survey_check.py [verify_outdir]
 (default /tmp/gv01 — run graft.Verify first)
 """
-import json, re, sys
+import json, os, re, sys
 
 outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gv01"
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-registered = set(oracle)
+# every Verify output dir is a registered query — including any that
+# have no oracleSql row (oracle keys alone would miss those, falsely
+# flagging a no-oracle query as PHANTOM and never as UNDOCUMENTED)
+dumped = {d for d in os.listdir(outdir)
+          if os.path.isdir(os.path.join(outdir, d))}
+registered = set(oracle) | dumped
 
 survey = open("SURVEY.md").read()
 sec2 = survey.split("## §2", 1)[1].split("\n## §", 1)[0]
