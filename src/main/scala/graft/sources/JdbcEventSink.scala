@@ -149,9 +149,22 @@ object JdbcEventSink {
     spark.read.jdbc(url, table, props(url))
 
   /** SQL-safe table name for an event type (the per-type table
-    * convention, JDBC side). */
+    * convention, JDBC side). INJECTIVE, unlike a plain
+    * replaceAll("[^a-z0-9_]", "_"): that folded "page view",
+    * "Page-View", and "page_view" into ONE table, silently unioning
+    * unrelated types' rows and cross-evolving their prop columns.
+    * Here [a-z0-9] passes through and EVERY other char — including
+    * '_' and uppercase — encodes as "_hh" (lowercase hex of the char
+    * code; "_u{hex}_" for codepoints past 0xff). '_' never appears
+    * bare, so the encoding is prefix-free: distinct types always get
+    * distinct tables. Common clean types ("click", "purchase"…) keep
+    * their natural names. */
   def tableName(eventType: String): String =
-    "ev_" + eventType.toLowerCase.replaceAll("[^a-z0-9_]", "_")
+    "ev_" + eventType.flatMap { c =>
+      if (c >= 'a' && c <= 'z' || c >= '0' && c <= '9') c.toString
+      else if (c <= 0xff) f"_${c.toInt}%02x"
+      else f"_u${c.toInt}%x_"
+    }
 
   /** One micro-batch's routed JDBC write: each present event type
     * appends (with evolution) to its own table. The per-type loop is

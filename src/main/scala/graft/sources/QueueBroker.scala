@@ -50,10 +50,12 @@ final class QueueBroker(val numPartitions: Int = 2) extends AutoCloseable {
   // evicted — without this a long-running stream leaks one entry per
   // (epoch × writer) forever.
   // The ledger also keeps a content digest per accepted batch: a replay
-  // must be byte-identical (same rows on the same partitions). If a
-  // restart changed the sink's partition layout, replayed rows arrive
-  // under different writer ids with different content — digest mismatch
-  // fails the write LOUDLY instead of silently dropping/duplicating.
+  // must carry the SAME ROW MULTISET on the same partitions (arrival
+  // order is free — Spark doesn't guarantee it across task attempts).
+  // If a restart changed the sink's partition layout, replayed rows
+  // arrive under different writer ids with different content — digest
+  // mismatch fails the write LOUDLY instead of silently
+  // dropping/duplicating.
   // Streaming sinks reuse ONE queryId across epochs (bounded by the
   // epoch watermark above), but batch publishers ([[QueuePublisher]])
   // mint a fresh call id per publish — without a bound across those
@@ -185,8 +187,17 @@ final class QueueBroker(val numPartitions: Int = 2) extends AutoCloseable {
                 Base64.getDecoder.decode(sp(1)), StandardCharsets.UTF_8))
             }
             val digest = QueueBroker.batchDigest(rows)
+            val badPart = rows.collectFirst {
+              case (p, _) if p < 0 || p >= numPartitions => p
+            }
             val reply = logs.synchronized {
-              batchSeen(qid, epoch, writer) match {
+              if (badPart.isDefined)
+                // validate BEFORE any append: a mid-batch failure after
+                // earlier rows landed (unrecorded) would duplicate them
+                // on the client's retry — the documented contract is
+                // appended atomically or skipped wholesale
+                s"ERR partition ${badPart.get} out of range [0, $numPartitions)"
+              else batchSeen(qid, epoch, writer) match {
                 case Some(prev) if prev == digest => "OK 0"
                 case Some(_) =>
                   // key replay with DIFFERENT content: the producer's
@@ -218,13 +229,26 @@ final class QueueBroker(val numPartitions: Int = 2) extends AutoCloseable {
 
 object QueueBroker {
 
-  /** Order-sensitive 64-bit content digest of a batch — computed
-    * identically broker-side on the decoded rows, so it needs no
-    * extra protocol field and an old client still gets the check. */
+  /** Order-INSENSITIVE 64-bit content digest of a batch (commutative
+    * sum of per-row hashes, each mixing the row's target partition) —
+    * computed broker-side on the decoded rows, so it needs no extra
+    * protocol field. Multiset equality is deliberate: Spark only
+    * guarantees a retried/speculative task re-produces the same SET of
+    * rows, not the same arrival order (shuffle fetch order varies
+    * across attempts), and an order-sensitive digest would refuse a
+    * legal byte-identical-content replay as a mismatch and fail the
+    * query permanently. Any changed/added/dropped row (or a row routed
+    * to a different partition) still flips the digest. */
+  private def mix64(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   private[sources] def batchDigest(rows: Seq[(Int, String)]): Long =
-    rows.foldLeft(1125899906842597L) { case (h, (p, s)) =>
-      val hs = scala.util.hashing.MurmurHash3.stringHash(s, p)
-      h * 31 + hs
+    rows.foldLeft(rows.size.toLong * 1125899906842597L) { case (h, (p, s)) =>
+      h + mix64(scala.util.hashing.MurmurHash3.stringHash(s, p).toLong)
     }
 
   /** Socket client — used on the DRIVER for offset discovery and on

@@ -61,8 +61,14 @@ object QueueSourceProvider {
     .add("offset", LongType)
 }
 
-private[sources] final class QueueTable(props: Map[String, String])
+private[sources] final class QueueTable(rawProps: Map[String, String])
     extends Table with SupportsRead with SupportsWrite {
+  // DSv2 options are case-insensitive by convention (Kafka's are): the
+  // properties map arrives case-PRESERVED, so normalize the keys once —
+  // a user writing .option("MaxRecordsPerTrigger", …) must get admission
+  // control, not a silently unbounded first micro-batch
+  private val props: Map[String, String] =
+    rawProps.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
   private def opt(key: String): String = props.getOrElse(key,
     throw new IllegalArgumentException(s"graft-queue requires option '$key'"))
 
@@ -76,8 +82,7 @@ private[sources] final class QueueTable(props: Map[String, String])
     new ScanBuilder {
       override def build(): Scan = new QueueScan(
         opt("host"), opt("port").toInt,
-        props.get("maxrecordspertrigger").orElse(props.get("maxRecordsPerTrigger"))
-          .map(_.toLong).getOrElse(0L))
+        props.get("maxrecordspertrigger").map(_.toLong).getOrElse(0L))
     }
 
   /** The producer half ([[QueueStreamingWrite]]): epoch-idempotent

@@ -149,15 +149,25 @@ object EventPipeline {
     spark.read.option("mergeSchema", "true").parquet(cfg.outputDir)
       .filter(col("event_type") === eventType)
 
-  /** Escape an event_type for use as a directory name (the same job
-    * partitionBy's escaping does on the non-evolving path): anything
-    * outside [A-Za-z0-9_-] percent-encodes, so "page/view" or "../x"
-    * cannot escape or nest under the output root. */
+  /** Escape an event_type for use as a directory name, using the SAME
+    * character set Hive/Spark's own `escapePathName` uses on the
+    * non-evolving `partitionBy` path — control chars plus the
+    * filesystem/URI specials below percent-encode; everything else
+    * (including non-ASCII letters) passes through raw, exactly as
+    * `partitionBy` writes it. Parity matters: Spark's partition
+    * unescaping decodes each `%XX` as ONE char, so escapes must be
+    * single-byte (the old form emitted `%4E2D` for '中', which
+    * partition discovery mangled to "N2D") and raw chars must match
+    * what `partitionBy` itself would leave raw. '/' and '\' are in
+    * the set, so "page/view" or "../x" still cannot escape or nest
+    * under the output root (the dots stay inside one path segment). */
+  private val escapeNeeded: Set[Char] =
+    (0x00 to 0x1f).map(_.toChar).toSet + 0x7f.toChar ++ "\"#%'*/:=?\\{[]^".toSet
+
   private[graft] def escapeType(t: String): String =
-    t.map {
-      case c if c.isLetterOrDigit || c == '_' || c == '-' => c.toString
-      case c => f"%%${c.toInt}%02X"
-    }.mkString
+    t.flatMap { c =>
+      if (escapeNeeded(c)) f"%%${c.toInt}%02X" else c.toString
+    }
 
   /** The reference's full loop: per micro-batch, flatten the free-form
     * JSON body, route by event_type, and evolve EACH type's table
@@ -189,55 +199,72 @@ object EventPipeline {
       FileEventSource(schema, cfg.inputDir, cfg.maxFilesPerTrigger),
       cfg, jsonCol, availableNow)
 
+  /** Enrichment columns both evolving sinks reserve (one list — the
+    * parquet and JDBC twins must never drift apart on it). */
+  private val enrichmentCols = Seq("received_at", "sent_at", "message_id",
+    "timestamp", "stream_batch_id")
+
+  /** Watchdog divert: rows dead-letter with a reason + attempt counter
+    * instead of failing the stream (reference main.ts:463-514). */
+  private def divertToDlq(rows: DataFrame, reason: String, dlqDir: String,
+                          batchId: Long): Unit =
+    rows.withColumn("dlq_reason", lit(reason))
+      .withColumn("retry_attempt", lit(1))
+      .withColumn("stream_batch_id", lit(batchId))
+      .write.mode("append").parquet(dlqDir)
+
+  /** The shared per-batch prelude of BOTH evolving sinks (parquet and
+    * JDBC — one body, so a change to the gate/flatten/enrich sequence
+    * cannot silently apply to only one twin): keep routable rows, gate
+    * on the sink ping (diverting the whole batch raw when the
+    * destination reports down and a DLQ is configured — main.ts:464's
+    * insert gate), flatten the JSON column, enrich, stamp the batch
+    * id, then hand (rawValid, enriched) to the sink-specific body.
+    * Skips the body for an empty or diverted batch; manages the raw
+    * frame's persist lifetime around the body. */
+  private def withRoutableBatch(batch: DataFrame, batchId: Long, cfg: Config,
+      jsonCol: String)(body: (DataFrame, DataFrame) => Unit): Unit = {
+    val valid = batch
+      .filter(col("event_type").isNotNull && length(col("event_type")) > 0)
+      .persist()
+    try {
+      if (!valid.isEmpty) {
+        if (cfg.dlqDir.isDefined && !cfg.sinkPing.forall(_())) {
+          divertToDlq(valid, "destination_unhealthy", cfg.dlqDir.get, batchId)
+        } else {
+          val keep = valid.columns.filterNot(_ == jsonCol).toSeq
+          val reserved = EventFlattener.defaultReserved ++ keep ++ enrichmentCols
+          val flat = EventFlattener.flatten(valid, jsonCol, keep = keep,
+            opts = EventFlattener.Options(reserved = reserved))
+          body(valid, enrich(flat, cfg.transform)
+            .withColumn("stream_batch_id", lit(batchId)))
+        }
+      }
+    } finally { valid.unpersist(); () }
+  }
+
   /** Same evolving pipeline over any [[EventSource]] (the queue seam). */
   def startEvolving(spark: SparkSession, source: EventSource, cfg: Config,
                     jsonCol: String, availableNow: Boolean): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = source.load(spark)
-    val enrichmentCols = Seq("received_at", "sent_at", "message_id",
-      "timestamp", "stream_batch_id")
     val writer = stream.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val valid = batch
-          .filter(col("event_type").isNotNull && length(col("event_type")) > 0)
-          .persist()
-        // watchdog: rows divert here instead of failing the stream
-        def divert(rows: DataFrame, reason: String): Unit = {
-          rows.withColumn("dlq_reason", lit(reason))
-            .withColumn("retry_attempt", lit(1))
-            .withColumn("stream_batch_id", lit(batchId))
-            .write.mode("append").parquet(cfg.dlqDir.get)
+        withRoutableBatch(batch, batchId, cfg, jsonCol) { (valid, enrichedRaw) =>
+          val enriched = enrichedRaw.persist()
+          try {
+            val types = enriched.select(col("event_type")).distinct()
+              .collect().map(_.getString(0))
+            val onFail: Option[(Seq[String], Throwable) => Unit] =
+              cfg.dlqDir.map { dlqOut => (failed: Seq[String], _: Throwable) =>
+                divertToDlq(valid.filter(col("event_type").isin(failed: _*)),
+                  "sink_write_failed", dlqOut, batchId)
+              }
+            writeEvolvedBatch(spark, enriched, types, cfg.outputDir,
+              batchId, onFail)
+          } finally { enriched.unpersist(); () }
         }
-        try {
-          if (!valid.isEmpty) {
-            if (cfg.dlqDir.isDefined && !cfg.sinkPing.forall(_())) {
-              // destination reported down BEFORE writing (main.ts:464's
-              // insert gate): the whole batch dead-letters raw —
-              // replayable through the pipeline unchanged
-              divert(valid, "destination_unhealthy")
-            } else {
-              val keep = valid.columns.filterNot(_ == jsonCol).toSeq
-              val reserved = EventFlattener.defaultReserved ++ keep ++ enrichmentCols
-              val flat = EventFlattener.flatten(valid, jsonCol, keep = keep,
-                opts = EventFlattener.Options(reserved = reserved))
-              val enriched = enrich(flat, cfg.transform)
-                .withColumn("stream_batch_id", lit(batchId))
-                .persist()
-              try {
-                val types = enriched.select(col("event_type")).distinct()
-                  .collect().map(_.getString(0))
-                val onFail: Option[(Seq[String], Throwable) => Unit] =
-                  cfg.dlqDir.map { _ => (failed: Seq[String], _: Throwable) =>
-                    divert(valid.filter(col("event_type").isin(failed: _*)),
-                      "sink_write_failed")
-                  }
-                writeEvolvedBatch(spark, enriched, types, cfg.outputDir,
-                  batchId, onFail)
-              } finally { enriched.unpersist(); () }
-            }
-          }
-        } finally { valid.unpersist(); () }
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
@@ -263,30 +290,10 @@ object EventPipeline {
     val writer = source.load(spark).writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val valid = batch
-          .filter(col("event_type").isNotNull && length(col("event_type")) > 0)
-          .persist()
-        try {
-          if (!valid.isEmpty) {
-            if (cfg.dlqDir.isDefined && !cfg.sinkPing.forall(_())) {
-              valid.withColumn("dlq_reason", lit("destination_unhealthy"))
-                .withColumn("retry_attempt", lit(1))
-                .withColumn("stream_batch_id", lit(batchId))
-                .write.mode("append").parquet(cfg.dlqDir.get)
-            } else {
-              val keep = valid.columns.filterNot(_ == jsonCol).toSeq
-              val reserved = EventFlattener.defaultReserved ++ keep ++
-                Seq("received_at", "sent_at", "message_id", "timestamp",
-                  "stream_batch_id")
-              val flat = EventFlattener.flatten(valid, jsonCol, keep = keep,
-                opts = EventFlattener.Options(reserved = reserved))
-              val enriched = enrich(flat, cfg.transform)
-                .withColumn("stream_batch_id", lit(batchId))
-              JdbcEventSink.routeAndAppend(spark, enriched, jdbcUrl)
-              ()
-            }
-          }
-        } finally { valid.unpersist(); () }
+        withRoutableBatch(batch, batchId, cfg, jsonCol) { (_, enriched) =>
+          JdbcEventSink.routeAndAppend(spark, enriched, jdbcUrl)
+          ()
+        }
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
@@ -334,8 +341,14 @@ object EventPipeline {
       }
     val batchSchema = StructType(enriched.drop("event_type").schema.fields)
     def tablePath(t: String) = s"$outputDir/event_type=${escapeType(t)}"
+    // mergeSchema=true is LOAD-BEARING here: after a fast-path batch
+    // added a column, only the newer files carry it — a single-footer
+    // schema read could pick an older file, miss that column, classify
+    // a type-changing batch as cast-free, and mix incompatible types
+    // into one table (unreadable until manually repaired)
     val existing: Map[String, Option[StructType]] = types.map { t =>
-      t -> (try Some(spark.read.parquet(tablePath(t)).schema)
+      t -> (try Some(spark.read.option("mergeSchema", "true")
+                       .parquet(tablePath(t)).schema)
             catch { case _: Exception => None })
     }.toMap
     def castFree(t: String): Boolean = existing(t) match {

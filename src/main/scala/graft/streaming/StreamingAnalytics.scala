@@ -130,9 +130,18 @@ object StreamingAnalytics {
       .withWatermark("r_time", watermark)
       .select(col(key).as("r_key"), col("r_time"),
         col("event_id").as("r_id"), col("ts").as("r_ts"))
+    // Spark timestamps are µs-resolution but the contract is exact ns:
+    // the JOIN RANGE condition (what bounds buffered state) is the µs
+    // window widened by one — ceil, so a sub-µs maxDelta doesn't
+    // collapse to a zero interval and µs truncation can't exclude a
+    // valid pair — and the EXACT ns bound re-applies on the raw ts
+    // columns after the join, trimming the ≤1 µs of over-admission
+    // (matches the batch twin's ns semantics)
     val deltaExpr = expr(
-      s"r_time >= l_time AND r_time <= l_time + INTERVAL ${maxDeltaNs / 1000} MICROSECOND")
+      s"r_time >= l_time AND r_time <= l_time + INTERVAL ${maxDeltaNs / 1000 + 1} MICROSECOND")
     l.join(r, col("l_key") === col("r_key") && deltaExpr)
+      .filter(col("r_ts") >= col("l_ts") &&
+        col("r_ts") - col("l_ts") <= maxDeltaNs)
       .select(col("l_key").as(key), col("l_id"), col("r_id"),
         ((col("r_ts") - col("l_ts")) / 1000000000L).cast("long").as("delta_s"))
   }
@@ -165,8 +174,14 @@ object StreamingAnalytics {
             // descending levels: an event extends at most one chain step
             var k = L - 1
             while (k >= 1) {
+              // lower bound is load-bearing across batches: a straggler
+              // OLDER than the recorded chain start would pass the
+              // window check on the negative delta and advance a funnel
+              // that never happened (the batch twin never sees this —
+              // its events are globally time-sorted, so ts >= f(k-1) is
+              // implicit there)
               if (e.event_type == condTypes(k) && f(k - 1) != Long.MinValue &&
-                  e.ts - f(k - 1) <= windowNs) {
+                  e.ts >= f(k - 1) && e.ts - f(k - 1) <= windowNs) {
                 if (f(k - 1) > f(k)) f(k) = f(k - 1)
                 if (k + 1 > lvl) lvl = k + 1
               }
@@ -370,7 +385,12 @@ object StreamingAnalytics {
                 closed += toOut(uid, s)
                 st = Some(SessionState(e.ts, e.ts, 1))
               case Some(s) =>
-                st = Some(SessionState(s.start, e.ts, s.n + 1))
+                // min/max, not plain e.ts: a cross-batch straggler older
+                // than the session tail must not move `last` BACKWARDS
+                // (a later on-time event would then see a fake gap and
+                // split one real session, possibly emitting end < start)
+                st = Some(SessionState(math.min(s.start, e.ts),
+                  math.max(s.last, e.ts), s.n + 1))
               case None =>
                 st = Some(SessionState(e.ts, e.ts, 1))
             }

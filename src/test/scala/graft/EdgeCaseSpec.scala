@@ -97,9 +97,19 @@ class EdgeCaseSpec extends SparkSpec {
     assert(EventPipeline.escapeType("click") == "click")
     assert(!EventPipeline.escapeType("page/view").contains("/"))
     assert(!EventPipeline.escapeType("../../etc").contains("/"))
-    assert(!EventPipeline.escapeType("a b=c").exists(c => c == ' ' || c == '='))
-    // distinct inputs stay distinct after escaping
+    assert(!EventPipeline.escapeType("a b=c").contains("="))
+    // parity with Spark's partitionBy escaping: space and non-ASCII
+    // letters pass through RAW (Spark leaves them raw too — and its
+    // partition unescaping decodes each %XX as ONE char, so an escape
+    // wider than one byte would be mangled on read)
+    assert(EventPipeline.escapeType("a b") == "a b")
+    assert(EventPipeline.escapeType("中") == "中")
+    // every emitted escape is exactly %XX (decodable one char at a time)
+    assert("%(?![0-9A-F]{2})".r.findFirstIn(
+      EventPipeline.escapeType("a%b/c\nd")).isEmpty)
+    // distinct inputs stay distinct after escaping ('%' itself escapes)
     assert(EventPipeline.escapeType("a/b") != EventPipeline.escapeType("a_b"))
+    assert(EventPipeline.escapeType("a%2Fb") != EventPipeline.escapeType("a/b"))
   }
 
   test("substringScrub: overlapping duplicated windows cut positions once (union, not sum)") {

@@ -105,4 +105,18 @@ class JdbcEventSinkSpec extends SparkSpec {
     assert(first.nonEmpty)
     assert(run() === first, "re-running must drop and rebuild, not append")
   }
+
+  test("tableName is injective: distinct event types never share a table") {
+    // the old replaceAll("[^a-z0-9_]", "_") folded these three into ONE
+    // table, silently unioning unrelated types' rows
+    val types = Seq("page view", "Page-View", "page_view", "pageview",
+      "click", "a%2Fb", "a/b", "中")
+    val names = types.map(JdbcEventSink.tableName)
+    assert(names.distinct.size == types.size,
+      s"table-name collision: ${types.zip(names)}")
+    // clean lowercase types keep their natural names
+    assert(JdbcEventSink.tableName("click") == "ev_click")
+    // every name is a plain SQL identifier
+    assert(names.forall(_.matches("[a-z][a-z0-9_]*")), names.toString)
+  }
 }

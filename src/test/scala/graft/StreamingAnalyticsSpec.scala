@@ -201,6 +201,31 @@ class StreamingAnalyticsSpec extends SparkSpec {
       out(1).getAs[Long]("end_s") == 10000L)
   }
 
+  test("sessionize: a cross-batch straggler must not move the session tail backwards") {
+    // batch 1 establishes last=1000s; batch 2 delivers a straggler at
+    // 500s (in-session) and an on-time event at 2400s. With plain
+    // last=e.ts the straggler regresses last to 500, 2400-500 > gap
+    // falsely splits one continuous session and emits (0..500); with
+    // the max() guard last stays 1000, 2400-1000 <= gap, and NOTHING
+    // closes — the session is still open
+    val batch1 = Seq(ev(1, 0, 1, "click", 1.0), ev(2, 1000, 1, "click", 1.0))
+    val batch2 = Seq(ev(3, 500, 1, "click", 1.0), ev(4, 2400, 1, "click", 1.0))
+    val dir = tmpDir("sess_late")
+    batch1.toDF().coalesce(1).write.mode("append").parquet(s"$dir/in")
+    batch2.toDF().coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(batch1.toDF().schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in").as[Event]
+    val q = StreamingAnalytics.sessionize(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ck")
+      .format("memory").queryName("sess_late")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("sess_late").collect()
+    assert(out.isEmpty,
+      s"straggler split a continuous session: ${out.mkString(", ")}")
+  }
+
   test("streaming OHLC resolves open/close across micro-batch splits exactly like the batch ranks") {
     val hr = 3600L
     // hour 0 of "click": open arrives in batch TWO (earlier ts), close

@@ -159,6 +159,47 @@ class StreamingBrokerSinkSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("a replayed batch with the same rows in a DIFFERENT order still dedups") {
+    // Spark only guarantees a retried/speculative task re-produces the
+    // same row SET, not the same arrival order (shuffle fetch order
+    // varies across attempts) — an order-sensitive digest would refuse
+    // the legal replay and fail the query permanently
+    val broker = new QueueBroker(numPartitions = 2)
+    try {
+      val c = new QueueBroker.Client(broker.host, broker.port)
+      try {
+        assert(c.publishBatch("q1", 5L, 0,
+          Seq((0, "a"), (1, "b"), (0, "c"))) == 3L)
+        assert(c.publishBatch("q1", 5L, 0,
+          Seq((0, "c"), (0, "a"), (1, "b"))) == 0L)
+        // same multiset of payloads on DIFFERENT partitions is a real
+        // content change and must still refuse loudly
+        val e = intercept[java.io.IOException] {
+          c.publishBatch("q1", 5L, 0, Seq((1, "a"), (0, "b"), (0, "c")))
+        }
+        assert(e.getMessage.contains("digest mismatch"))
+      } finally c.close()
+    } finally broker.close()
+  }
+
+  test("a batch with an out-of-range partition is refused WHOLESALE — nothing appends") {
+    val broker = new QueueBroker(numPartitions = 2)
+    try {
+      val c = new QueueBroker.Client(broker.host, broker.port)
+      try {
+        val e = intercept[java.io.IOException] {
+          c.publishBatch("q1", 0L, 0, Seq((0, "a"), (5, "b")))
+        }
+        assert(e.getMessage.contains("out of range"))
+        assert(broker.endOffsets.sum == 0L,
+          "a refused batch must not leave a partial append behind")
+        // the connection survives and a corrected retry lands atomically
+        assert(c.publishBatch("q1", 0L, 0, Seq((0, "a"), (1, "b"))) == 2L)
+        assert(broker.endOffsets.sum == 2L)
+      } finally c.close()
+    } finally broker.close()
+  }
+
   test("dedup ledger is bounded across publish call ids, and ONLY across those") {
     // QueuePublisher mints a fresh "pub-" call id per publish(); the
     // epoch watermark alone never evicts those (each lives at epoch 0

@@ -136,6 +136,31 @@ class StreamingBrokerSpec extends SparkSpec {
     } finally broker.close()
   }
 
+  test("admission control applies whatever the option's casing (DSv2 options are case-insensitive)") {
+    // the old lookup matched two hard-coded spellings only; any other
+    // casing silently dropped the cap and drained unbounded
+    val broker = new QueueBroker(numPartitions = 2)
+    try {
+      val base = tmpDir("broker_cap_case")
+      val cfg = EventPipeline.Config(s"$base/unused", s"$base/out", s"$base/ck")
+      broker.publishAll((0 until 20).map(payload))
+      val events = spark.readStream.format("graft-queue")
+        .option("host", broker.host)
+        .option("port", broker.port.toString)
+        .option("MAXRECORDSPERTRIGGER", "6") // hostile casing
+        .load()
+        .select(from_json(col("value"), eventSchema).as("e")).select("e.*")
+      EventPipeline.start(spark, EventPipeline.FrameEventSource(events),
+        cfg, availableNow = true).awaitTermination()
+      val out = spark.read.parquet(s"$base/out")
+      assert(out.count() == 20)
+      val sizes = out.groupBy("stream_batch_id").count()
+        .as[(Long, Long)].collect().toMap
+      assert(sizes.values.forall(_ <= 6),
+        s"casing dropped the trigger cap: $sizes")
+    } finally broker.close()
+  }
+
   test("evolving pipeline from the broker: per-type schema evolution across a checkpointed restart") {
     val broker = new QueueBroker(numPartitions = 2)
     try {

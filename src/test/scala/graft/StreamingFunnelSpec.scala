@@ -48,4 +48,31 @@ class StreamingFunnelSpec extends SparkSpec {
     // batch emits every user seen; stream too (level 0 users included)
     assert(streamed === batch)
   }
+
+  test("cross-batch straggler OLDER than the chain start cannot advance the funnel") {
+    // batch 1: step-1 event at ts=100s; batch 2: a LATE step-2 event at
+    // ts=50s — it happened BEFORE the recorded chain start, so no s→c
+    // funnel exists. Without the lower time bound the negative delta
+    // passes the window check and the level wrongly becomes 2
+    // (overcounting — the docstring promises stragglers only undercount)
+    val ns = 1000000000L
+    val b1 = Seq(Event(1L, 100L * ns, 1L, "s", 0.0))
+    val b2 = Seq(Event(2L, 50L * ns, 1L, "c", 0.0))
+    val dir = tmpDir("sfunnel_late")
+    b1.toDF().coalesce(1).write.mode("append").parquet(s"$dir/in")
+    b2.toDF().coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(b1.toDF().schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in").as[Event]
+    val q = StreamingAnalytics.funnelStream(stream, Seq("s", "c"), 400L * ns)
+      .toDF("user_id", "funnel_level")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$dir/ck")
+      .format("memory").queryName("sfunnel_late")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val lvl = spark.table("sfunnel_late")
+      .agg(max(col("funnel_level"))).collect()(0).getLong(0)
+    assert(lvl == 1L,
+      s"straggler older than the chain start advanced the funnel to $lvl")
+  }
 }
