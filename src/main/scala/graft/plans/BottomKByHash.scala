@@ -44,8 +44,7 @@ case class BottomKByHash(
   }
 
   private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Md5.hex(Md5.get().digest(s.getBytes("UTF-8")))
 
   override def createAggregationBuffer(): SortedSet[(String, Long)] = SortedSet.empty
 

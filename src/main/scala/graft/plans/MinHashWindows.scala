@@ -41,22 +41,13 @@ case class MinHashWindows(child: Expression) extends UnaryExpression {
 }
 
 object MinHashWindowsUtil {
-  private val HexDigits = "0123456789abcdef".toCharArray
   private val Salt = "#".getBytes("UTF-8")
 
   private def md5hex(bytes: Array[Byte], salted: Boolean): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     md.update(bytes)
     if (salted) md.update(Salt)
-    val d = md.digest()
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
-      out(2 * i + 1) = HexDigits(d(i) & 0xf)
-      i += 1
-    }
-    new String(out)
+    Md5.hex(md.digest())
   }
 
   /** [h0..h7]: running minima of the 4 windows of each of 2 digests. */

@@ -54,9 +54,9 @@ object SimHash64Util {
   def compute(toks: ArrayData): Long = {
     val n = toks.numElements()
     val sums = new Array[Int](64)
+    val md = Md5.get() // digest() resets it, so one instance serves the loop
     var t = 0
     while (t < n) {
-      val md = java.security.MessageDigest.getInstance("MD5")
       val d = md.digest(toks.getUTF8String(t).getBytes)
       var i = 0
       while (i < 64) {
