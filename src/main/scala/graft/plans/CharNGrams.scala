@@ -46,15 +46,38 @@ case class CharNGrams(child: Expression, n: Int)
 }
 
 object CharNGramsUtil {
-  /** Sliding `n`-codepoint windows; empty when fewer than `n`. */
+  /** Sliding `n`-codepoint windows; empty when fewer than `n`.
+    *
+    * NOT `s.substring(i, i+n)` per window: UTF8String.substring walks
+    * bytes from position 0 to locate codepoint `i` every call (UTF-8
+    * offsets aren't random-access), which makes the loop O(L²) in
+    * byte-scans per document — for the multi-KB docs the LM scorers
+    * (c46/c60) feed through here that quadratic constant dominated the
+    * query. One O(L) walk records every codepoint's byte offset, then
+    * each window wraps the shared byte array zero-copy. */
   def compute(s: UTF8String, n: Int): ArrayData = {
-    val len = s.numChars()
-    val num = len - (n - 1)
+    val bytes = s.getBytes
+    val bLen = bytes.length
+    // codepoint start offsets (+ terminal); ASCII-or-worse sizing
+    val starts = new Array[Int](bLen + 1)
+    var nc = 0
+    var off = 0
+    while (off < bLen) {
+      starts(nc) = off
+      // malformed leading byte still advances ≥1, and the window end
+      // clamps to the byte length, so a bad sequence can't loop or
+      // overrun — same rows UTF8String.substring would have produced
+      off += math.max(1, UTF8String.numBytesForFirstByte(bytes(off)))
+      nc += 1
+    }
+    starts(nc) = bLen
+    val num = nc - (n - 1)
     if (num <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](num)
     var i = 0
     while (i < num) {
-      out(i) = s.substring(i, i + n)
+      val a = starts(i)
+      out(i) = UTF8String.fromBytes(bytes, a, math.min(starts(i + n), bLen) - a)
       i += 1
     }
     new GenericArrayData(out)
