@@ -13,9 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object Fns {
 
-  /** Lower-cased whitespace tokens; empty array for blank text. */
+  /** Lower-cased whitespace tokens; empty array for blank text.
+    * Byte-exact with `regexp_extract_all(lower(trim(text)), '\\S+', 0)`
+    * — the DuckDB oracle keeps the regex form — via one native byte
+    * scan instead of a UTF-16 transcode + regex walk per row
+    * ([[graft.plans.WhitespaceTokens]]). */
   def tokens(text: Column): Column =
-    regexp_extract_all(lower(trim(text)), lit("\\S+"), lit(0))
+    graft.plans.Cols.column(graft.plans.WhitespaceTokens(
+      graft.plans.Cols.expression(lower(trim(text)))))
 
   /** Whitespace-normalized lower-cased text (dedup canonical form). */
   def normText(text: Column): Column =

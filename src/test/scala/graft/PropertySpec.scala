@@ -62,6 +62,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("WhitespaceTokensUtil.compute == java-regex \\S+ extraction (incl. multibyte, all six ws chars)") {
+    val str = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '),
+      Gen.const('\t'), Gen.const('\n'), Gen.const('\u000b'),
+      Gen.const('\f'), Gen.const('\r'),
+      Gen.const('\u00a0'), // Unicode NBSP: a TOKEN char under ASCII \S
+      Gen.const('é'), Gen.const('中'))).map(_.mkString)
+    forAll1(str) { (s: String) =>
+      val got = graft.plans.WhitespaceTokensUtil
+        .compute(UTF8String.fromString(s))
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val expected = "\\S+".r.findAllIn(s).toSeq
+      assert(got == expected, s"s=${s.map(_.toInt)}")
+    }
+  }
+
   test("VectorOpsUtil.dot/cosine match the fold specification") {
     val vec = Gen.listOfN(8, Gen.choose(-10.0, 10.0))
     forAll(vec, vec) { (a: List[Double], b: List[Double]) =>
