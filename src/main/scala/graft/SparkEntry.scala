@@ -804,17 +804,17 @@ object SparkEntry {
     // new session strictly past the 30-min gap, boundary-touch merges
     "b23_stream_sessions" ->
       """WITH ev AS (
-           SELECT user_id, epoch_ns(ts) AS tsn, value
+           SELECT user_id, event_id, epoch_ns(ts) AS tsn, value
            FROM events WHERE event_id % 7 = 0),
          m AS (
-           SELECT user_id, tsn, value,
+           SELECT user_id, event_id, tsn, value,
              CASE WHEN tsn - lag(tsn) OVER
-                 (PARTITION BY user_id ORDER BY tsn)
+                 (PARTITION BY user_id ORDER BY tsn, event_id)
                > 1800000000000 THEN 1 ELSE 0 END AS brk
            FROM ev),
          s AS (
            SELECT user_id, tsn, value,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY tsn
+             sum(brk) OVER (PARTITION BY user_id ORDER BY tsn, event_id
                ROWS UNBOUNDED PRECEDING) AS sid
            FROM m)
          SELECT user_id, min(tsn) // 1000000000 AS session_start_s,

@@ -86,16 +86,25 @@ object StreamingAnalytics {
     * still MERGES (Spark coalesces touching windows); a new session
     * starts strictly past the gap. Works on a readStream or a batch
     * frame identically. */
-  def sessionWindowRollup(events: DataFrame, gap: String = "30 minutes",
-                          watermark: String = "10 minutes"): DataFrame =
+  def sessionWindowRollup(events: DataFrame,
+                          gapNs: Long = 1800L * 1000000000L,
+                          watermarkNs: Long = 600L * 1000000000L): DataFrame =
     events
-      .withColumn("event_time", Fns.nanosToTimestamp(col("ts")))
-      .withWatermark("event_time", watermark)
-      .groupBy(col("user_id"), session_window(col("event_time"), gap).as("sw"))
+      // ts is exact epoch-NANOS but timestamps carry µs: flooring ns→µs
+      // made an ns gap in (gap, gap+999ns] LOOK ≤ gap, merging sessions
+      // the ns contract splits (caught by the sf1 sweep). Instead the ns
+      // value rides AS the timestamp's µs payload — a pure ×1000 scale
+      // of the whole time axis (gap and watermark scale with it), so
+      // every session_window comparison happens on exact ns. Range is
+      // safe: 2^63 µs ≈ ±292k years absorbs any ns epoch.
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", s"$watermarkNs microseconds")
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), s"$gapNs microseconds").as("sw"))
       .agg(count(lit(1)).as("n_events"),
         Fns.sumExact(col("value")).as("sum_value"))
       .select(col("user_id"),
-        unix_timestamp(col("sw.start")).as("session_start_s"),
+        Fns.nanosToEpochSec(unix_micros(col("sw.start"))).as("session_start_s"),
         col("n_events"), col("sum_value"))
 
   /** Streaming exact dedup keyed on `idCols`, with state bounded by

@@ -84,6 +84,26 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(norm(spark.table("swroll")) === expected)
   }
 
+  test("session_window is ns-exact: a gap one NANOSECOND past the boundary splits") {
+    // sub-µs boundary: flooring ns→µs made a (gap, gap+999ns] gap look
+    // ≤ gap and merge — the sf1 sweep caught exactly this (spark=2
+    // duck=1 on one session). The ns-as-µs time axis must split it.
+    val gapNs = 1800L * 1000000000L
+    val base = 1000L * 1000000000L
+    import spark.implicits._
+    val df = Seq(
+      Event(1L, base, 1L, "click", 1.0),
+      Event(2L, base + gapNs + 1L, 1L, "click", 2.0), // 1 ns past: split
+      Event(3L, base, 2L, "click", 4.0),
+      Event(4L, base + gapNs, 2L, "click", 8.0) // exactly AT: merge
+    ).toDF()
+    val out = StreamingAnalytics.sessionWindowRollup(df)
+      .orderBy("user_id", "session_start_s")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (1L, 1L), (2L, 2L)),
+      s"ns boundary semantics broken: $out")
+  }
+
   test("streaming decayed sum matches the batch operator across micro-batch splits") {
     val day = 86400L
     val rows1 = Seq(
