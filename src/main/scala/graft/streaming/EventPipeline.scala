@@ -161,8 +161,10 @@ object EventPipeline {
     * what `partitionBy` itself would leave raw. '/' and '\' are in
     * the set, so "page/view" or "../x" still cannot escape or nest
     * under the output root (the dots stay inside one path segment). */
+  // ..: Spark's own set starts at 1 — NUL passes raw there,
+  // so it must here too (the parity spec pins this against the engine)
   private val escapeNeeded: Set[Char] =
-    (0x00 to 0x1f).map(_.toChar).toSet + 0x7f.toChar ++ "\"#%'*/:=?\\{[]^".toSet
+    (0x01 to 0x1f).map(_.toChar).toSet + 0x7f.toChar ++ "\"#%'*/:=?\\{[]^".toSet
 
   private[graft] def escapeType(t: String): String =
     t.flatMap { c =>

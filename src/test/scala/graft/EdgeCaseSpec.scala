@@ -112,6 +112,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(EventPipeline.escapeType("a%2Fb") != EventPipeline.escapeType("a/b"))
   }
 
+  test("escapeType == Spark's own escapePathName, char for char") {
+    // pinned against the ENGINE's partitionBy escaper, not a re-derived
+    // charset — if a Spark upgrade changes the escape set, this fails
+    // instead of partition discovery silently mangling a directory
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val interesting = (0 until 0x80).map(_.toChar.toString) ++
+      Seq("click", "page view", "a/b", "../x", "a%2Fb", "中", "é",
+        "a b", "x=y", "q?r", "s*t", "{u}", "[v]", "w^z", "\"q'",
+        "a:b", "c\\d", "e#f", "tab\there", "nl\nhere", "del")
+    interesting.foreach { s =>
+      assert(EventPipeline.escapeType(s) == ExternalCatalogUtils.escapePathName(s),
+        s"divergence from Spark's escaper on ${s.map(_.toInt)}")
+    }
+    // round-trips through Spark's own unescape
+    interesting.foreach { s =>
+      assert(ExternalCatalogUtils.unescapePathName(EventPipeline.escapeType(s)) == s,
+        s"unescape round-trip broken on ${s.map(_.toInt)}")
+    }
+  }
+
   test("substringScrub: overlapping duplicated windows cut positions once (union, not sum)") {
     // docs share the 4-token span "a b c d" -> two overlapping 3-token
     // windows per doc; the covered-position UNION is 4 tokens, not 6
