@@ -66,7 +66,14 @@ object CharNGramsUtil {
       starts(nc) = off
       // malformed leading byte still advances ≥1, and the window end
       // clamps to the byte length, so a bad sequence can't loop or
-      // overrun — same rows UTF8String.substring would have produced
+      // overrun. The clamp is a DELIBERATE divergence from
+      // UTF8String.substring on one input class: a truncated multibyte
+      // sequence at the end of the buffer makes substring's until-walk
+      // overshoot numBytes, and its copyMemory then READS PAST THE
+      // BUFFER, appending whatever heap bytes follow (observed: a 0x00
+      // suffix on the final windows). Identical output on all valid
+      // UTF-8 and on malformed sequences anywhere but the tail;
+      // PropertySpec pins both the equivalence and the clamp.
       off += math.max(1, UTF8String.numBytesForFirstByte(bytes(off)))
       nc += 1
     }

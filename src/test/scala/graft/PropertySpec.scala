@@ -78,6 +78,75 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CharNGramsUtil.compute windows on astral + malformed bytes (clamped at the tail)") {
+    // Pins the boundary walk on the inputs the String-based test above
+    // can't reach: 4-byte astral sequences (one codepoint here, TWO
+    // Java chars) and malformed UTF-8 from arbitrary byte strings.
+    // Writing this test SURFACED a Spark bug the rewrite deliberately
+    // does not reproduce: on a truncated multibyte sequence at the
+    // buffer's END, UTF8String.substring's until-walk overshoots
+    // numBytes and its copyMemory reads past the buffer, appending
+    // adjacent heap bytes to the final windows. The specification here
+    // is therefore an independent walker (same first-byte table, end
+    // clamped to the buffer); windows whose walk stays in bounds are
+    // ALSO cross-checked byte-identical against substring itself.
+    val rawBytes = Gen.listOf(Gen.oneOf(
+      Gen.choose(0x20, 0x7e),          // ASCII
+      Gen.const(0xf0), Gen.const(0x9f), Gen.const(0x92), // astral seq bytes
+      Gen.const(0xe4), Gen.const(0xb8), Gen.const(0xad), // 3-byte seq bytes
+      Gen.choose(0x80, 0xff)))         // arbitrary continuation/lead
+      .map(_.map(_.toByte).toArray)
+    forAll(rawBytes, Gen.choose(1, 5)) { (bytes: Array[Byte], n: Int) =>
+      val s = UTF8String.fromBytes(bytes)
+      val got = graft.plans.CharNGramsUtil.compute(s, n)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).toSeq
+      // independent reference: codepoint starts + one-past-walk ends
+      val starts = Iterator.iterate(0) { o =>
+        o + math.max(1, UTF8String.numBytesForFirstByte(bytes(o)))
+      }.takeWhile(_ < bytes.length).toVector :+ bytes.length
+      val walkEnds = starts.init.map(o =>
+        o + math.max(1, UTF8String.numBytesForFirstByte(bytes(o)))) :+ bytes.length
+      val nc = starts.length - 1
+      assert(nc == s.numChars(), "walker disagrees with numChars")
+      val expected = (0 until nc - (n - 1)).map { i =>
+        bytes.slice(starts(i), math.min(starts(i + n), bytes.length)).toSeq
+      }
+      assert(got.map(_.getBytes.toSeq) == expected,
+        s"bytes=${bytes.map(b => f"${b & 0xff}%02x").mkString(" ")} n=$n")
+      // where substring's walk cannot overrun, the rewrite matches it
+      (0 until nc - (n - 1)).foreach { i =>
+        if (walkEnds(math.min(i + n, nc) - 1) <= bytes.length) {
+          assert(got(i) == s.substring(i, i + n),
+            s"in-bounds window $i diverged from UTF8String.substring")
+        }
+      }
+    }
+  }
+
+  test("WhitespaceTokensUtil.compute == \\S+ under ISO-8859-1 on arbitrary bytes") {
+    // Independent byte-level reference: ISO-8859-1 maps each byte to
+    // one char and java.util.regex's ASCII \S treats 0x80-0xFF as
+    // token chars — exactly the native scan's six-byte whitespace
+    // class. Pins behavior on malformed UTF-8 too (tokens must wrap
+    // the same byte ranges regardless of sequence validity).
+    val rawBytes = Gen.listOf(Gen.oneOf(
+      Gen.choose(0x20, 0x7e), Gen.const(0x09), Gen.const(0x0a),
+      Gen.const(0x0b), Gen.const(0x0c), Gen.const(0x0d),
+      Gen.choose(0x80, 0xff)))
+      .map(_.map(_.toByte).toArray)
+    forAll1(rawBytes) { (bytes: Array[Byte]) =>
+      val got = graft.plans.WhitespaceTokensUtil
+        .compute(UTF8String.fromBytes(bytes))
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.getBytes.toSeq).toSeq
+      val iso = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val expected = "\\S+".r.findAllIn(iso).toSeq
+        .map(_.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1).toSeq)
+      assert(got == expected,
+        s"bytes=${bytes.map(b => f"${b & 0xff}%02x").mkString(" ")}")
+    }
+  }
+
   test("VectorOpsUtil.dot/cosine match the fold specification") {
     val vec = Gen.listOfN(8, Gen.choose(-10.0, 10.0))
     forAll(vec, vec) { (a: List[Double], b: List[Double]) =>
