@@ -18,6 +18,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional comma-separated query filter for local iteration
+    // (SPARK_GRAFT_ONLY=c13_sample,c2_dedup_minhash); unset = full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // Untimed warmup: absorb one-time JVM/codegen/parquet-reader init
     // (otherwise it all lands on whichever query happens to run first).
     // Caching queries are fair game now that the cache is cleared
@@ -27,41 +31,75 @@ object Bench {
     // otherwise charges each table's first read to whichever timed
     // query scans it first): documents (c9), embeddings (c6),
     // lineitem/orders/customer/supplier/nation/region (b3), events
-    // (a2), part (b22).
+    // (a2), part (b22). The ONLY filter applies here too — an
+    // oversized-scale probe of a cheap family must not warm up by
+    // running an EXCLUDED quadratic query at that scale (the first
+    // sf100 probe OOM'd the context inside warm-up exactly this way).
     Seq("c9_quality", "c6_ann_topk", "b3_region_revenue",
         "a2_route_counts", "b22_promo_revenue",
-        "c2_dedup_minhash", "c21_corpus_pipeline").foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
+        "c2_dedup_minhash", "c21_corpus_pipeline")
+      .filter(n => only.forall(_.contains(n))).foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
     spark.catalog.clearCache()
-    // Optional comma-separated query filter for local iteration
-    // (SPARK_GRAFT_ONLY=c13_sample,c2_dedup_minhash); unset = full suite.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A query that THROWS must surface as a failure, not as a fast
+    // success: an executor OOM kills the context and every subsequent
+    // .count() then fails in ~10 ms — an exception-swallowing timer
+    // would report a 25-query suite "green, total 0.2 s" (exactly what
+    // the first sf100 probe produced). Failures carry the error; the
+    // timing map holds only queries that actually ran.
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
+        (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.nextOption().getOrElse("")}".take(160)) }
       val sec = (System.nanoTime() - t0) / 1e9
       // queries are independent: drop this query's persisted
       // intermediates (LSH signature/band caches etc.) so they don't
       // accumulate, evict to disk, and tax later queries
       spark.catalog.clearCache()
-      sec
+      (sec, err)
     }
-    val results = selected.map { case (name, fn) =>
-      val g0 = gcMillis
-      val first = timeOnce(name, fn)
-      // Shared-host noise can inflate a single run 5-7x (r3/r4 driver
-      // runs vs. local: c13 9.8s vs 1.6s, c19 22.9s vs 1.7s). A query
-      // over the noise threshold gets ONE re-run; min-of-2 filters
-      // transient interference while a genuinely slow query stays slow
-      // in both runs and reports honestly.
-      val sec = if (first > 2.0) math.min(first, timeOnce(name, fn)) else first
-      System.err.println(f"[bench] $name%-24s ${sec}%7.2f s  gc=${gcMillis - g0}%5d ms")
-      name -> sec
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = selected.flatMap { case (name, fn) =>
+      if (spark.sparkContext.isStopped) {
+        // a prior failure killed the JVM's one context: every further
+        // "timing" would be the 10 ms exception path — stop lying fast
+        failed.getOrElseUpdate(name, "skipped: SparkContext is stopped")
+        None
+      } else {
+        val g0 = gcMillis
+        val (first, err1) = timeOnce(name, fn)
+        // Shared-host noise can inflate a single run 5-7x (r3/r4 driver
+        // runs vs. local: c13 9.8s vs 1.6s, c19 22.9s vs 1.7s). A query
+        // over the noise threshold gets ONE re-run; min-of-2 filters
+        // transient interference while a genuinely slow query stays slow
+        // in both runs and reports honestly. A FAILED first run gets the
+        // same single retry (transient executor loss), then records.
+        val out =
+          if (err1.isDefined) {
+            if (spark.sparkContext.isStopped) (first, err1)
+            else { val (s2, e2) = timeOnce(name, fn); if (e2.isDefined) (s2, e2) else (s2, None) }
+          } else if (first > 2.0) {
+            val (s2, e2) = timeOnce(name, fn)
+            if (e2.isDefined) (first, None) else (math.min(first, s2), None)
+          } else (first, None)
+        out match {
+          case (_, Some(e)) =>
+            failed.put(name, e)
+            System.err.println(f"[bench] $name%-24s FAILED  $e")
+            None
+          case (sec, None) =>
+            System.err.println(f"[bench] $name%-24s ${sec}%7.2f s  gc=${gcMillis - g0}%5d ms")
+            Some(name -> sec)
+        }
+      }
     }
     // Self-adjudication against the committed idle baseline: host
     // contention can survive even min-of-2 when adjacent queries spike
@@ -85,11 +123,14 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     val retimed = results.flatMap { case (name, sec) =>
       idle.get(name) match {
-        case Some(b) if sec > 3 * b && sec > 1.0 =>
-          val again = timeOnce(name, selected.toMap.apply(name))
-          System.err.println(
-            f"[bench] $name retimed: ${sec}%.2f s -> ${again}%.2f s (idle ${b}%.2f s)")
-          Some(name -> again)
+        case Some(b) if sec > 3 * b && sec > 1.0 && !spark.sparkContext.isStopped =>
+          val (again, err) = timeOnce(name, selected.toMap.apply(name))
+          if (err.isDefined) None
+          else {
+            System.err.println(
+              f"[bench] $name retimed: ${sec}%.2f s -> ${again}%.2f s (idle ${b}%.2f s)")
+            Some(name -> again)
+          }
         case _ => None
       }
     }
@@ -105,7 +146,15 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val retimedField =
       if (retimed.isEmpty) "" else s""","retimed":${qmap(retimed)}"""
-    val full = s"""{"queries":${qmap(results)}$retimedField,"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                  case c if c < ' ' => " "; case c => c.toString }
+    val failedField =
+      if (failed.isEmpty) ""
+      else s""","n_failed":${failed.size},"failed":${failed.toSeq
+        .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+        .mkString("{", ",", "}")}"""
+    val full = s"""{"queries":${qmap(results)}$retimedField$failedField,"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
     // The FULL per-query map always goes to a file...
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_local_latest.json"), full + "\n")
@@ -134,7 +183,13 @@ object Bench {
           if (qmap(acc :+ kv).length <= 1100 - retimedShort.length) acc :+ kv
           else acc
         }
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":${qmap(slowest)}$retimedShort,"queries_omitted":${results.size - slowest.size},"queries_full":"BENCH_local_latest.json"}"""
+      // failures are the headline: names always fit (messages live in
+      // the full file), and n_failed survives even if the list is cut
+      val failedShort =
+        if (failed.isEmpty) ""
+        else s""","n_failed":${failed.size},"failed_names":${failed.keys.take(8)
+          .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size}$failedShort,"sf":"$sfDir","queries":${qmap(slowest)}$retimedShort,"queries_omitted":${results.size - slowest.size},"queries_full":"BENCH_local_latest.json"}"""
     }
     println(line)
     spark.stop()
