@@ -33,13 +33,59 @@ object EventRouter {
 
   /** Micro-batch ids within each route: consecutive chunks of
     * `perBatch` rows in (ts, event_id) order — the deterministic
-    * analogue of the bulker's TAKE_UP_TO_PER_BATCH draining. */
+    * analogue of the bulker's TAKE_UP_TO_PER_BATCH draining.
+    *
+    * NOT `row_number over (partition by route order by ts)`: that
+    * window puts a route's ENTIRE history into one sort task, so
+    * parallelism is capped at \|routes\| (~tens) however large the
+    * cluster — the r9 sf100 probe measured the resulting 13×/decade
+    * wall-clock growth, and at 100 TB one task would sort one type's
+    * full history. The scalable shape is the classic two-pass global
+    * rank: range-partition on (route, orderCols) — a route spans a
+    * CONTIGUOUS ascending run of partitions, and (ts, event_id) is a
+    * strict total order, so ranks are invariant to where the sampled
+    * range boundaries land — rank within each partition, then add
+    * per-(partition, route) prefix offsets. The offsets table is
+    * P×\|routes\| rows (never data-sized), its prefix sum is a window
+    * over THAT table, and the join back lets the planner pick its
+    * shape: under the broadcast threshold it's a broadcast hash join
+    * (the big side crosses the wire twice — range + the window's hash
+    * exchange); past it, sort-merge on (__pid, route) reuses the
+    * window's own partitioning AND sort prefix, so still no extra
+    * data-sized exchange. The two branches scan the input twice in the
+    * logical plan, but the range exchanges canonicalize identically so
+    * AQE's ReuseExchange serves both from one shuffle — and even
+    * unreused, RangePartitioner's boundary sampling is seeded per input
+    * partition, so both branches compute identical __pid assignments.
+    * Null routes are a legal group and must not be silently
+    * inner-joined away, but `<=>` join keys measured 1.7× slower than
+    * plain equi keys at sf100 (52 vs 30 s — the coalesce/isnull key
+    * triple defeats the BHJ fast path), so the group key is an
+    * injective NON-NULL encoding instead: "0" for null, "1"+route
+    * otherwise — order-preserving, so the contiguous-partition-run
+    * invariant survives, and the join stays a plain equi-join. */
   def withBatchId(events: DataFrame, perBatch: Int,
                   orderCols: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(col(RouteCol)).orderBy(orderCols: _*)
-    // floor(double) is exact here: row numbers stay far below 2^53
-    events.withColumn("batch_id",
-      floor((row_number().over(w) - 1) / perBatch).cast("bigint"))
+    val p = events.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = events
+      .repartitionByRange(p, (col(RouteCol) +: orderCols): _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rk", when(col(RouteCol).isNull, lit("0"))
+        .otherwise(concat(lit("1"), col(RouteCol))))
+    val offsets = keyed.groupBy(col("__pid"), col("__rk"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(
+          Window.partitionBy(col("__rk")).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__rk"), col("__offset"))
+    val wLocal =
+      Window.partitionBy(col("__pid"), col("__rk")).orderBy(orderCols: _*)
+    keyed.withColumn("__lrn", row_number().over(wLocal))
+      .join(offsets, Seq("__pid", "__rk"))
+      // integer div: exact at any scale (no 2^53 double-floor caveat)
+      .withColumn("batch_id", expr(s"(__offset + __lrn - 1) div $perBatch"))
+      .drop("__pid", "__rk", "__lrn", "__offset")
   }
 
   /** Route + write: one shuffle on event_type (+ low-cardinality salt

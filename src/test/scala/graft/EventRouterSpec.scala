@@ -172,4 +172,21 @@ class EventRouterSpec extends SparkSpec {
       .select("count").as[Long].collect()
     assert(sizes.init.forall(_ == 40L) && sizes.last <= 40L)
   }
+
+  test("withBatchId matches the single-window rank and keeps null routes") {
+    // every 7th event has a NULL route — a legal window group that the
+    // two-pass shape's join must not drop
+    val ev = events(300).withColumn("event_type",
+      when(col("event_id") % 7 === 0, lit(null)).otherwise(col("event_type")))
+    val got = EventRouter.withBatchId(ev, perBatch = 40,
+      Seq(col("ts"), col("event_id")))
+    assert(got.count() == 300)
+    // oracle: the straightforward one-window global rank
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val want = ev.withColumn("batch_id",
+      ((row_number().over(w) - lit(1)) / lit(40)).cast("bigint"))
+    assert(got.select("event_id", "batch_id").except(
+      want.select("event_id", "batch_id")).count() == 0)
+  }
 }
