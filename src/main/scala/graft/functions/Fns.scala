@@ -15,9 +15,11 @@ object Fns {
 
   /** Lower-cased whitespace tokens; empty array for blank text.
     * Byte-exact with `regexp_extract_all(lower(trim(text)), '\\S+', 0)`
-    * — the DuckDB oracle keeps the regex form — via one native byte
-    * scan instead of a UTF-16 transcode + regex walk per row
-    * ([[graft.plans.WhitespaceTokens]]). */
+    * on valid UTF-8 — the DuckDB oracle keeps the regex form — via one
+    * native byte scan instead of a UTF-16 transcode + regex walk per
+    * row. On malformed UTF-8 the native scan preserves original bytes
+    * where the regex path would substitute U+FFFD; see
+    * [[graft.plans.WhitespaceTokens]] for the declared divergence. */
   def tokens(text: Column): Column =
     graft.plans.Cols.column(graft.plans.WhitespaceTokens(
       graft.plans.Cols.expression(lower(trim(text)))))

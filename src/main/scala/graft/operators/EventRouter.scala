@@ -48,30 +48,60 @@ object EventRouter {
     * per-(partition, route) prefix offsets. The offsets table is
     * P×\|routes\| rows (never data-sized), its prefix sum is a window
     * over THAT table, and the join back lets the planner pick its
-    * shape: under the broadcast threshold it's a broadcast hash join
-    * (the big side crosses the wire twice — range + the window's hash
-    * exchange); past it, sort-merge on (__pid, route) reuses the
-    * window's own partitioning AND sort prefix, so still no extra
-    * data-sized exchange. The two branches scan the input twice in the
-    * logical plan, but the range exchanges canonicalize identically so
-    * AQE's ReuseExchange serves both from one shuffle — and even
-    * unreused, RangePartitioner's boundary sampling is seeded per input
-    * partition, so both branches compute identical __pid assignments.
-    * Null routes are a legal group and must not be silently
+    * shape: under the broadcast threshold it's a broadcast hash join;
+    * past it, sort-merge on (__pid, route) reuses the window's own
+    * partitioning AND sort prefix, so still no extra data-sized
+    * exchange. Null routes are a legal group and must not be silently
     * inner-joined away, but `<=>` join keys measured 1.7× slower than
     * plain equi keys at sf100 (52 vs 30 s — the coalesce/isnull key
     * triple defeats the BHJ fast path), so the group key is an
     * injective NON-NULL encoding instead: "0" for null, "1"+route
-    * otherwise — order-preserving, so the contiguous-partition-run
-    * invariant survives, and the join stays a plain equi-join. */
+    * otherwise — order-preserving, so the contiguous-run invariant
+    * survives, and the join stays a plain equi-join.
+    *
+    * __pid is NOT spark_partition_id() over a repartitionByRange: the
+    * offsets aggregate and the local-rank branch are two consumers, and
+    * RangePartitioner seeds its reservoir sampling with the exchange's
+    * rdd.id — two physically distinct exchanges (exchange reuse off, or
+    * a canonicalization miss) would sample different boundaries and the
+    * equi-join back would silently mis-assign batch ids. Instead the
+    * bucket boundaries are sampled ONCE, collected, and baked into the
+    * plan as struct literals, so __pid is a pure function of row data:
+    * every consumer computes identical buckets under any exchange
+    * config, cache state, or task recompute — no persist of the
+    * data-sized frame needed. Boundary placement only affects balance,
+    * never values: the offsets correction makes the global rank
+    * invariant to where buckets land. Requires orderCols non-null
+    * (already assumed: (ts, event_id) is a strict total order). Bonus:
+    * only ONE data-sized shuffle remains (the window's hash exchange);
+    * the offsets branch partial-aggregates on the scan. */
   def withBatchId(events: DataFrame, perBatch: Int,
                   orderCols: Seq[Column]): DataFrame = {
     val p = events.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val keyed = events
-      .repartitionByRange(p, (col(RouteCol) +: orderCols): _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__rk", when(col(RouteCol).isNull, lit("0"))
-        .otherwise(concat(lit("1"), col(RouteCol))))
+    val rk = when(col(RouteCol).isNull, lit("0"))
+      .otherwise(concat(lit("1"), col(RouteCol)))
+    // bounded boundary sample: ~200 keys per target bucket, one tiny
+    // collect (p*240 rows max); count() is a metadata op on raw scans
+    val keyProj = events.select((rk.as("__rk") +: orderCols.zipWithIndex
+      .map { case (c, i) => c.as(s"__k$i") }): _*)
+    val n = keyProj.count()
+    val target = p.toLong * 200L
+    val sampled =
+      if (n <= target) keyProj
+      else keyProj.sample(withReplacement = false,
+        fraction = math.min(1.0, target.toDouble * 1.2 / n), seed = 42L)
+    val fields = keyProj.schema.fields
+    val sv = sampled.orderBy(fields.map(f => col(f.name)): _*).collect()
+    val step = math.max(1, sv.length / p)
+    val bRows = (step until sv.length by step).map(sv(_)).distinct.take(p - 1)
+    val key = struct((rk +: orderCols).zipWithIndex
+      .map { case (c, i) => c.as(s"b$i") }: _*)
+    def boundLit(r: org.apache.spark.sql.Row): Column =
+      struct(r.toSeq.zipWithIndex.map { case (v, i) =>
+        lit(v).cast(fields(i).dataType).as(s"b$i") }: _*)
+    val pid = bRows.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(key >= boundLit(b), 1).otherwise(0) }
+    val keyed = events.withColumn("__rk", rk).withColumn("__pid", pid)
     val offsets = keyed.groupBy(col("__pid"), col("__rk"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__offset",

@@ -18,9 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * (Pattern's \s is ASCII-only without UNICODE_CHARACTER_CLASS), and
   * in UTF-8 a multibyte sequence never contains an ASCII byte — so the
   * token boundaries are computable with one byte scan, and each token
-  * wraps the shared byte array zero-copy. Same output on every input,
-  * including non-ASCII text and Unicode spaces (which \S treats as
-  * token chars, as does this).
+  * wraps the shared byte array zero-copy. Same output on every VALID
+  * UTF-8 input, including non-ASCII text and Unicode spaces (which \S
+  * treats as token chars, as does this). On MALFORMED UTF-8 the two
+  * deliberately diverge in token content (boundaries still match):
+  * RegExpExtractAll's transcode replaces invalid sequences with
+  * U+FFFD, while this scan preserves the original bytes — the better
+  * behavior for dedup/fingerprint consumers, and the one PropertySpec
+  * pins (same convention as [[CharNGrams]]).
   */
 case class WhitespaceTokens(child: Expression) extends UnaryExpression {
 

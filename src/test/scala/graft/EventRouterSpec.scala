@@ -189,4 +189,25 @@ class EventRouterSpec extends SparkSpec {
     assert(got.select("event_id", "batch_id").except(
       want.select("event_id", "batch_id")).count() == 0)
   }
+
+  test("withBatchId is exact with exchange reuse disabled") {
+    // regression: __pid must be a pure function of row data, not of
+    // which physical exchange computed it — with reuse off, the offsets
+    // aggregate and the local-rank branch run as separate subtrees, and
+    // any per-exchange sampling seed would silently mis-assign batches
+    val ev = events(300).withColumn("event_type",
+      when(col("event_id") % 7 === 0, lit(null)).otherwise(col("event_type")))
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val got = EventRouter.withBatchId(ev, perBatch = 40,
+        Seq(col("ts"), col("event_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      val want = ev.withColumn("batch_id",
+        ((row_number().over(w) - lit(1)) / lit(40)).cast("bigint"))
+      assert(got.count() == 300)
+      assert(got.select("event_id", "batch_id").except(
+        want.select("event_id", "batch_id")).count() == 0)
+    } finally spark.conf.set("spark.sql.exchange.reuse", "true")
+  }
 }

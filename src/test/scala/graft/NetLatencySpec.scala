@@ -27,18 +27,27 @@ class NetLatencySpec extends AnyFunSuite {
           val ps = c.prepareStatement("INSERT INTO netlat_t VALUES (?)")
           ps.setInt(1, i); ps.executeUpdate(); ps.close()
         }
-        val n = 40
-        val t0 = System.nanoTime()
-        (0 until n).foreach { i =>
-          val ps = c.prepareStatement("INSERT INTO netlat_t VALUES (?)")
-          ps.setInt(1, i); ps.executeUpdate(); ps.close()
+        // median of per-RPC times, retried once: a GC pause or a
+        // contended host inflates the MEAN of a wall-clock window, but
+        // a Nagle/delayed-ACK stall inflates EVERY round trip — the
+        // median separates the two, and one retry absorbs a whole
+        // unlucky window without weakening the regression signal
+        def medianPerRpcMs(n: Int): Double = {
+          val ts = (0 until n).map { i =>
+            val t0 = System.nanoTime()
+            val ps = c.prepareStatement("INSERT INTO netlat_t VALUES (?)")
+            ps.setInt(1, i); ps.executeUpdate(); ps.close()
+            (System.nanoTime() - t0) / 1e6
+          }.sorted
+          ts(n / 2)
         }
-        val perRpcMs = (System.nanoTime() - t0) / 1e6 / n
-        info(f"per-RPC round trip: $perRpcMs%.2f ms")
+        val first = medianPerRpcMs(40)
+        val perRpcMs = if (first < 25.0) first else medianPerRpcMs(40)
+        info(f"median per-RPC round trip: $perRpcMs%.2f ms")
         assert(perRpcMs < 25.0,
-          f"RPCs at $perRpcMs%.2f ms each — delayed-ACK stall is back? " +
-            "(check setTcpNoDelay on BOTH the client socket and the " +
-            "server's accepted sockets)")
+          f"median RPC at $perRpcMs%.2f ms (twice) — delayed-ACK stall " +
+            "is back? (check setTcpNoDelay on BOTH the client socket " +
+            "and the server's accepted sockets)")
       } finally c.close()
     } finally wh.close()
   }
