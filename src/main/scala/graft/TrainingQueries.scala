@@ -177,7 +177,7 @@ object TrainingQueries {
   private def c7bAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
-        "vec_id", "embedding", k = 5, stride = 100, roundScale = 4)
+        "vec_id", "embedding", k = 5, stride = 0, roundScale = 4)
       .select(col("query_id"), col("rank").as("rnk"), col("corpus_id"),
         col("cell"), col("cosine_sim"))
       .orderBy(col("query_id"), col("rnk"))
@@ -193,7 +193,7 @@ object TrainingQueries {
   private def c7cAnnIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 8),
-        "vec_id", "embedding", k = 5, stride = 100, iters = 1, roundScale = 4)
+        "vec_id", "embedding", k = 5, stride = 0, iters = 1, roundScale = 4)
       .select(col("query_id"), col("rank").as("rnk"), col("corpus_id"),
         col("cell"), col("cosine_sim"))
       .orderBy(col("query_id"), col("rnk"))
@@ -217,7 +217,7 @@ object TrainingQueries {
   private def c89AnnInt8(s: SparkSession, dir: String): DataFrame = {
     val deq = int8Deq(T(s, dir, "embeddings"))
     Similarity.ivfTopK(deq, deq.filter(col("vec_id") < 8),
-        "vec_id", "embedding", k = 5, stride = 100, roundScale = 4)
+        "vec_id", "embedding", k = 5, stride = 0, roundScale = 4)
       .select(col("query_id"), col("rank").as("rnk"), col("corpus_id"),
         col("cell"), col("cosine_sim"))
       .orderBy(col("query_id"), col("rnk"))
@@ -248,10 +248,10 @@ object TrainingQueries {
     }
     val deq = int8Deq(emb)
     audit("ivf", pairs(Similarity.ivfTopK(emb, q, "vec_id", "embedding",
-        k = 5, stride = 100, roundScale = 4)))
+        k = 5, stride = 0, roundScale = 4)))
       .unionAll(audit("ivf_int8", pairs(Similarity.ivfTopK(deq,
         deq.filter(col("vec_id") < 8), "vec_id", "embedding",
-        k = 5, stride = 100, roundScale = 4))))
+        k = 5, stride = 0, roundScale = 4))))
       .unionAll(audit("lsh", pairs(Similarity.lshTopK(emb, q, "vec_id",
         "embedding", k = 5, planes = 8, dim = 64, roundScale = 4))))
       .orderBy(col("method"))
@@ -307,12 +307,12 @@ object TrainingQueries {
     }
     val deq = int8Deq(emb)
     val audits = audit("ivf", Similarity.ivfTopK(emb, q, "vec_id", "embedding",
-        k = 5, stride = 100, roundScale = 4))
+        k = 5, stride = 0, roundScale = 4))
       .unionAll(audit("ivf_int8", Similarity.ivfTopK(deq,
         deq.filter(col("vec_id") >= 1000000L), "vec_id", "embedding",
-        k = 5, stride = 100, roundScale = 4)))
+        k = 5, stride = 0, roundScale = 4)))
       .unionAll(audit("ivf_trained", Similarity.ivfTopKTrained(emb, q,
-        "vec_id", "embedding", k = 5, stride = 100, iters = 1,
+        "vec_id", "embedding", k = 5, stride = 0, iters = 1,
         roundScale = 4)))
       .unionAll(audit("lsh", Similarity.lshTopK(emb, q, "vec_id",
         "embedding", k = 5, planes = 8, dim = 64, roundScale = 4)))
@@ -479,6 +479,13 @@ object TrainingQueries {
         ${jaccardSql(0.6)}
         SELECT id1, id2, jaccard FROM verified ORDER BY id1, id2"""
 
+  /** Mirror of [[graft.operators.Similarity.sqrtStride]]: the
+    * scale-aware centroid stride ⌊√N⌋ over the named corpus CTE.
+    * Engine-exact — IEEE sqrt is correctly rounded in both DuckDB and
+    * the JVM, and N ≤ 2^53 is exact in a double. */
+  private[graft] def strideSql(corpus: String): String =
+    s"(SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM $corpus)"
+
   /** Mirror of Fns.cosine over double-list columns `$a`, `$b`. */
   private[graft] def cosineSql(a: String, b: String, scale: Int): String = {
     val dot = s"list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]))"
@@ -548,7 +555,7 @@ object TrainingQueries {
     * relational — the id-stride centroid rule reproduces in SQL. */
   private def c7bOracleSql: String =
     s"""WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        cents AS (SELECT vec_id AS cent_id, v AS centv FROM ve WHERE vec_id % 100 = 0),
+        cents AS (SELECT vec_id AS cent_id, v AS centv FROM ve WHERE vec_id % ${strideSql("ve")} = 0),
         assigned AS (
           SELECT vec_id, v, cent_id AS cell FROM (
             SELECT vec_id, v, cent_id,
@@ -586,7 +593,7 @@ object TrainingQueries {
             FROM $src CROSS JOIN $cents)
           WHERE rn = 1"""
     s"""WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        cents0 AS (SELECT vec_id AS cent_id, v AS centv FROM ve WHERE vec_id % 100 = 0),
+        cents0 AS (SELECT vec_id AS cent_id, v AS centv FROM ve WHERE vec_id % ${strideSql("ve")} = 0),
         a0 AS (${assign("ve", "cents0")}),
         dims AS (
           SELECT cell, t.pos AS pos, v[t.pos] AS x
@@ -626,7 +633,7 @@ object TrainingQueries {
   /** c89 mirror: the c7b IVF chain, run over the dequantized codes. */
   private def c89OracleSql: String =
     s"""WITH $deqSql,
-        cents AS (SELECT vec_id AS cent_id, v AS centv FROM dq WHERE vec_id % 100 = 0),
+        cents AS (SELECT vec_id AS cent_id, v AS centv FROM dq WHERE vec_id % ${strideSql("dq")} = 0),
         assigned AS (
           SELECT vec_id, v, cent_id AS cell FROM (
             SELECT vec_id, v, cent_id,
@@ -676,7 +683,7 @@ object TrainingQueries {
               row_number() OVER (PARTITION BY query_id
                 ORDER BY cs DESC, corpus_id) AS rnk
             FROM l_scored) WHERE rnk <= 5),
-        cents AS (SELECT vec_id AS cent_id, v AS centv FROM ve WHERE vec_id % 100 = 0),
+        cents AS (SELECT vec_id AS cent_id, v AS centv FROM ve WHERE vec_id % ${strideSql("ve")} = 0),
         assigned AS (
           SELECT vec_id, v, cent_id AS cell FROM (
             SELECT vec_id, v, cent_id,
@@ -697,7 +704,7 @@ object TrainingQueries {
                 ORDER BY cs DESC, corpus_id) AS rnk
             FROM i_scored) WHERE rnk <= 5),
         $deqSql,
-        qcents AS (SELECT vec_id AS cent_id, v AS centv FROM dq WHERE vec_id % 100 = 0),
+        qcents AS (SELECT vec_id AS cent_id, v AS centv FROM dq WHERE vec_id % ${strideSql("dq")} = 0),
         qassigned AS (
           SELECT vec_id, v, cent_id AS cell FROM (
             SELECT vec_id, v, cent_id,
@@ -784,7 +791,7 @@ object TrainingQueries {
           WHERE query_id <> c.vec_id),
         lsh AS (${topk("l_scored")}),
         cents AS (SELECT vec_id AS cent_id, v AS centv FROM pv
-                  WHERE vec_id % 100 = 0),
+                  WHERE vec_id % ${strideSql("pv")} = 0),
         assigned AS (${assign("pv", "cents")}),
         iq AS (SELECT vec_id AS query_id, v AS qv, cell FROM assigned
                WHERE vec_id >= 1000000),
@@ -818,7 +825,7 @@ object TrainingQueries {
               / 127.0) AS v
           FROM pv),
         qcents AS (SELECT vec_id AS cent_id, v AS centv FROM pdq
-                   WHERE vec_id % 100 = 0),
+                   WHERE vec_id % ${strideSql("pdq")} = 0),
         qassigned AS (${assign("pdq", "qcents")}),
         qiq AS (SELECT vec_id AS query_id, v AS qv, cell FROM qassigned
                 WHERE vec_id >= 1000000),

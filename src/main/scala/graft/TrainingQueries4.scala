@@ -46,7 +46,7 @@ object TrainingQueries4 {
     * comes from near-identical points sharing a nearest centroid. */
   private def c37SemDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.semDedup(embWithDups(s, dir), "vec_id", "v",
-        stride = 100L, threshold = 0.9, roundScale = 4)
+        stride = 0L, threshold = 0.9, roundScale = 4)
       .orderBy(col("vec_id"))
 
   /** C38: boilerplate line removal (RefinedWeb §3.2 / CCNet): drop
@@ -175,7 +175,7 @@ object TrainingQueries4 {
   private def c88SemdedupRecall(s: SparkSession, dir: String): DataFrame = {
     val corpus = embWithDups(s, dir)
     val assigned = Similarity.cellAssignments(corpus, "vec_id", "v",
-      stride = 100L, roundScale = 4)
+      stride = 0L, roundScale = 4)
     val samp = corpus.join(assigned, "vec_id")
       .filter(col("vec_id") % 5 === 0)
       .select(col("vec_id"), col("v"), col("cell"))
@@ -213,7 +213,7 @@ object TrainingQueries4 {
           c AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
           cents AS (
             SELECT vec_id AS cent_id, v AS centv FROM c
-            WHERE vec_id % 100 = 0),
+            WHERE vec_id % ${TrainingQueries.strideSql("c")} = 0),
           assigned AS (
             SELECT vec_id, v, cent_id AS cell FROM (
               SELECT c.vec_id, c.v, cents.cent_id,
@@ -250,7 +250,7 @@ object TrainingQueries4 {
           c AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
           cents AS (
             SELECT vec_id AS cent_id, v AS centv FROM c
-            WHERE vec_id % 100 = 0),
+            WHERE vec_id % ${TrainingQueries.strideSql("c")} = 0),
           assigned AS (
             SELECT vec_id, v, cent_id AS cell FROM (
               SELECT c.vec_id, c.v, cents.cent_id,

@@ -197,7 +197,7 @@ object TrainingQueries7 {
     import graft.operators.Similarity
     val assigned = Similarity.cellAssignments(
       T(s, dir, "embeddings"), "vec_id", "embedding",
-      stride = 100, roundScale = 4)
+      stride = 0, roundScale = 4)
     assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
       .withColumn("__tot", sum(col("n_vectors")).over(Window.partitionBy()))
       .withColumn("__max", max(col("n_vectors")).over(Window.partitionBy()))
@@ -1035,7 +1035,7 @@ object TrainingQueries7 {
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           cents AS (
             SELECT vec_id AS cent_id, v AS centv FROM ve
-            WHERE vec_id % 100 = 0),
+            WHERE vec_id % ${TrainingQueries.strideSql("ve")} = 0),
           assigned AS (
             SELECT vec_id, cent_id AS cell FROM (
               SELECT vec_id, cent_id,

@@ -751,7 +751,7 @@ object TrainingQueries8 {
           ve AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
           cents AS (
             SELECT vec_id AS cent_id, v AS centv FROM ve
-            WHERE vec_id % 100 = 0),
+            WHERE vec_id % ${TrainingQueries.strideSql("ve")} = 0),
           planted AS (
             SELECT vec_id AS a, vec_id + 1000000 AS b FROM base
             WHERE vec_id % 40 = 0),
@@ -880,7 +880,7 @@ object TrainingQueries8 {
           ve AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
           cents AS (
             SELECT vec_id AS cent_id, v AS centv FROM ve
-            WHERE vec_id % 100 = 0),
+            WHERE vec_id % ${TrainingQueries.strideSql("ve")} = 0),
           assigned2 AS (
             SELECT vec_id, v, cent_id AS cell, rn FROM (
               SELECT vec_id, v, cent_id,
@@ -918,7 +918,7 @@ object TrainingQueries8 {
       s"""WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           cents AS (
             SELECT vec_id AS cent_id, v AS centv FROM ve
-            WHERE vec_id % 100 = 0),
+            WHERE vec_id % ${TrainingQueries.strideSql("ve")} = 0),
           assigned AS (
             SELECT vec_id, v, cent_id AS cell FROM (
               SELECT vec_id, v, cent_id,

@@ -77,14 +77,30 @@ object Similarity {
         col(vec).as("v"))).as("__best"))
       .select(col(id), col("__best.v").as(vec), col("__best.cid").as("cell"))
 
-  /** Deterministic id-stride seed centroids. */
+  /** Scale-aware centroid stride: ⌊√N⌋ for an N-vector corpus, so the
+    * centroid count K = N/stride ≈ √N. That is the balance point
+    * between the O(N·K) assignment pass and the O(Σ|cell|²) ≈ O(N²/K)
+    * within-cell pair work (knnGraph/semDedup) — both land at O(N^1.5)
+    * — and the standard IVF sizing rule (faiss's nlist ≈ √N). A FIXED
+    * stride pins K ∝ N (assignment goes quadratic) or, worse, lets
+    * verbatim-duplicated corpora collapse all ties onto the original
+    * centroids so cells grow unboundedly. Engine-portable: JVM
+    * Math.sqrt and DuckDB sqrt are both correctly-rounded IEEE-754, so
+    * `greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT))` computes the
+    * identical stride in the oracle mirrors. */
+  def sqrtStride(n: Long): Long =
+    math.max(1L, math.sqrt(n.toDouble).toLong)
+
+  /** Deterministic id-stride seed centroids. stride ≤ 0 (the scale-safe
+    * default across this object) derives [[sqrtStride]] from the corpus
+    * count — one count job, metadata-only on raw parquet scans. */
   def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                     stride: Long): DataFrame = {
-    require(stride >= 1, "stride must be >= 1")
-    val cents = corpus.filter(col(idCol) % stride === 0)
+    val s = if (stride > 0) stride else sqrtStride(corpus.count())
+    val cents = corpus.filter(col(idCol) % s === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("centv"))
     require(!cents.isEmpty,
-      s"no centroids: no corpus id is divisible by stride=$stride — " +
+      s"no centroids: no corpus id is divisible by stride=$s — " +
         "lower the stride (an empty centroid set would make every result empty)")
     cents
   }
@@ -117,7 +133,7 @@ object Similarity {
     * inherits assignCells: broadcast centroids, map-side argmax
     * combine, N rows through the one exchange. */
   def cellAssignments(corpus: DataFrame, idCol: String, vecCol: String,
-                      stride: Long = 100, roundScale: Int = 4): DataFrame = {
+                      stride: Long = 0, roundScale: Int = 4): DataFrame = {
     val v = corpus.select(col(idCol).as("__aid"),
       col(vecCol).cast("array<double>").as("__av"))
     assignCells(v, seedCentroids(corpus, idCol, vecCol, stride),
@@ -160,7 +176,7 @@ object Similarity {
     * candidate fan-out is probes·Σ|cell|² — the c72 cell-balance audit
     * is what keeps that near probes·N²/K. */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-               stride: Long = 100, roundScale: Int = 4,
+               stride: Long = 0, roundScale: Int = 4,
                probes: Int = 1): DataFrame = {
     val v = corpus.select(col(idCol).as("__kid"),
       col(vecCol).cast("array<double>").as("__kv"))
@@ -180,7 +196,7 @@ object Similarity {
 
   /** IVF with optional Lloyd-refined centroids (iters=0 ≡ ivfTopK). */
   def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
-                     vecCol: String, k: Int, stride: Long = 100,
+                     vecCol: String, k: Int, stride: Long = 0,
                      iters: Int = 2, roundScale: Int = 4): DataFrame = {
     var cents = seedCentroids(corpus, idCol, vecCol, stride)
     (0 until iters).foreach { _ =>
@@ -191,7 +207,7 @@ object Similarity {
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, stride: Long = 100,
+              vecCol: String, k: Int, stride: Long = 0,
               roundScale: Int = 4): DataFrame =
     ivfWithCents(corpus, queries,
       seedCentroids(corpus, idCol, vecCol, stride), idCol, vecCol, k, roundScale)

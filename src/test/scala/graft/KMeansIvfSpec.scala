@@ -43,4 +43,27 @@ class KMeansIvfSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_.getAs[Int]("rank") <= 3))
     assert(got.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("corpus_id")))
   }
+
+  test("sqrtStride gives K ~ sqrt(N) and matches floor(sqrt(N)) exactly") {
+    // the K ≈ √N sizing rule (centroid count scales WITH the corpus);
+    // exact floor so the DuckDB mirror's CAST(FLOOR(SQRT(n)) AS BIGINT)
+    // can never disagree, including at perfect squares
+    assert(Similarity.sqrtStride(0) == 1)
+    assert(Similarity.sqrtStride(1) == 1)
+    assert(Similarity.sqrtStride(500) == 22)
+    assert(Similarity.sqrtStride(529) == 23)   // perfect square boundary
+    assert(Similarity.sqrtStride(528) == 22)
+    assert(Similarity.sqrtStride(1000000) == 1000)
+    assert(Similarity.sqrtStride(999999) == 999)
+  }
+
+  test("stride <= 0 derives the scale-aware stride from the corpus count") {
+    val emb = Tables(spark, dir, "embeddings") // 500 vectors, ids 0..499
+    val auto = Similarity.seedCentroids(emb, "vec_id", "embedding", stride = 0)
+    val explicit = Similarity.seedCentroids(emb, "vec_id", "embedding", stride = 22)
+    assert(auto.select("cent_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      explicit.select("cent_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // K grows with N: 23 cells at N=500 (ids 0,22,...,484), not a fixed 5
+    assert(auto.count() == 23)
+  }
 }
