@@ -452,22 +452,26 @@ object AnalyticsQueries7 {
                b -> struct(a AS ta, b AS tb))))""")).as("p"))
       .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
       .agg(count(lit(1)).as("n_both"))
-    pairs
-      .join(broadcast(marg.select(col("event_type").as("type_a"),
-        col("n_with").as("n_a"))), Seq("type_a"))
-      .join(broadcast(marg.select(col("event_type").as("type_b"),
-        col("n_with").as("n_b"))), Seq("type_b"))
-      .crossJoin(broadcast(nB))
-      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
-        col("n_b"),
-        round(col("n_both").cast("double") * col("n_baskets").cast("double") /
-          (col("n_a").cast("double") * col("n_b").cast("double")), 4)
-          .as("lift"),
-        round(log(col("n_both").cast("double") *
-            col("n_baskets").cast("double") /
-          (col("n_a").cast("double") * col("n_b").cast("double"))), 4)
-          .as("pmi"))
-      .orderBy(col("type_a"), col("type_b"))
+    // ≤|types|² rows: self-releasing (the c65b pattern) — neither
+    // cache outlives this query
+    TrainingQueries.materialized(s,
+      pairs
+        .join(broadcast(marg.select(col("event_type").as("type_a"),
+          col("n_with").as("n_a"))), Seq("type_a"))
+        .join(broadcast(marg.select(col("event_type").as("type_b"),
+          col("n_with").as("n_b"))), Seq("type_b"))
+        .crossJoin(broadcast(nB))
+        .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+          col("n_b"),
+          round(col("n_both").cast("double") * col("n_baskets").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 4)
+            .as("lift"),
+          round(log(col("n_both").cast("double") *
+              col("n_baskets").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))), 4)
+            .as("pmi"))
+        .orderBy(col("type_a"), col("type_b")),
+      ud, baskets)
   }
 
   /** B89: order-1 Markov transition matrix between consecutive event

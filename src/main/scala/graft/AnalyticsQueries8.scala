@@ -142,15 +142,18 @@ object AnalyticsQueries8 {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pred = daily.select(col("event_type"), (col("day") + 7L).as("day"),
       col("n").as("pred"))
-    daily.join(pred, Seq("event_type", "day"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_days"),
-        sum(abs(col("n") - col("pred"))).as("sum_abs_err"),
-        sum(col("n")).as("sum_actual"))
-      .select(col("event_type"), col("n_days"), col("sum_abs_err"),
-        round(col("sum_abs_err").cast("double") / col("n_days"), 4).as("mae"),
-        expr("sum_abs_err * 1000000 div sum_actual").as("wmape_ppm"))
-      .orderBy(col("event_type"))
+    // |types| rows: self-releasing (the c65b pattern)
+    TrainingQueries.materialized(s,
+      daily.join(pred, Seq("event_type", "day"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("n") - col("pred"))).as("sum_abs_err"),
+          sum(col("n")).as("sum_actual"))
+        .select(col("event_type"), col("n_days"), col("sum_abs_err"),
+          round(col("sum_abs_err").cast("double") / col("n_days"), 4).as("mae"),
+          expr("sum_abs_err * 1000000 div sum_actual").as("wmape_ppm"))
+        .orderBy(col("event_type")),
+      daily)
   }
 
   /** B97: RFM segmentation — every customer scored into recency /
@@ -192,15 +195,18 @@ object AnalyticsQueries8 {
     def seg(v: Column, b: Column): Column =
       (1 to 4).map(i => (v > element_at(b, i)).cast("long"))
         .reduce(_ + _) + lit(1L)
-    rfm.crossJoin(broadcast(bnd))
-      .select(seg(col("recency"), col("rb")).as("r_seg"),
-        seg(col("frequency"), col("fb")).as("f_seg"),
-        seg(col("monetary_cents"), col("mb")).as("m_seg"),
-        col("monetary_cents"))
-      .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
-      .agg(count(lit(1)).as("n_customers"),
-        sum(col("monetary_cents")).as("sum_monetary_cents"))
-      .orderBy(col("r_seg"), col("f_seg"), col("m_seg"))
+    // ≤5³ rows: self-releasing (the c65b pattern)
+    TrainingQueries.materialized(s,
+      rfm.crossJoin(broadcast(bnd))
+        .select(seg(col("recency"), col("rb")).as("r_seg"),
+          seg(col("frequency"), col("fb")).as("f_seg"),
+          seg(col("monetary_cents"), col("mb")).as("m_seg"),
+          col("monetary_cents"))
+        .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("monetary_cents")).as("sum_monetary_cents"))
+        .orderBy(col("r_seg"), col("f_seg"), col("m_seg")),
+      cust)
   }
 
   /** B98: daily percentile bands — p50/p90/p99 of event value per
@@ -267,18 +273,21 @@ object AnalyticsQueries8 {
           * 4e6).cast("long").as("h_mu"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily.join(broadcast(stats), "event_type")
-      .withColumn("__y_mu", col("n") * 1000000L - col("k_mu"))
-      .withColumn("__cum", sum(col("__y_mu")).over(w))
-      .withColumn("__cusum_mu",
-        col("__cum") - least(lit(0L), min(col("__cum")).over(w)))
-      .select(col("event_type"),
-        date_format(timestamp_seconds(col("day") * 86400L), "yyyy-MM-dd")
-          .as("day"),
-        col("n"),
-        round(col("__cusum_mu") / 1e6, 4).as("cusum"),
-        (col("__cusum_mu") > col("h_mu")).cast("long").as("is_changepoint"))
-      .orderBy(col("event_type"), col("day"))
+    // |days × types| rows: self-releasing (the c65b pattern)
+    TrainingQueries.materialized(s,
+      daily.join(broadcast(stats), "event_type")
+        .withColumn("__y_mu", col("n") * 1000000L - col("k_mu"))
+        .withColumn("__cum", sum(col("__y_mu")).over(w))
+        .withColumn("__cusum_mu",
+          col("__cum") - least(lit(0L), min(col("__cum")).over(w)))
+        .select(col("event_type"),
+          date_format(timestamp_seconds(col("day") * 86400L), "yyyy-MM-dd")
+            .as("day"),
+          col("n"),
+          round(col("__cusum_mu") / 1e6, 4).as("cusum"),
+          (col("__cusum_mu") > col("h_mu")).cast("long").as("is_changepoint"))
+        .orderBy(col("event_type"), col("day")),
+      daily)
   }
 
   /** B100: last-touch revenue attribution — every purchase credited
@@ -364,16 +373,19 @@ object AnalyticsQueries8 {
       .select(col("pp.pa").as("pa"), col("pp.pb").as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
-    pairs
-      .join(broadcast(marg.withColumnRenamed("p", "pa")
-        .withColumnRenamed("n_p", "n_a")), "pa")
-      .join(broadcast(marg.withColumnRenamed("p", "pb")
-        .withColumnRenamed("n_p", "n_b")), "pb")
-      .crossJoin(broadcast(nOrders))
-      .select(col("pa"), col("pb"), col("n_ab"),
-        expr("n_ab * n_orders * 1000000 div (n_a * n_b)").as("lift_ppm"))
-      .orderBy(col("lift_ppm").desc, col("pa"), col("pb"))
-      .limit(100)
+    // 100 rows: self-releasing (the c65b pattern)
+    TrainingQueries.materialized(s,
+      pairs
+        .join(broadcast(marg.withColumnRenamed("p", "pa")
+          .withColumnRenamed("n_p", "n_a")), "pa")
+        .join(broadcast(marg.withColumnRenamed("p", "pb")
+          .withColumnRenamed("n_p", "n_b")), "pb")
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("n_ab"),
+          expr("n_ab * n_orders * 1000000 div (n_a * n_b)").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("pa"), col("pb"))
+        .limit(100),
+      op)
   }
 
   /** B103: new-vs-returning revenue split — each day's purchases and
@@ -394,17 +406,20 @@ object AnalyticsQueries8 {
     val purch = e.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("pc"))
-    purch.join(firstDay, "user_id")
-      .withColumn("seg",
-        when(col("day") === col("first_day"), "new").otherwise("returning"))
-      .groupBy(col("day"), col("seg"))
-      .agg(sum(col("n")).as("n_purchases"), sum(col("pc")).as("revenue_cents"),
-        count(lit(1)).as("n_users"))
-      .select(
-        date_format(timestamp_seconds(col("day") * 86400L), "yyyy-MM-dd")
-          .as("day"),
-        col("seg"), col("n_purchases"), col("revenue_cents"), col("n_users"))
-      .orderBy(col("day"), col("seg"))
+    // |days × 2| rows: self-releasing (the c65b pattern)
+    TrainingQueries.materialized(s,
+      purch.join(firstDay, "user_id")
+        .withColumn("seg",
+          when(col("day") === col("first_day"), "new").otherwise("returning"))
+        .groupBy(col("day"), col("seg"))
+        .agg(sum(col("n")).as("n_purchases"), sum(col("pc")).as("revenue_cents"),
+          count(lit(1)).as("n_users"))
+        .select(
+          date_format(timestamp_seconds(col("day") * 86400L), "yyyy-MM-dd")
+            .as("day"),
+          col("seg"), col("n_purchases"), col("revenue_cents"), col("n_users"))
+        .orderBy(col("day"), col("seg")),
+      e)
   }
 
   /** B104: tie-corrected ROC AUC (the ClickHouse `arrayAUC` analog) of

@@ -270,16 +270,29 @@ object TrainingQueries {
     * src_recall (did the index surface the query's true source — the
     * production near-dup question). Same semi-join audit shape as
     * c65; the corpus-sized work is the four searches, each already
-    * plan-audited. Which number means what: SCALE.md §ANN. */
+    * plan-audited. Which number means what: SCALE.md §ANN.
+    *
+    * The AUDITED query set is a declared id-sample of the planted
+    * copies: sources at stride 40·max(1, N/2000). At the driver's
+    * scales (N ≤ 2000) that is every planted copy — identical to the
+    * r8/r9 row — while past them the audit stays ~50 queries, so its
+    * brute-force ground truth (the one intentionally exact O(|q|·N)
+    * term) grows linearly with the corpus instead of quadratically:
+    * the c88 declared-sample pattern, applied here so the FULL suite
+    * can gate at sf ≥ 1 (the r9 sweep found the unsampled DuckDB
+    * mirror's 10M-row cross join intractable at sf1). */
   private def c65bAnnRecallPlanted(s: SparkSession, dir: String): DataFrame = {
     val base = T(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val n0 = base.count()
+    val qStride = 40L * math.max(1L, n0 / 2000L)
     val emb = base.unionAll(base.filter(col("vec_id") % 40 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), x => x + lit(0.02)).as("embedding")))
       .persist()
-    val q = emb.filter(col("vec_id") >= 1000000L)
-    val nq = q.count() // bounded: |corpus|/40 planted queries
+    val q = emb.filter(col("vec_id") >= 1000000L &&
+      (col("vec_id") - 1000000L) % qStride === 0)
+    val nq = q.count() // bounded: ≤ max(|corpus|/40, ~50) sampled queries
     def pairs(df: DataFrame): DataFrame =
       df.select(col("query_id"), col("corpus_id"))
     val exact = pairs(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
@@ -309,7 +322,8 @@ object TrainingQueries {
     val audits = audit("ivf", Similarity.ivfTopK(emb, q, "vec_id", "embedding",
         k = 5, stride = 0, roundScale = 4))
       .unionAll(audit("ivf_int8", Similarity.ivfTopK(deq,
-        deq.filter(col("vec_id") >= 1000000L), "vec_id", "embedding",
+        deq.filter(col("vec_id") >= 1000000L &&
+          (col("vec_id") - 1000000L) % qStride === 0), "vec_id", "embedding",
         k = 5, stride = 0, roundScale = 4)))
       .unionAll(audit("ivf_trained", Similarity.ivfTopKTrained(emb, q,
         "vec_id", "embedding", k = 5, stride = 0, iters = 1,
@@ -478,6 +492,19 @@ object TrainingQueries {
         shd AS (SELECT doc_id, list_distinct(${ngramsSql(3)}) AS shs FROM toks),
         ${jaccardSql(0.6)}
         SELECT id1, id2, jaccard FROM verified ORDER BY id1, id2"""
+
+  /** c65b's self-release pattern, shared: force the (audit-sized)
+    * result, release every cache the query pinned, hand back a local
+    * frame. No persist outlives its query, so library consumers get
+    * the memory bound without the suite-level clearCache() contract
+    * (USAGE.md). Only for outputs orders below corpus size — every
+    * caller's result is a bounded report/top-k table. */
+  private[graft] def materialized(s: SparkSession, result: DataFrame,
+                                  caches: DataFrame*): DataFrame = {
+    val rows = result.collect().toSeq
+    caches.foreach(_.unpersist())
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), result.schema)
+  }
 
   /** Mirror of [[graft.operators.Similarity.sqrtStride]]: the
     * scale-aware centroid stride ⌊√N⌋ over the named corpus CTE.
@@ -768,6 +795,10 @@ object TrainingQueries {
               ON e.query_id = a.query_id AND e.corpus_id = a.corpus_id) AS n_hit,
             (SELECT count(*) FROM $tbl
               WHERE corpus_id = query_id - 1000000) AS n_src_hit"""
+    // the declared query sample: sources at stride 40*max(1, N/2000) —
+    // all planted copies at driver scales, ~50 queries past them
+    val qsampleSql =
+      "(vec_id - 1000000) % (40 * greatest(1, (SELECT count(*) FROM ve) // 2000)) = 0"
     s"""WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         pv AS (SELECT vec_id, v FROM ve
                UNION ALL
@@ -775,7 +806,7 @@ object TrainingQueries {
                  list_transform(v, x -> x + 0.02) AS v
                FROM ve WHERE vec_id % 40 = 0),
         q0 AS (SELECT vec_id AS query_id, v AS qv FROM pv
-               WHERE vec_id >= 1000000),
+               WHERE vec_id >= 1000000 AND $qsampleSql),
         ex_scored AS (
           SELECT query_id, vec_id AS corpus_id,
             ${cosineSql("qv", "v", 4)} AS cs
@@ -783,7 +814,7 @@ object TrainingQueries {
         exact AS (${topk("ex_scored")}),
         b AS (SELECT vec_id, v, $bucketSql AS bucket FROM pv),
         lq AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b
-               WHERE vec_id >= 1000000),
+               WHERE vec_id >= 1000000 AND $qsampleSql),
         l_scored AS (
           SELECT query_id, c.vec_id AS corpus_id,
             ${cosineSql("qv", "c.v", 4)} AS cs
@@ -794,7 +825,7 @@ object TrainingQueries {
                   WHERE vec_id % ${strideSql("pv")} = 0),
         assigned AS (${assign("pv", "cents")}),
         iq AS (SELECT vec_id AS query_id, v AS qv, cell FROM assigned
-               WHERE vec_id >= 1000000),
+               WHERE vec_id >= 1000000 AND $qsampleSql),
         i_scored AS (
           SELECT query_id, c.vec_id AS corpus_id,
             ${cosineSql("qv", "c.v", 4)} AS cs
@@ -813,7 +844,7 @@ object TrainingQueries {
           FROM means GROUP BY cell),
         a1 AS (${assign("pv", "cents1")}),
         tq AS (SELECT vec_id AS query_id, v AS qv, cell FROM a1
-               WHERE vec_id >= 1000000),
+               WHERE vec_id >= 1000000 AND $qsampleSql),
         t_scored AS (
           SELECT query_id, c.vec_id AS corpus_id,
             ${cosineSql("qv", "c.v", 4)} AS cs
@@ -828,7 +859,7 @@ object TrainingQueries {
                    WHERE vec_id % ${strideSql("pdq")} = 0),
         qassigned AS (${assign("pdq", "qcents")}),
         qiq AS (SELECT vec_id AS query_id, v AS qv, cell FROM qassigned
-                WHERE vec_id >= 1000000),
+                WHERE vec_id >= 1000000 AND $qsampleSql),
         qi_scored AS (
           SELECT query_id, c.vec_id AS corpus_id,
             ${cosineSql("qv", "c.v", 4)} AS cs

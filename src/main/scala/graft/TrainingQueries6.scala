@@ -58,18 +58,22 @@ object TrainingQueries6 {
       col("n_grams").as("grams_a"))
     val b = counts.select(col("source").as("source_b"),
       col("n_grams").as("grams_b"))
-    a.crossJoin(b).filter(col("source_a") < col("source_b"))
-      .join(inter, Seq("source_a", "source_b"), "left")
-      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
-      .select(col("source_a"), col("source_b"), col("grams_a"),
-        col("grams_b"), col("n_common"),
-        round(col("n_common").cast("double") /
-          (col("grams_a") + col("grams_b") - col("n_common")).cast("double"),
-          6).as("jaccard"),
-        round(col("n_common").cast("double") /
-          least(col("grams_a"), col("grams_b")).cast("double"), 6)
-          .as("overlap_coef"))
-      .orderBy(col("source_a"), col("source_b"))
+    // |sources|² rows: self-releasing (the c65b pattern) — the gram
+    // source-set cache never outlives this query
+    TrainingQueries.materialized(s,
+      a.crossJoin(b).filter(col("source_a") < col("source_b"))
+        .join(inter, Seq("source_a", "source_b"), "left")
+        .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+        .select(col("source_a"), col("source_b"), col("grams_a"),
+          col("grams_b"), col("n_common"),
+          round(col("n_common").cast("double") /
+            (col("grams_a") + col("grams_b") - col("n_common")).cast("double"),
+            6).as("jaccard"),
+          round(col("n_common").cast("double") /
+            least(col("grams_a"), col("grams_b")).cast("double"), 6)
+            .as("overlap_coef"))
+        .orderBy(col("source_a"), col("source_b")),
+      sets)
   }
 
   /** C52: Neyman-allocation stratified sampling — a 1000-doc budget

@@ -465,11 +465,15 @@ object TrainingQueries7 {
       .distinct()
     val perPair = candB.groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("nb"))
-    candB.join(perPair, Seq("id1", "id2"))
-      .groupBy(col("band"))
-      .agg(count(lit(1)).as("n_candidates"),
-        sum((col("nb") === 1).cast("long")).as("n_exclusive"))
-      .orderBy(col("band"))
+    // |bands| rows: self-releasing (the c65b pattern) — the banded
+    // cache never outlives this query
+    TrainingQueries.materialized(s,
+      candB.join(perPair, Seq("id1", "id2"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum((col("nb") === 1).cast("long")).as("n_exclusive"))
+        .orderBy(col("band")),
+      banded)
   }
 
   /** C83: release manifest — the reproducibility artifact a dataset
@@ -613,12 +617,16 @@ object TrainingQueries7 {
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") <= 10).select(col("fp"))
     val fk = fps.join(keep, "fp")
-    fk.as("a").join(fk.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 3)
-      .orderBy(col("id1"), col("id2"))
+    // duplicate-density-bounded pair list: self-releasing (the c65b
+    // pattern) — the fingerprint cache never outlives this query
+    TrainingQueries.materialized(s,
+      fk.as("a").join(fk.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy(col("id1"), col("id2")),
+      fps)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -34,9 +34,13 @@ object TrainingQueries8 {
     * idf_milli * 44·tf·T div (20·tf·T + 6·T + 18·len·N) with
     * T = corpus tokens, N = docs — exact int64 to ~1e7 docs; swap the
     * product chain to decimal(38,0) beyond. */
-  private def c90Bm25(s: SparkSession, dir: String): DataFrame =
-    bm25TopDocs(T(s, dir, "documents"), "doc_id", "text",
+  private def c90Bm25(s: SparkSession, dir: String): DataFrame = {
+    val (top, tf) = bm25TopDocs(T(s, dir, "documents"), "doc_id", "text",
       vocabRankLo = 10, vocabRankHi = 12, k = 20)
+    // k rows: self-releasing (the c65b pattern) — the tf cache never
+    // outlives this query
+    TrainingQueries.materialized(s, top, tf)
+  }
 
   /** Log-free BM25: Robertson-odds idf (N−df+1)·1000 div (df+1) in
     * place of its log — per-term monotone to textbook BM25 idf — and
@@ -48,9 +52,12 @@ object TrainingQueries8 {
     * corpus totals, the query-restricted scores) and without the cache
     * each fork re-scans and re-explodes the whole corpus (the b96
     * lesson — plan-guarded). The cache holds (doc, term, freq)
-    * aggregates, not text: orders of magnitude below corpus size. */
+    * aggregates, not text: orders of magnitude below corpus size.
+    * Returns (top-k, tf cache) — the CALLER releases the cache once
+    * its result is materialized (self-release discipline). */
   private def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
-                          vocabRankLo: Int, vocabRankHi: Int, k: Int): DataFrame = {
+                          vocabRankLo: Int, vocabRankHi: Int,
+                          k: Int): (DataFrame, DataFrame) = {
     val tf = TfIdf.termFreq(docs, idCol, textCol).persist()
     val query = tf.groupBy("word").agg(sum("term_freq").as("n_total"))
       // bounded input: the vocab rollup; rank plans as WindowGroupLimit
@@ -79,7 +86,7 @@ object TrainingQueries8 {
         row_number().over(Window.orderBy(col("score_micro").desc, col(idCol))))
       .filter(col("rk") <= k)
       .select(col("rk"), col(idCol), col("score_micro"), col("n_terms_hit"))
-      .orderBy(col("rk"))
+      .orderBy(col("rk")) -> tf
   }
 
   /** Adjacent token pairs from an in-row generator (the token array
@@ -167,21 +174,24 @@ object TrainingQueries8 {
       .filter(col("bucket") >= 1)
       .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
     val curve = curveRows.toDF("n_bands", "n_rows", "bucket", "collide_ppm")
-    mass.join(broadcast(curve), "bucket")
-      .groupBy("n_bands", "n_rows")
-      .agg(
-        sum(col("n_pairs") * col("collide_ppm")).as("exp_candidates_ppm"),
-        coalesce(sum(when(col("bucket") >= 5,
-          col("n_pairs") * col("collide_ppm"))), lit(0L)).as("hit_hi_ppm"),
-        coalesce(sum(when(col("bucket") >= 5, col("n_pairs"))), lit(0L))
-          .as("n_hi"),
-        coalesce(sum(when(col("bucket") < 5,
-          col("n_pairs") * col("collide_ppm"))), lit(0L)).as("wasted_lo_ppm"))
-      .select(col("n_bands"), col("n_rows"), col("exp_candidates_ppm"),
-        expr("CASE WHEN n_hi > 0 THEN hit_hi_ppm div n_hi ELSE 0 END")
-          .as("exp_recall_ppm"),
-        col("wasted_lo_ppm"))
-      .orderBy(col("n_bands").desc)
+    // |configs| rows: self-releasing (the c65b pattern)
+    TrainingQueries.materialized(s,
+      mass.join(broadcast(curve), "bucket")
+        .groupBy("n_bands", "n_rows")
+        .agg(
+          sum(col("n_pairs") * col("collide_ppm")).as("exp_candidates_ppm"),
+          coalesce(sum(when(col("bucket") >= 5,
+            col("n_pairs") * col("collide_ppm"))), lit(0L)).as("hit_hi_ppm"),
+          coalesce(sum(when(col("bucket") >= 5, col("n_pairs"))), lit(0L))
+            .as("n_hi"),
+          coalesce(sum(when(col("bucket") < 5,
+            col("n_pairs") * col("collide_ppm"))), lit(0L)).as("wasted_lo_ppm"))
+        .select(col("n_bands"), col("n_rows"), col("exp_candidates_ppm"),
+          expr("CASE WHEN n_hi > 0 THEN hit_hi_ppm div n_hi ELSE 0 END")
+            .as("exp_recall_ppm"),
+          col("wasted_lo_ppm"))
+        .orderBy(col("n_bands").desc),
+      sets)
   }
 
   /** C93: hybrid retrieval with pseudo-relevance feedback — the
@@ -205,9 +215,9 @@ object TrainingQueries8 {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // the 100-row lexical list feeds TWO branches (PRF seeds, fusion);
     // without the persist each branch re-runs the whole BM25 subtree
-    val lex = bm25TopDocs(T(s, dir, "documents"), "doc_id", "text",
+    val (bm25, tf) = bm25TopDocs(T(s, dir, "documents"), "doc_id", "text",
         vocabRankLo = 10, vocabRankHi = 12, k = 100)
-      .select(col("doc_id"), col("rk").as("rk_lex"))
+    val lex = bm25.select(col("doc_id"), col("rk").as("rk_lex"))
       .persist()
     val top3 = lex.filter(col("rk_lex") <= 3).select(col("doc_id"))
     val q = emb.join(broadcast(top3), emb("vec_id") === top3("doc_id"))
@@ -224,18 +234,22 @@ object TrainingQueries8 {
         row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
       .filter(col("rk_sem") <= 100)
       .select(col("doc_id"), col("rk_sem"))
-    lex.join(sem, Seq("doc_id"), "full_outer")
-      .withColumn("rrf_micro",
-        coalesce(expr("1000000 div (60 + rk_lex)"), lit(0L)) +
-          coalesce(expr("1000000 div (60 + rk_sem)"), lit(0L)))
-      // bounded input: the two k-row retrieval lists' fusion
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("rrf_micro").desc, col("doc_id"))))
-      .filter(col("rk") <= 20)
-      .select(col("rk"), col("doc_id"), col("rrf_micro"),
-        coalesce(col("rk_lex"), lit(0)).as("rk_lex"),
-        coalesce(col("rk_sem"), lit(0)).as("rk_sem"))
-      .orderBy(col("rk"))
+    // 20 rows: self-releasing (the c65b pattern) — neither the tf nor
+    // the lexical-list cache outlives this query
+    TrainingQueries.materialized(s,
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_micro",
+          coalesce(expr("1000000 div (60 + rk_lex)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + rk_sem)"), lit(0L)))
+        // bounded input: the two k-row retrieval lists' fusion
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rrf_micro").desc, col("doc_id"))))
+        .filter(col("rk") <= 20)
+        .select(col("rk"), col("doc_id"), col("rrf_micro"),
+          coalesce(col("rk_lex"), lit(0)).as("rk_lex"),
+          coalesce(col("rk_sem"), lit(0)).as("rk_sem"))
+        .orderBy(col("rk")),
+      lex, tf)
   }
 
   /** Kneser–Ney continuation statistics over bigram TYPES: for each
@@ -243,8 +257,10 @@ object TrainingQueries8 {
     * continuation numerator), distinct right contexts N1+(w·), and
     * p_cont = N1+(·w) / |bigram types| in ppm. The type table is the
     * ONE real shuffle (distinct over pairs, map-side combined); the
-    * persisted types feed all three rollups. */
-  private[graft] def knContinuation(docs: DataFrame, k: Int): DataFrame = {
+    * persisted types feed all three rollups. Returns (top-k, types
+    * cache) — the caller releases the cache (self-release
+    * discipline). */
+  private[graft] def knContinuation(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
     val bt = adjacentPairs(docs).distinct().persist()
     val total = bt.agg(count(lit(1)).as("n_types"))
     val left = bt.groupBy(col("w2").as("word"))
@@ -261,14 +277,17 @@ object TrainingQueries8 {
       .select(col("rk"), col("word"), col("n_left_contexts"),
         coalesce(col("n_right_contexts"), lit(0L)).as("n_right_contexts"),
         expr("n_left_contexts * 1000000 div n_types").as("p_cont_ppm"))
-      .orderBy(col("rk"))
+      .orderBy(col("rk")) -> bt
   }
 
   /** C94: the smoothing statistics every n-gram LM build fans out for
     * (Kneser–Ney's continuation counts), top-20 words by left-context
     * diversity. */
-  private def c94KnCounts(s: SparkSession, dir: String): DataFrame =
-    knContinuation(T(s, dir, "documents"), 20)
+  private def c94KnCounts(s: SparkSession, dir: String): DataFrame = {
+    val (top, bt) = knContinuation(T(s, dir, "documents"), 20)
+    // k rows: self-releasing (the c65b pattern)
+    TrainingQueries.materialized(s, top, bt)
+  }
 
   /** Containment pairs over a (doc_id, tk) corpus: distinct 5-gram
     * shingles, inverted-index candidate join (shared shingle — the c4
@@ -538,12 +557,16 @@ object TrainingQueries8 {
       .join(cm.groupBy(col("p")).agg(sum(col("n")).as("b")),
         col("t") === col("p"))
       .agg(coalesce(sum(col("a") * col("b")), lit(0L)).as("chance"))
-    tot.crossJoin(broadcast(chance))
-      .select(col("n_docs"), col("n_agree"),
-        expr("n_agree * 1000000 div n_docs").as("agree_ppm"),
-        expr("chance * 1000000 div (n_docs * n_docs)").as("chance_ppm"),
-        expr("""(n_docs * n_agree - chance) * 1000000
-                div (n_docs * n_docs - chance)""").as("kappa_ppm"))
+    // 1 row: self-releasing (the c65b pattern) — the confusion-matrix
+    // cache never outlives this query
+    TrainingQueries.materialized(s,
+      tot.crossJoin(broadcast(chance))
+        .select(col("n_docs"), col("n_agree"),
+          expr("n_agree * 1000000 div n_docs").as("agree_ppm"),
+          expr("chance * 1000000 div (n_docs * n_docs)").as("chance_ppm"),
+          expr("""(n_docs * n_agree - chance) * 1000000
+                  div (n_docs * n_docs - chance)""").as("kappa_ppm")),
+      cm)
   }
 
   /** C102: the probes dial PRICED (the c50/c65/c88 discipline — every

@@ -183,7 +183,7 @@ class EdgeCaseSpec extends SparkSpec {
     // a null pair); KN continuation over them is empty
     val tiny = Seq("x", "", "  ").toDF("text")
     assert(TrainingQueries8.adjacentPairs(tiny).count() == 0)
-    assert(TrainingQueries8.knContinuation(tiny, 5).count() == 0)
+    assert(TrainingQueries8.knContinuation(tiny, 5)._1.count() == 0)
 
     // containment: docs shorter than the shingle width vanish before
     // the join (size(shs) > 0 filter), so no null-shingle candidates

@@ -57,7 +57,7 @@ class RetrievalEvalSpec extends SparkSpec {
 
   test("c94: continuation counts on a hand corpus") {
     val docs = Seq("a b", "c b", "a c").toDF("text")
-    val got = TrainingQueries8.knContinuation(docs, 10)
+    val got = TrainingQueries8.knContinuation(docs, 10)._1
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
     // bigram types: (a,b) (c,b) (a,c) → N1+(·b)=2, N1+(·c)=1;
