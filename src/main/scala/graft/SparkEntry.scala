@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
@@ -265,6 +267,47 @@ object SparkEntry {
         Fns.sumExact(col("value"), 2).as("sum_value"))
       .withColumn("files_reduced",
         lit(st.filesAfter < st.filesBefore).cast("int"))
+      .orderBy(col("event_type"))
+  }
+
+  /** A19: B24's STREAMING twin as a driver row — the maintenance loop
+    * that compacts the routed tables WHILE the A11 stream drains them
+    * (reference bulker.class.ts:66-117: MergeTree's background merges,
+    * owned by the engine that owns the parts). A deterministic 1-in-19
+    * event slice arrives as 4 files = 4 micro-batches with
+    * `compactEvery = 2`, so two full table merges run mid-stream,
+    * serialized with the appends inside foreachBatch (no
+    * snapshot-then-swap lost-append race by construction —
+    * StreamingCompactionSpec additionally pins the concurrent-reader
+    * visibility). The oracle checks the final table contents are
+    * lossless and that exactly 2 merges ran, each reducing files. */
+  private def a19StreamCompact(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_a19").toString
+    val slice = T(s, dir, "events")
+      .filter(col("event_id") % 19 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    (0 until 4).foreach { i =>
+      slice.filter(pmod(col("event_id") / 19, lit(4)) === i)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    }
+    val merges = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.operators.Compactor.Stats]()
+    val cfg = graft.streaming.EventPipeline.Config(
+      inputDir = s"$tmp/in", outputDir = s"$tmp/out",
+      checkpointDir = s"$tmp/ck", maxFilesPerTrigger = 1,
+      compactEvery = Some(2), onCompact = Some(st => { merges.add(st); () }))
+    graft.streaming.EventPipeline.start(s, slice.schema, cfg)
+      .awaitTermination()
+    val reduced = merges.size() == 2 &&
+      merges.asScala.forall(st => st.filesAfter <= st.filesBefore)
+    s.read.parquet(s"$tmp/out")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_event_ids"),
+        Fns.sumExact(col("value"), 2).as("sum_value"))
+      .withColumn("n_merges", lit(merges.size()).cast("long"))
+      .withColumn("files_reduced", lit(reduced).cast("int"))
       .orderBy(col("event_type"))
   }
 
@@ -733,6 +776,7 @@ object SparkEntry {
     "a12_dlq_replay" -> (a12DlqReplay _),
     "a13_legacy_normalize" -> (a13LegacyNormalize _),
     "a14_compaction_e2e" -> (a14CompactionE2e _),
+    "a19_stream_compact" -> (a19StreamCompact _),
     "a15_jdbc_evolve" -> (a15JdbcEvolve _),
     "a15b_jdbc_evolve_net" -> (a15bJdbcEvolveNet _),
     "a16_broker_roundtrip" -> (a16BrokerRoundtrip _),
@@ -926,6 +970,16 @@ object SparkEntry {
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            CAST(1 AS INT) AS files_reduced
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "a19_stream_compact" ->
+      """SELECT event_type, count(*) AS n_rows,
+           count(DISTINCT event_id) AS n_event_ids,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(2 AS BIGINT) AS n_merges,
+           CAST(1 AS INT) AS files_reduced
+         FROM events
+         WHERE event_id % 19 = 0
+           AND event_type IS NOT NULL AND len(event_type) > 0
+         GROUP BY event_type ORDER BY event_type""",
     "a12_dlq_replay" ->
       """WITH ev AS (
            SELECT event_id,

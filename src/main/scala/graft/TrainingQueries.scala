@@ -498,13 +498,20 @@ object TrainingQueries {
     * frame. No persist outlives its query, so library consumers get
     * the memory bound without the suite-level clearCache() contract
     * (USAGE.md). Only for outputs orders below corpus size — every
-    * caller's result is a bounded report/top-k table. */
+    * caller's result is a bounded report/top-k table.
+    *
+    * `spark.graft.materialize=false` returns the lazy frame unchanged
+    * (caches left pinned): PlanAuditSpec flips it to assert the real
+    * computational plan, which the collect-and-localize wrapper would
+    * otherwise hide behind a parallelize scan. */
   private[graft] def materialized(s: SparkSession, result: DataFrame,
-                                  caches: DataFrame*): DataFrame = {
-    val rows = result.collect().toSeq
-    caches.foreach(_.unpersist())
-    s.createDataFrame(s.sparkContext.parallelize(rows, 1), result.schema)
-  }
+                                  caches: DataFrame*): DataFrame =
+    if (s.conf.get("spark.graft.materialize", "true") == "false") result
+    else {
+      val rows = result.collect().toSeq
+      caches.foreach(_.unpersist())
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), result.schema)
+    }
 
   /** Mirror of [[graft.operators.Similarity.sqrtStride]]: the
     * scale-aware centroid stride ⌊√N⌋ over the named corpus CTE.

@@ -78,6 +78,18 @@ object EventPipeline {
     * is the existing a12 replay path. Without a `dlqDir` the failure
     * propagates (fail-the-batch, checkpoint replays — the pre-watchdog
     * behavior). */
+  /** `compactEvery = Some(n)` runs [[graft.operators.Compactor]] over
+    * the routed table after every n-th micro-batch, INSIDE foreachBatch
+    * — the maintenance loop that keeps streaming fragmentation bounded
+    * (the reference's MergeTree background merges,
+    * bulker.class.ts:66-117, where the engine that owns the parts owns
+    * their merges). Running at the micro-batch boundary makes the
+    * merge atomic w.r.t. the stream's own appends BY CONSTRUCTION (no
+    * snapshot-then-swap lost-append race: foreachBatch serializes the
+    * two), and external readers see staged-swap visibility — the old
+    * file set or the new one, never a half-merged union
+    * (StreamingCompactionSpec pins both). `onCompact` observes each
+    * merge's Stats (tests and ops counters). */
   case class Config(
       inputDir: String,
       outputDir: String,
@@ -85,7 +97,10 @@ object EventPipeline {
       maxFilesPerTrigger: Int = 1,
       transform: EventFlattener.RowTransform = EventFlattener.defaultTransform,
       dlqDir: Option[String] = None,
-      sinkPing: Option[() => Boolean] = None)
+      sinkPing: Option[() => Boolean] = None,
+      compactEvery: Option[Int] = None,
+      compactSortCol: String = "sent_at",
+      onCompact: Option[graft.operators.Compactor.Stats => Unit] = None)
 
   /** The enrichment applied to each micro-batch (shared with tests and
     * with the batch path, so batch/streaming parity is testable). */
@@ -139,6 +154,20 @@ object EventPipeline {
           .write.mode("append")
           .partitionBy("event_type")
           .parquet(cfg.outputDir)
+        // the in-stream maintenance merge (see Config.compactEvery):
+        // serialized with the append above, so no append can land
+        // between the compaction's snapshot and its swap
+        cfg.compactEvery.foreach { n =>
+          val outPath = new org.apache.hadoop.fs.Path(cfg.outputDir)
+          val fs = outPath.getFileSystem(
+            batch.sparkSession.sparkContext.hadoopConfiguration)
+          if ((batchId + 1) % n == 0 && fs.exists(outPath)) {
+            val st = graft.operators.Compactor.compact(batch.sparkSession,
+              cfg.outputDir, partitionCol = "event_type",
+              sortCol = cfg.compactSortCol)
+            cfg.onCompact.foreach(_(st))
+          }
+        }
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()

@@ -12,7 +12,11 @@ class PlanAuditSpec extends SparkSpec {
     // mirror Verify: queries are independent — another suite's (or
     // query's) persisted intermediates must not rewrite this plan
     spark.catalog.clearCache()
-    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    // audit the real computational plan, not the self-release
+    // wrapper's localized copy (TrainingQueries.materialized)
+    spark.conf.set("spark.graft.materialize", "false")
+    try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.graft.materialize", "true")
   }
 
   test("b1: shipdate filter reaches the parquet scan; columns pruned") {

@@ -21,12 +21,25 @@ by the copy index, so any two runs produce byte-identical output):
 events/lineitem/orders keep verbatim amplification — duplicate
 payloads with fresh ids are exactly what an event stream re-delivers.
 
+--tpch: also amplify the TPC-H fact/dim tables (lineitem, orders,
+customer, supplier, part) with REFERENTIAL INTEGRITY preserved: copy c
+offsets each key domain by c * (max_key + 1) consistently across every
+table that references it (l_orderkey and o_orderkey move together,
+o_custkey and c_custkey together, ...), so each copy is a
+self-contained TPC-H universe sharing the fixed nation/region dims and
+every join keeps its selectivity. Without the flag these tables copy
+through unchanged (the pre-r10 behavior — events/documents/embeddings
+scale, TPC-H stays at the source sf).
+
 Usage:
   python3 tools/gen_sf.py /root/testdata/sf0.1 /tmp/sf1 10
   python3 tools/gen_sf.py /root/testdata/sf0.1 /tmp/sf1p 10 --perturb
+  python3 tools/gen_sf.py /root/testdata/sf0.1 /tmp/sf1j 10 --tpch --only lineitem,orders,customer
   python3 tools/gen_sf.py /root/testdata/sf0.1 /tmp/emb500 500 --only embeddings
 
-Writes only under the destination dir (never touches the source).
+Copies are streamed to the writer one at a time, so peak memory is one
+source-table copy regardless of the factor. Writes only under the
+destination dir (never touches the source).
 """
 import shutil, sys
 
@@ -38,6 +51,21 @@ import pyarrow.parquet as pq
 ID_COLS = {"events": "event_id", "documents": "doc_id", "embeddings": "vec_id"}
 ALL = ["region", "nation", "customer", "supplier", "part", "orders",
        "lineitem", "events", "documents", "embeddings"]
+
+# --tpch key topology: table -> [(column, key domain)]; the domain's
+# stride comes from the domain-owning table's max key + 1
+TPCH_KEYS = {
+    "customer": [("c_custkey", "custkey")],
+    "supplier": [("s_suppkey", "suppkey")],
+    "part": [("p_partkey", "partkey")],
+    "orders": [("o_orderkey", "orderkey"), ("o_custkey", "custkey")],
+    "lineitem": [("l_orderkey", "orderkey"), ("l_partkey", "partkey"),
+                 ("l_suppkey", "suppkey")],
+}
+DOMAIN_OWNER = {"custkey": ("customer", "c_custkey"),
+                "orderkey": ("orders", "o_orderkey"),
+                "partkey": ("part", "p_partkey"),
+                "suppkey": ("supplier", "s_suppkey")}
 
 DROPOUT = 0.05      # token dropout rate per perturbed document copy
 EMB_NOISE = 0.02    # uniform(-x, x) per embedding dimension
@@ -84,16 +112,30 @@ def amplify(src, dst, table, factor, perturb):
     t = pq.read_table(f"{src}/{table}.parquet")
     idc = ID_COLS[table]
     stride = pc.max(t[idc]).as_py() + 1
-    copies = []
+    writer = pq.ParquetWriter(f"{dst}/{table}.parquet", t.schema)
     for c in range(factor):
         body = t if (c == 0 or not perturb or table not in PERTURB) \
             else PERTURB[table](t, c)
         ids = pc.add(body[idc], pa.scalar(c * stride, type=t.schema.field(idc).type))
-        copies.append(body.set_column(body.schema.get_field_index(idc), idc, ids))
-    out = pa.concat_tables(copies)
-    pq.write_table(out, f"{dst}/{table}.parquet")
+        writer.write_table(
+            body.set_column(body.schema.get_field_index(idc), idc, ids))
+    writer.close()
     tag = " (perturbed)" if perturb and table in PERTURB and factor > 1 else ""
-    print(f"  {table}: {t.num_rows} -> {out.num_rows} rows{tag}")
+    print(f"  {table}: {t.num_rows} -> {t.num_rows * factor} rows{tag}")
+
+
+def amplify_tpch(src, dst, table, factor, strides):
+    t = pq.read_table(f"{src}/{table}.parquet")
+    writer = pq.ParquetWriter(f"{dst}/{table}.parquet", t.schema)
+    for c in range(factor):
+        body = t
+        for col, domain in TPCH_KEYS[table]:
+            typ = t.schema.field(col).type
+            ids = pc.add(body[col], pa.scalar(c * strides[domain], type=typ))
+            body = body.set_column(body.schema.get_field_index(col), col, ids)
+        writer.write_table(body)
+    writer.close()
+    print(f"  {table}: {t.num_rows} -> {t.num_rows * factor} rows (tpch keys offset)")
 
 
 def main():
@@ -102,6 +144,13 @@ def main():
     if "--only" in sys.argv:
         only = sys.argv[sys.argv.index("--only") + 1].split(",")
     perturb = "--perturb" in sys.argv
+    tpch = "--tpch" in sys.argv
+    strides = {}
+    if tpch:
+        for domain, (owner, col) in DOMAIN_OWNER.items():
+            strides[domain] = pc.max(
+                pq.read_table(f"{src}/{owner}.parquet", columns=[col])[col]
+            ).as_py() + 1
     import os
     os.makedirs(dst, exist_ok=True)
     for t in ALL:
@@ -109,6 +158,8 @@ def main():
             continue
         if t in ID_COLS:
             amplify(src, dst, t, factor, perturb)
+        elif tpch and t in TPCH_KEYS:
+            amplify_tpch(src, dst, t, factor, strides)
         else:
             shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
             print(f"  {t}: copied")
