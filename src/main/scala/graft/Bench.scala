@@ -155,9 +155,16 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
         .mkString("{", ",", "}")}"""
     val full = s"""{"queries":${qmap(results)}$retimedField$failedField,"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
-    // The FULL per-query map always goes to a file...
+    // The FULL per-query map always goes to a file — but only a
+    // full-suite run at the canonical sf may overwrite the committed
+    // idle baseline (the retime pass and round-over-round diffs read
+    // it); filtered or oversized-scale PROBE runs write their own file
+    // instead of clobbering the baseline with a partial map.
+    val isCanonical = only.isEmpty && sfDir == "/root/testdata/sf0.1"
+    val benchFile =
+      if (isCanonical) "BENCH_local_latest.json" else "BENCH_probe_latest.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_local_latest.json"), full + "\n")
+      java.nio.file.Paths.get(benchFile), full + "\n")
     catch { case _: Throwable => () }
     // ...but the collector keeps only the LAST ~2000 characters of
     // stdout, and a 170+-entry map is ~5 KB: a full line can NEVER
@@ -189,7 +196,7 @@ object Bench {
         if (failed.isEmpty) ""
         else s""","n_failed":${failed.size},"failed_names":${failed.keys.take(8)
           .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size}$failedShort,"sf":"$sfDir","queries":${qmap(slowest)}$retimedShort,"queries_omitted":${results.size - slowest.size},"queries_full":"BENCH_local_latest.json"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${results.size}$failedShort,"sf":"$sfDir","queries":${qmap(slowest)}$retimedShort,"queries_omitted":${results.size - slowest.size},"queries_full":"$benchFile"}"""
     }
     println(line)
     spark.stop()
