@@ -174,10 +174,23 @@ object Similarity {
     * broadcasts), the all-corpus graph must not broadcast anything
     * corpus-sized: both sides of the cell join shuffle on `cell`,
     * candidate fan-out is probes·Σ|cell|² — the c72 cell-balance audit
-    * is what keeps that near probes·N²/K. */
+    * is what keeps that near probes·N²/K.
+    *
+    * The per-src top-k is the bounded [[graft.plans.TopNByScore]]
+    * aggregate, NOT a rank window: a window must SORT the full
+    * candidate fan-out before ranking (the r10 sf10 probe measured
+    * that local sort spilling >50 GB at 186M candidate pairs — a 100 TB
+    * killer), while the aggregate hashes candidates into O(k) state
+    * per src map-side, so nothing candidate-sized is ever sorted or
+    * shuffled. Tie order is identical by construction (score desc,
+    * key asc). Each edge's `cell` — dst's ONE home cell, so a pair
+    * appears at most once — re-attaches via an N·k ⋈ N equi-join
+    * AFTER the top-k, never on the candidate set. */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
                stride: Long = 0, roundScale: Int = 4,
                probes: Int = 1): DataFrame = {
+    require(k >= 1 && k <= 8,
+      "knnGraph keeps O(k) aggregate state; raise TopNByScore's cap past 8")
     val v = corpus.select(col(idCol).as("__kid"),
       col(vecCol).cast("array<double>").as("__kv"))
     val a = assignProbes(v, seedCentroids(corpus, idCol, vecCol, stride),
@@ -185,13 +198,17 @@ object Similarity {
     val l = a.select(explode(col("probe_cells")).as("cell"),
       col("__kid").as("src"), col("__kv").as("sv"))
     val r = a.select(col("cell"), col("__kid").as("dst"), col("__kv").as("dv"))
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("cosine_sim").desc, col("dst"))
-    l.join(r, Seq("cell")).filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), col("cell"),
-        Fns.cosine(col("sv"), col("dv"), roundScale).as("cosine_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val top = l.join(r, Seq("cell")).filter(col("src") =!= col("dst"))
+      .groupBy(col("src"))
+      .agg(Fns.topNByScore(
+        Fns.cosine(col("sv"), col("dv"), roundScale), col("dst"), k).as("__top"))
+      .select(col("src"), posexplode(col("__top")).as(Seq("__pos", "__p")))
+      .select(col("src"), col("__p.key").as("dst"),
+        col("__p.score").as("cosine_sim"),
+        (col("__pos") + 1).cast("int").as("rank"))
+    top.join(a.select(col("__kid").as("dst"), col("cell")), Seq("dst"))
+      .select(col("src"), col("dst"), col("cell"), col("cosine_sim"),
+        col("rank"))
   }
 
   /** IVF with optional Lloyd-refined centroids (iters=0 ≡ ivfTopK). */

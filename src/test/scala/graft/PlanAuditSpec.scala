@@ -853,8 +853,13 @@ class PlanAuditSpec extends SparkSpec {
         s"cross the exchange:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"the within-cell self-join degenerated to a cross product:\n$p")
-    assert(p.contains("WindowGroupLimit"),
-      s"per-node top-k scans the full candidate set:\n$p")
+    // per-src top-k is the bounded aggregate with a map-side partial —
+    // a rank window here must SORT the probes·Σ|cell|² candidate
+    // fan-out (the r10 sf10 probe measured that sort spilling >50 GB)
+    assert(p.contains("partial_top_n_by_score"),
+      s"per-node top-k lost its bounded map-side aggregate:\n$p")
+    assert(!p.contains("WindowGroupLimit"),
+      s"per-node top-k fell back to a candidate-sorting rank window:\n$p")
   }
 
   test("c98: multi-probe assignment keeps BOTH aggregates partial") {
