@@ -168,7 +168,7 @@ object TrainingQueries {
   private def c7AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
-        "vec_id", "embedding", k = 5, planes = 8, dim = 64, roundScale = 4)
+        "vec_id", "embedding", k = 5, planes = 0, dim = 64, roundScale = 4)
       .select(col("query_id"), col("rank").as("rnk"), col("corpus_id"),
         col("bucket"), col("cosine_sim"))
       .orderBy(col("query_id"), col("rnk"))
@@ -253,7 +253,7 @@ object TrainingQueries {
         deq.filter(col("vec_id") < 8), "vec_id", "embedding",
         k = 5, stride = 0, roundScale = 4))))
       .unionAll(audit("lsh", pairs(Similarity.lshTopK(emb, q, "vec_id",
-        "embedding", k = 5, planes = 8, dim = 64, roundScale = 4))))
+        "embedding", k = 5, planes = 0, dim = 64, roundScale = 4))))
       .orderBy(col("method"))
   }
 
@@ -329,7 +329,7 @@ object TrainingQueries {
         "vec_id", "embedding", k = 5, stride = 0, iters = 1,
         roundScale = 4)))
       .unionAll(audit("lsh", Similarity.lshTopK(emb, q, "vec_id",
-        "embedding", k = 5, planes = 8, dim = 64, roundScale = 4)))
+        "embedding", k = 5, planes = 0, dim = 64, roundScale = 4)))
       .orderBy(col("method"))
     // 4 rows: materialize, release every cache, hand back a local frame
     val rows = audits.collect().toSeq
@@ -560,16 +560,33 @@ object TrainingQueries {
 
   /** Inline ±1 plane constants — same left-to-right accumulation order
     * as Fns.dotD's fold, so the sign decision is bit-identical. */
+  /** The corpus-derived plane count as a 1-row CTE — the same integer
+    * bitlen formula as [[Similarity.autoPlanes]] (`length(bin(x))` ≡
+    * 64 − numberOfLeadingZeros(x); both engines compute it on exact
+    * integers, no float log2 at a boundary). A CTE the bucket CTE
+    * cross-joins (1 row), NOT an inline scalar subquery: 30 copies of
+    * the subquery inside the bucket expression sent DuckDB's
+    * decorrelation into a plan that sat at a ~40 GB memory edge on a
+    * 20k-row corpus and OOM'd under concurrent load. */
+  private def npCteSql(corpus: String): String =
+    s"np AS (SELECT least(30, greatest(8, " +
+      s"length(bin((count(*)-1)//64)))) AS p FROM $corpus)"
+
+  /** Bucket-signature mirror with the corpus-derived plane count:
+    * term j contributes only when j < np.p (see [[npCteSql]] — the
+    * bucket CTE must cross-join `np`). The gate short-circuits, so
+    * ungated planes' 64-term dots are never evaluated. */
   private def bucketSql: String =
-    (0 until 8).map { j =>
+    (0 until 30).map { j =>
       val dot = (0 until 64)
         .map(i => s"v[${i + 1}]*(${Similarity.planeSign(j, i)})").mkString(" + ")
-      s"(CASE WHEN ($dot) > 0 THEN ${1L << j} ELSE 0 END)"
+      s"(CASE WHEN $j < np.p AND ($dot) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
   private def c7OracleSql: String =
     s"""WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        b AS (SELECT vec_id, v, $bucketSql AS bucket FROM ve),
+        ${npCteSql("ve")},
+        b AS (SELECT vec_id, v, $bucketSql AS bucket FROM ve, np),
         q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b WHERE vec_id < 8),
         c AS (SELECT vec_id AS corpus_id, bucket, v AS cv FROM b),
         scored AS (
@@ -704,7 +721,8 @@ object TrainingQueries {
               row_number() OVER (PARTITION BY query_id
                 ORDER BY cs DESC, corpus_id) AS rnk
             FROM ex_scored) WHERE rnk <= 5),
-        b AS (SELECT vec_id, v, $bucketSql AS bucket FROM ve),
+        ${npCteSql("ve")},
+        b AS (SELECT vec_id, v, $bucketSql AS bucket FROM ve, np),
         lq AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b WHERE vec_id < 8),
         l_scored AS (
           SELECT query_id, c.vec_id AS corpus_id,
@@ -819,7 +837,8 @@ object TrainingQueries {
             ${cosineSql("qv", "v", 4)} AS cs
           FROM pv CROSS JOIN q0 WHERE query_id <> vec_id),
         exact AS (${topk("ex_scored")}),
-        b AS (SELECT vec_id, v, $bucketSql AS bucket FROM pv),
+        ${npCteSql("pv")},
+        b AS (SELECT vec_id, v, $bucketSql AS bucket FROM pv, np),
         lq AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b
                WHERE vec_id >= 1000000 AND $qsampleSql),
         l_scored AS (

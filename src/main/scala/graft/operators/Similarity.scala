@@ -43,6 +43,26 @@ object Similarity {
     if ((d(0) & 1) == 1) 1.0 else -1.0
   }
 
+  /** Corpus-derived plane count: the smallest p with an expected
+    * bucket size ≤ `target` (N/2^p ≤ target), floored at 8 (the
+    * shipped-scale value — ≤ 8 planes at N ≤ 16k·target, so driver-
+    * scale results are bit-identical to the fixed-8 era) and capped
+    * at 30 (2^30 buckets ≈ 69 B vectors at target 64). Pure integer
+    * arithmetic — bitlen((N−1) div target) — so the oracle mirrors
+    * compute the IDENTICAL count with
+    * `least(30, greatest(8, length(bin((count(*)-1)//target))))`
+    * (DuckDB `bin` is the positional binary form; no float log2 whose
+    * rounding could diverge between engines at a boundary). This is
+    * the LSH analogue of [[sqrtStride]]: bucket count grows WITH the
+    * corpus, so expected bucket size stays in (target/2, target] and
+    * bucket-join work stays O(N·target) — linear per decade, the
+    * sub-N^1.5 member of the ANN family (the centroid path's
+    * assignment cost is inherently N·K; hashing is O(planes)). */
+  def autoPlanes(n: Long, target: Long = 64L): Int = {
+    val x = math.max(0L, (n - 1L) / math.max(1L, target))
+    math.min(30, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(x)))
+  }
+
   /** LSH bucket signature: sign bit per hyperplane, packed to a long. */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { j =>
@@ -247,17 +267,23 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: candidates share a bucket; top-k within bucket.
-    * Misses across bucket boundaries are the approximation; planes=8
-    * → 256 buckets → ~corpus/256 candidates per query. */
+    * Misses across bucket boundaries are the approximation. planes ≤ 0
+    * (the scale-safe default) derives [[autoPlanes]] from the corpus
+    * count — bucket count grows with N, expected bucket size stays
+    * ~64, and per-query candidate work stays CONSTANT (the fixed-8
+    * form's N/256 candidates per query grew linearly, the same
+    * pinned-dial disease the fixed IVF stride had). One count job,
+    * same price seedCentroids already pays. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, planes: Int = 8, dim: Int = 64,
+              vecCol: String, k: Int, planes: Int = 0, dim: Int = 64,
               roundScale: Int = 4): DataFrame = {
+    val p = if (planes > 0) planes else autoPlanes(corpus.count())
     val c = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), planes, dim))
+      .withColumn("bucket", lshBucket(col("cv"), p, dim))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes, dim))
+      .withColumn("bucket", lshBucket(col("qv"), p, dim))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"), col("bucket"),

@@ -57,6 +57,36 @@ class KMeansIvfSpec extends SparkSpec {
     assert(Similarity.sqrtStride(999999) == 999)
   }
 
+  test("autoPlanes holds expected bucket size in (32, 64] and floors at 8") {
+    // the LSH analogue of sqrtStride: planes = max(8, bitlen((N-1)/64)),
+    // capped at 30 — integer-exact so the oracle's
+    // least(30, greatest(8, length(bin((count(*)-1)//64)))) always agrees
+    assert(Similarity.autoPlanes(0) == 8)
+    assert(Similarity.autoPlanes(1) == 8)
+    assert(Similarity.autoPlanes(2000) == 8)      // all shipped scales: 8
+    assert(Similarity.autoPlanes(16384) == 8)     // 2^8 * 64 — boundary
+    assert(Similarity.autoPlanes(16385) == 9)
+    assert(Similarity.autoPlanes(20000) == 9)     // sf1p corpus
+    assert(Similarity.autoPlanes(200000) == 12)   // sf10p corpus
+    assert(Similarity.autoPlanes(Long.MaxValue) == 30)
+    // expected bucket size N/2^p stays in (32, 64] past the floor
+    for (n <- Seq(16385L, 99999L, 1000000L, 123456789L)) {
+      val p = Similarity.autoPlanes(n)
+      val exp = n.toDouble / (1L << p)
+      assert(exp <= 64.0 && exp > 32.0, s"n=$n p=$p exp=$exp")
+    }
+  }
+
+  test("lshTopK planes <= 0 derives autoPlanes and matches the explicit form") {
+    val emb = Tables(spark, dir, "embeddings") // 500 vectors -> 8 planes
+    val q = emb.filter(col("vec_id") < 4)
+    val auto = Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 3)
+    val explicit = Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 3,
+      planes = 8)
+    assert(auto.orderBy("query_id", "rank").collect().toSeq ==
+      explicit.orderBy("query_id", "rank").collect().toSeq)
+  }
+
   test("stride <= 0 derives the scale-aware stride from the corpus count") {
     val emb = Tables(spark, dir, "embeddings") // 500 vectors, ids 0..499
     val auto = Similarity.seedCentroids(emb, "vec_id", "embedding", stride = 0)

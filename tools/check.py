@@ -30,6 +30,11 @@ con = duckdb.connect()
 # brute-force mirror at sf1 allocates tens of GB of intermediates)
 con.execute("SET temp_directory='/tmp/duckdb_spill'")
 con.execute("SET max_temp_directory_size='100GB'")
+# an explicit budget: the default (80% of RAM) OOMs with a hard
+# "failed to allocate" instead of spilling when the OS page cache or a
+# concurrent Spark JVM holds the rest of the machine (seen twice at
+# sf1: the c65b compare passed solo, failed under contention)
+con.execute("SET memory_limit='40GB'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
