@@ -24,13 +24,17 @@ object AnalyticsQueries {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** B2: 3-way join + group + top-n revenue (TPC-H Q3 shape). */
+  /** B2: 3-way join + group + top-n revenue (TPC-H Q3 shape).
+    * customer SCALES with SF, so its broadcast is size-gated
+    * ([[Tables.broadcastIfSmall]]) — forced at sf100 the 3 M-row
+    * build dominated the whole query. */
   private def b2TopRevenue(s: SparkSession, dir: String): DataFrame = {
     val c = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = T(s, dir, "orders").filter(col("o_orderdate") < lit("1998-06-30"))
     val l = T(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-06-30"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(Tables.broadcastIfSmall(s, dir, "customer", c),
+        col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(Fns.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
         .as("revenue"))
@@ -41,7 +45,9 @@ object AnalyticsQueries {
       .limit(10)
   }
 
-  /** B3: 6-way star join (TPC-H Q5 shape); dims broadcast. */
+  /** B3: 6-way star join (TPC-H Q5 shape). nation/region are FIXED
+    * dims (25/5 rows) — broadcast unconditionally; supplier SCALES
+    * with SF, so its broadcast is size-gated. */
   private def b3RegionRevenue(s: SparkSession, dir: String): DataFrame = {
     val r = T(s, dir, "region").filter(col("r_name") === "ASIA")
     val n = T(s, dir, "nation")
@@ -52,7 +58,8 @@ object AnalyticsQueries {
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
     val l = T(s, dir, "lineitem")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.broadcastIfSmall(s, dir, "supplier", su),
+        col("l_suppkey") === col("s_suppkey"))
       .join(cu, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(dims, col("s_nationkey") === col("n_nationkey"))

@@ -266,16 +266,20 @@ object AnalyticsQueries2 {
     * surfaced separately as decimal-exact doubles (cross-engine
     * decimal DIVISION semantics differ; the ratio belongs to the
     * reader). `part` carries only (p_partkey, p_type) into the join —
-    * a pruned two-column dim — so it is broadcast EXPLICITLY (r2 bench
-    * showed AQE's post-hoc conversion left an 8 s sort-merge join; the
-    * hint makes it a map-side hash join with no lineitem shuffle). At
-    * TPC-H SF where part outgrows the broadcast threshold, drop the
-    * hint and the same plan degrades gracefully to a shuffle join. */
+    * a pruned two-column dim — so it is broadcast while it FITS (r2
+    * bench showed AQE's post-hoc conversion left an 8 s sort-merge
+    * join; the hint makes it a map-side hash join with no lineitem
+    * shuffle). part SCALES with SF, so the hint is size-gated
+    * ([[Tables.broadcastIfSmall]]): past the footprint threshold the
+    * same plan degrades to a shuffle join WITHOUT anyone editing the
+    * query — the manual 'drop the hint at scale' instruction this doc
+    * used to carry was itself the pinned dial. */
   private def b22PromoRevenue(s: SparkSession, dir: String): DataFrame = {
     val li = T(s, dir, "lineitem")
     val p = T(s, dir, "part").select(col("p_partkey"), col("p_type"))
     val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(Tables.broadcastIfSmall(s, dir, "part", p),
+        col("l_partkey") === col("p_partkey"))
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
       .agg(
         Fns.sumExact(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)), 6)

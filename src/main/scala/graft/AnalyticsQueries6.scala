@@ -74,8 +74,11 @@ object AnalyticsQueries6 {
 
   /** B59: CH `topKWeighted` — top 5 suppliers by exact revenue weight
     * per nation. The fact table aggregates FIRST (map-side combine →
-    * one |suppliers|-row exchange); supplier and nation broadcast;
-    * the rank window prunes below the exchange (WindowGroupLimit). */
+    * one |suppliers|-row exchange); nation broadcasts unconditionally
+    * (25 rows), supplier's broadcast is size-gated — it scales with
+    * SF, and past the footprint threshold the |suppliers|-row agg ⋈
+    * supplier join is a same-keyed shuffle anyway; the rank window
+    * prunes below the exchange (WindowGroupLimit). */
   private def b59TopkWeighted(s: SparkSession, dir: String): DataFrame = {
     val rev = T(s, dir, "lineitem")
       .groupBy(col("l_suppkey"))
@@ -86,7 +89,8 @@ object AnalyticsQueries6 {
     val nat = T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
     val w = Window.partitionBy(col("nation"))
       .orderBy(col("revenue").desc, col("suppkey"))
-    rev.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    rev.join(Tables.broadcastIfSmall(s, dir, "supplier", sup),
+        col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .select(col("n_name").as("nation"), col("l_suppkey").as("suppkey"),
         col("s_name").as("supplier"), col("revenue"))

@@ -433,7 +433,8 @@ object AnalyticsQueries8 {
     *
     * Scale shape: the per-(segment, score) pre-rollup collapses the
     * fact table BEFORE the sort (distinct scores, not rows, cross the
-    * range exchange), the customer dim broadcasts, and the rank
+    * range exchange), the customer dim's broadcast is size-gated
+    * (customer scales with SF), and the rank
     * cumulative is a running sum per segment — the same
     * sort-once-then-scan contract as b98. Int64 holds to ~3·10^12
     * rows·1e6; past that lift S2 to decimal(38,0). */
@@ -443,7 +444,8 @@ object AnalyticsQueries8 {
       when(col("o_orderpriority") < "3", 1L).otherwise(0L).as("is_pos"))
     val seg = T(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
     graft.operators.Stats.aucBySegment(
-        o.join(broadcast(seg), col("o_custkey") === col("c_custkey")),
+        o.join(Tables.broadcastIfSmall(s, dir, "customer", seg),
+          col("o_custkey") === col("c_custkey")),
         "c_mktsegment", col("score_cents"), col("is_pos"))
       .orderBy(col("c_mktsegment"))
   }

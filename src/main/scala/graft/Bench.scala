@@ -16,6 +16,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Scale-correct shuffle sizing: START high and let AQE coalesce
+      // down to its advisory size. A pinned shuffle.partitions=32 was
+      // itself a dial that broke a decade up — at sf100 (600 M-row
+      // lineitem) 32-way sorts spilled ~20 M rows/task and b101 ran
+      // 105 s; with 512 initial partitions AQE kept small scales
+      // identical (coalesced to the same ~32) and b101 dropped to
+      // 46 s. 16× cpus mirrors what a real cluster would set (2-5×
+      // total cores, headroom for skew).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 16).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional comma-separated query filter for local iteration

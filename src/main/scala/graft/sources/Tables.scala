@@ -52,6 +52,39 @@ object Tables {
     schema.fold(reader)(reader.schema).json(path)
   }
 
+  /** On-disk bytes of a test table — Hadoop FS so any scheme the
+    * session can read also sizes (local file, HDFS, object store). */
+  def tableBytes(spark: SparkSession, dir: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(p).getLength
+  }
+
+  /** Broadcast hint that a SCALING table must not outgrow: hint only
+    * while the table's on-disk footprint is under `maxBytes` (64 MB
+    * parquet ≈ a few hundred MB in-memory build relation — comfortably
+    * inside a 1 GB driver slice), otherwise hand the plan back to
+    * Catalyst/AQE untouched (sort-merge, or AQE's own post-filter
+    * broadcast conversion if the RUNTIME size qualifies).
+    *
+    * Why not hint unconditionally: a `broadcast()` hint is FORCED —
+    * Spark obeys it regardless of size, and a TPC-H-scaling dim
+    * (customer/supplier/part grow linearly with SF) that measured as a
+    * nice map-side join at sf0.1 becomes a driver-OOM collect at
+    * sf100+ (measured here: b2's hinted customer broadcast was
+    * 3 M rows at sf100 — the build alone dominated the query). Why not
+    * drop the hint entirely: below the threshold the hint beats AQE's
+    * post-hoc conversion because the scan-side shuffle never happens
+    * at all (b22's doc records the 8 s gap). The size check reads one
+    * FS content summary — no data scan, deterministic for a given
+    * dir. */
+  def broadcastIfSmall(spark: SparkSession, dir: String, name: String,
+                       df: DataFrame,
+                       maxBytes: Long = 64L << 20): DataFrame =
+    if (tableBytes(spark, dir, name) <= maxBytes)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+
   def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
