@@ -247,13 +247,19 @@ object TrainingQueries {
             .as("recall_ppm"))
     }
     val deq = int8Deq(emb)
+    // derive stride/planes ONCE from one (metadata-only) count and
+    // pass them explicitly — stride=0/planes=0 here would make each
+    // search re-derive them with its own count job (r10's c65b cost)
+    val n = emb.count()
+    val st = Similarity.sqrtStride(n)
+    val pl = Similarity.autoPlanes(n)
     audit("ivf", pairs(Similarity.ivfTopK(emb, q, "vec_id", "embedding",
-        k = 5, stride = 0, roundScale = 4)))
+        k = 5, stride = st, roundScale = 4)))
       .unionAll(audit("ivf_int8", pairs(Similarity.ivfTopK(deq,
         deq.filter(col("vec_id") < 8), "vec_id", "embedding",
-        k = 5, stride = 0, roundScale = 4))))
+        k = 5, stride = st, roundScale = 4))))
       .unionAll(audit("lsh", pairs(Similarity.lshTopK(emb, q, "vec_id",
-        "embedding", k = 5, planes = 0, dim = 64, roundScale = 4))))
+        "embedding", k = 5, planes = pl, dim = 64, roundScale = 4))))
       .orderBy(col("method"))
   }
 
@@ -319,21 +325,32 @@ object TrainingQueries {
             .as("src_recall_ppm"))
     }
     val deq = int8Deq(emb)
-    val audits = audit("ivf", Similarity.ivfTopK(emb, q, "vec_id", "embedding",
-        k = 5, stride = 0, roundScale = 4))
+    // one count over the (persisted) corpus derives BOTH dials; the
+    // r10 shape passed stride=0/planes=0 to all four searches and each
+    // re-derived its own with a separate count job. The int8 corpus is
+    // a row-preserving projection of emb, so the same stride applies.
+    val nEmb = emb.count()
+    val st = Similarity.sqrtStride(nEmb)
+    val pl = Similarity.autoPlanes(nEmb)
+    // ivf and ivf_trained share ONE seed index: the trained variant
+    // refines FROM the seed's persisted assignment (refineIndex), so
+    // the O(N·K) seed assignment is paid once across both audits —
+    // and each audit's search is the served (assignment-free) path.
+    val idx0 = Similarity.buildIndex(emb, "vec_id", "embedding", stride = st)
+    val idx1 = Similarity.refineIndex(emb, idx0, iters = 1)
+    val audits = audit("ivf", Similarity.searchIndex(idx0, q, k = 5))
       .unionAll(audit("ivf_int8", Similarity.ivfTopK(deq,
         deq.filter(col("vec_id") >= 1000000L &&
           (col("vec_id") - 1000000L) % qStride === 0), "vec_id", "embedding",
-        k = 5, stride = 0, roundScale = 4)))
-      .unionAll(audit("ivf_trained", Similarity.ivfTopKTrained(emb, q,
-        "vec_id", "embedding", k = 5, stride = 0, iters = 1,
-        roundScale = 4)))
+        k = 5, stride = st, roundScale = 4)))
+      .unionAll(audit("ivf_trained", Similarity.searchIndex(idx1, q, k = 5)))
       .unionAll(audit("lsh", Similarity.lshTopK(emb, q, "vec_id",
-        "embedding", k = 5, planes = 0, dim = 64, roundScale = 4)))
+        "embedding", k = 5, planes = pl, dim = 64, roundScale = 4)))
       .orderBy(col("method"))
     // 4 rows: materialize, release every cache, hand back a local frame
     val rows = audits.collect().toSeq
     persisted.foreach(_.unpersist())
+    idx0.release(); idx1.release()
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), audits.schema)
   }
 
@@ -387,6 +404,32 @@ object TrainingQueries {
   // C12: multimodal plumbing
   // ------------------------------------------------------------------
 
+  /** C104: the SERVED ANN index, driver-checked. Build the IVF index
+    * ONCE ([[Similarity.buildIndex]]: centroids + corpus→cell
+    * assignment, persisted), then serve THREE independent query
+    * batches from it — the retrieval-service shape, where Q searches
+    * amortize one O(N·K) assignment instead of each paying it
+    * (r10's ivfTopK-per-call sat on the N^1.5 line for exactly this
+    * reason; BENCH_served_ann_r11 prices the amortization). The
+    * oracle mirror computes the assignment CTE once and probes it
+    * three times, so a hash match IS the served==per-call proof —
+    * the per-call path (c7b) is green against the same mirror. */
+  private def c104ServedAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val idx = Similarity.buildIndex(emb, "vec_id", "embedding", stride = 0)
+    val served = Seq(0L, 8L, 16L).map { lo =>
+      Similarity.searchIndex(idx,
+          emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 8), k = 5)
+        .withColumn("batch_lo", lit(lo))
+    }.reduce(_ unionAll _)
+    materialized(s,
+      served.select(col("batch_lo"), col("query_id"),
+          col("rank").as("rnk"), col("corpus_id"), col("cell"),
+          col("cosine_sim"))
+        .orderBy(col("batch_lo"), col("query_id"), col("rnk")),
+      idx.assigned, idx.cents)
+  }
+
   private def c12Multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.withMedia(T(s, dir, "documents"), "doc_id", col("text"))
       .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
@@ -408,6 +451,7 @@ object TrainingQueries {
     "c89_ann_int8" -> (c89AnnInt8 _),
     "c65_ann_recall" -> (c65AnnRecall _),
     "c65b_ann_recall_planted" -> (c65bAnnRecallPlanted _),
+    "c104_served_ann" -> (c104ServedAnn _),
     "c8_lang_id" -> (c8LangId _),
     "c9_quality" -> (c9Quality _),
     "c10_token_count" -> (c10TokenCount _),
@@ -672,6 +716,37 @@ object TrainingQueries {
         SELECT query_id, rnk, corpus_id, cell, cosine_sim FROM ranked
         WHERE rnk <= 5 ORDER BY query_id, rnk"""
   }
+
+  /** c104 mirror: c7b's IVF chain with the assignment CTE computed
+    * ONCE and probed by three query batches — SQL's natural form of
+    * the served index. batch_lo = (query_id div 8)·8 labels each
+    * batch ([0,8), [8,16), [16,24)). */
+  private def c104OracleSql: String =
+    s"""WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, v AS centv FROM ve WHERE vec_id % ${strideSql("ve")} = 0),
+        assigned AS (
+          SELECT vec_id, v, cent_id AS cell FROM (
+            SELECT vec_id, v, cent_id,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY ${cosineSql("v", "centv", 4)} DESC, cent_id) AS rn
+            FROM ve CROSS JOIN cents)
+          WHERE rn = 1),
+        q AS (SELECT (vec_id // 8) * 8 AS batch_lo, vec_id AS query_id,
+                v AS qv, cell
+              FROM assigned WHERE vec_id < 24),
+        c AS (SELECT vec_id AS corpus_id, v AS cv, cell FROM assigned),
+        scored AS (
+          SELECT batch_lo, query_id, corpus_id, c.cell AS cell,
+            ${cosineSql("qv", "cv", 4)} AS cosine_sim
+          FROM c JOIN q ON c.cell = q.cell
+          WHERE query_id <> corpus_id),
+        ranked AS (
+          SELECT batch_lo, query_id, corpus_id, cell, cosine_sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, corpus_id) AS rnk
+          FROM scored)
+        SELECT batch_lo, query_id, rnk, corpus_id, cell, cosine_sim
+        FROM ranked WHERE rnk <= 5 ORDER BY batch_lo, query_id, rnk"""
 
   /** Shared mirror of the int8 store: quantize (c24's expression) then
     * dequantize to code/127.0 doubles. */
@@ -1000,6 +1075,7 @@ object TrainingQueries {
     "c89_ann_int8" -> c89OracleSql,
     "c65_ann_recall" -> c65OracleSql,
     "c65b_ann_recall_planted" -> c65bOracleSql,
+    "c104_served_ann" -> c104OracleSql,
     "c8_lang_id" -> c8OracleSql,
     "c9_quality" -> c9OracleSql,
     "c10_token_count" -> c10OracleSql,

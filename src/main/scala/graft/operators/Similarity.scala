@@ -45,8 +45,9 @@ object Similarity {
 
   /** Corpus-derived plane count: the smallest p with an expected
     * bucket size ≤ `target` (N/2^p ≤ target), floored at 8 (the
-    * shipped-scale value — ≤ 8 planes at N ≤ 16k·target, so driver-
-    * scale results are bit-identical to the fixed-8 era) and capped
+    * shipped-scale value — the floor holds for N ≤ 256·target, i.e.
+    * 16,384 vectors at the default target 64, so driver-scale results
+    * are bit-identical to the fixed-8 era) and capped
     * at 30 (2^30 buckets ≈ 69 B vectors at target 64). Pure integer
     * arithmetic — bitlen((N−1) div target) — so the oracle mirrors
     * compute the IDENTICAL count with
@@ -135,8 +136,15 @@ object Similarity {
                       vecCol: String, roundScale: Int = 4): DataFrame = {
     val v = corpus.select(col(idCol).as("__vid"),
       col(vecCol).cast("array<double>").as("__v"))
-    val assigned = assignCells(v, cents, "__vid", "__v", roundScale)
-    val perDim = assigned.select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
+    refineFromAssigned(assignCells(v, cents, "__vid", "__v", roundScale), "__v")
+  }
+
+  /** The Lloyd mean step alone, over an ALREADY-ASSIGNED corpus —
+    * what [[refineIndex]] reuses so a served index's refinement never
+    * recomputes the O(N·K) assignment its seed index already paid.
+    * `assigned` must carry (`cell`, vecCol). */
+  private def refineFromAssigned(assigned: DataFrame, vecCol: String): DataFrame = {
+    val perDim = assigned.select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))
       .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
         count(lit(1))).as("mean"))
@@ -144,6 +152,91 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
       .select(col("cell").as("cent_id"),
         transform(col("pm"), p => p.getField("mean")).as("centv"))
+  }
+
+  /** A BUILT (served) ANN index: the centroids and the corpus→cell
+    * assignment, both persisted, so Q searches pay the O(N·K)
+    * assignment ONCE instead of per call. This is the faiss
+    * build-once/serve-many split: [[ivfTopK]]'s per-call form is the
+    * right shape for a one-shot audit, but a retrieval service that
+    * rebuilds the index per query sits on the N^1.5 line the r10
+    * sf10 probe measured (12-14.6×/decade with build vs 2.8-6×
+    * bounded search). At cluster scale the same two frames would be
+    * WRITTEN once (parquet, partitioned by `cell`) and every search
+    * becomes a cell-pruned scan; persist() is the single-app form of
+    * that contract.
+    *
+    * `assigned` carries (`corpus_id`, `cv`, `cell`) — the exact
+    * frames [[searchIndex]] joins, so served results are
+    * structurally identical to the per-call path (ServedAnnSpec
+    * asserts row equality; driver row c104 oracle-checks it). */
+  final case class AnnIndex private[operators] (
+      cents: DataFrame, assigned: DataFrame,
+      idCol: String, vecCol: String, roundScale: Int) {
+    /** Release the index's pinned frames (owner's responsibility —
+      * a served index outlives any one query by design). */
+    def release(): Unit = { cents.unpersist(); assigned.unpersist() }
+  }
+
+  private val IdxLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Build a served IVF index: seed centroids (id-stride, K ≈ √N for
+    * stride ≤ 0), assign every corpus vector once, optionally run
+    * `iters` Lloyd refinements (each = one mean step + one
+    * reassignment, both from the PREVIOUS persisted assignment — the
+    * seed assignment is never recomputed). Math is identical to
+    * [[ivfTopK]] / [[ivfTopKTrained]], so a served search returns
+    * bit-identical rows to the per-call form. */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 stride: Long = 0, iters: Int = 0,
+                 roundScale: Int = 4): AnnIndex = {
+    val cents = seedCentroids(corpus, idCol, vecCol, stride)
+    val v = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val assigned = assignCells(v, cents, "corpus_id", "cv", roundScale)
+      .persist(IdxLevel)
+    val seed = AnnIndex(cents, assigned, idCol, vecCol, roundScale)
+    if (iters <= 0) seed
+    else {
+      val refined = refineIndex(corpus, seed, iters)
+      seed.assigned.unpersist() // only the final assignment serves
+      refined
+    }
+  }
+
+  /** Derive a REFINED index from an existing one: `iters` Lloyd steps,
+    * each reusing the previous index's persisted assignment for the
+    * mean step (the input index's frames are left untouched — callers
+    * that keep both, e.g. c65b's ivf vs ivf_trained audit, share the
+    * seed assignment instead of each paying it). */
+  def refineIndex(corpus: DataFrame, index: AnnIndex, iters: Int = 1): AnnIndex = {
+    val v = corpus.select(col(index.idCol).as("corpus_id"),
+      col(index.vecCol).cast("array<double>").as("cv"))
+    (0 until iters).foldLeft(index) { (prev, i) =>
+      val cents = refineFromAssigned(prev.assigned, "cv").persist(IdxLevel)
+      val assigned = assignCells(v, cents, "corpus_id", "cv",
+        index.roundScale).persist(IdxLevel)
+      if (i > 0) { prev.cents.unpersist(); prev.assigned.unpersist() }
+      AnnIndex(cents, assigned, index.idCol, index.vecCol, index.roundScale)
+    }
+  }
+
+  /** Search a served index: assign ONLY the queries to their cells
+    * (|q|·K work), then probe the pre-assigned corpus — the O(N·K)
+    * term is gone from the query path. Output schema and tie rules
+    * match [[ivfTopK]] exactly. */
+  def searchIndex(index: AnnIndex, queries: DataFrame, k: Int): DataFrame = {
+    val q = assignCells(
+      queries.select(col(index.idCol).as("query_id"),
+        col(index.vecCol).cast("array<double>").as("qv")),
+      index.cents, "query_id", "qv", index.roundScale)
+    val scored = index.assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), col("cell"),
+        Fns.cosine(col("qv"), col("cv"), index.roundScale).as("cosine_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Public view of the assignment kernel: every corpus vector's

@@ -77,7 +77,15 @@ object Tables {
     * post-hoc conversion because the scan-side shuffle never happens
     * at all (b22's doc records the 8 s gap). The size check reads one
     * FS content summary — no data scan, deterministic for a given
-    * dir. */
+    * dir.
+    *
+    * The gate is INTENTIONALLY conservative: it measures the FULL
+    * table's on-disk footprint even though callers pass pruned
+    * projections (b22's 2-column part, b92's 2-column customer) whose
+    * build relation would broadcast comfortably past it. Full-table
+    * bytes are a stable upper bound that needs no per-projection size
+    * model; in the band where the gate under-hints, AQE's runtime
+    * post-shuffle conversion still picks the broadcast up. */
   def broadcastIfSmall(spark: SparkSession, dir: String, name: String,
                        df: DataFrame,
                        maxBytes: Long = 64L << 20): DataFrame =

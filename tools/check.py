@@ -15,7 +15,7 @@ Usage: python3 tools/check.py [sfdir] [outdir]
 (Expects Verify to have been run already: outdir/<name>/ parquet dirs +
 outdir/oracle_sql.json.)
 """
-import sys, glob, json, math
+import os, sys, glob, json, math
 
 import duckdb
 import numpy as np
@@ -33,8 +33,14 @@ con.execute("SET max_temp_directory_size='100GB'")
 # an explicit budget: the default (80% of RAM) OOMs with a hard
 # "failed to allocate" instead of spilling when the OS page cache or a
 # concurrent Spark JVM holds the rest of the machine (seen twice at
-# sf1: the c65b compare passed solo, failed under contention)
-con.execute("SET memory_limit='40GB'")
+# sf1: the c65b compare passed solo, failed under contention).
+# Derived from physical RAM (min(40GB, half of total), env-overridable)
+# so a smaller host never gets a budget ABOVE DuckDB's own default —
+# a hardcoded 40GB on a 32GB box would raise the ceiling and trade
+# spilling for an OS OOM-kill.
+_gb = min(40, max(1, (os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE"))
+                  // (2 * 1024**3)))
+con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', f'{_gb}GB')}'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
