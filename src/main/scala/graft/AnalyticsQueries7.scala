@@ -525,35 +525,88 @@ object AnalyticsQueries7 {
   /** B91: revenue concentration — the share of purchase revenue held
     * by the top 1% / 10% of users (the whale-analysis dashboard, a
     * two-point Lorenz curve): per-user revenue in EXACT integer cents
-    * (floor-quantized like b79), rank window by (cents desc, user),
-    * cohort cuts at ceil(n·p) users, shares in exact ppm integer
-    * division — no float anywhere. */
+    * (floor-quantized like b79), cohort cuts at ceil(n·p) users,
+    * shares in exact ppm integer division — no float anywhere.
+    *
+    * DISTRIBUTED cut, not a global rank: the r10 form ranked every
+    * user through `Window.orderBy(cents desc)` — a single-partition
+    * sort of the whole user population (the WindowExec "No Partition
+    * Defined" plan), billions of rows at 100×. The ranking is
+    * unnecessary: ties in the top-m cohort all hold the SAME cents
+    * value, so the cohort sum only needs the distinct-cents histogram
+    * and a threshold. Shape: (1) per-user rollup (the one
+    * events-sized exchange); (2) distinct-cents histogram; (3) a
+    * distributed prefix sum over the histogram — range-repartition on
+    * cents desc, per-PARTITION running totals under a keyed window,
+    * plus per-partition offsets (≤ #partitions rows, collected — the
+    * same partition-count-bounded driver hop AQE itself makes);
+    * (4) per cut, the boundary row via one min-of-struct aggregate;
+    * boundary users contribute `(m − users_above) · threshold_cents`
+    * exactly. Result is row-identical to the rank form (same oracle). */
   private def b91Concentration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val perUser = T(s, dir, "events")
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
-    // input is the per-user rollup (≪ events); concentration needs the
-    // FULL ranking (no top-k prune applies) — at extreme |users| swap
-    // the sort for a b52-style distributed quantile cut on cents
-    val w = Window.orderBy(col("cents").desc, col("user_id"))
-    val ranked = perUser
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_users", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("total_cents", sum(col("cents")).over(Window.partitionBy()))
-    ranked
-      .select(explode(array(lit(1L), lit(10L))).as("top_pct"),
-        col("rn"), col("n_users"), col("cents"), col("total_cents"))
-      // top ceil(n·p/100) users: rn ≤ (n·p + 99) div 100
-      .filter(col("rn") <= expr("(n_users * top_pct + 99) div 100"))
-      .groupBy(col("top_pct"))
-      .agg(count(lit(1)).as("n_top_users"),
-        max(col("n_users")).as("n_users"),
-        sum(col("cents")).as("top_cents"),
-        max(col("total_cents")).as("total_cents"))
+    val hist = perUser.groupBy(col("cents"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sumc"))
+    val parts = s.sparkContext.defaultParallelism
+    val ranged = hist.repartitionByRange(parts, col("cents").desc)
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    // per-partition totals: ≤ `parts` rows — bounded by the partition
+    // count, never the data (range partitions stay contiguous under
+    // AQE coalescing, so pid order remains cents-desc order)
+    val partTotals = ranged.groupBy(col("pid"))
+      .agg(sum(col("cnt")).as("tc"), sum(col("sumc")).as("ts"))
+      .collect().map(r => (r.getAs[Int]("pid"),
+        r.getAs[Long]("tc"), r.getAs[Long]("ts"))).sortBy(_._1)
+    val nUsers = partTotals.map(_._2).sum
+    val totalCents = partTotals.map(_._3).sum
+    val offsets = partTotals.scanLeft((0, 0L, 0L)) {
+      case ((_, c, sm), (pid, tc, ts)) => (pid, c + tc, sm + ts)
+    }.init.zip(partTotals).map { case ((_, offC, offS), (pid, _, _)) =>
+      Row(pid, offC, offS) }
+    val offDf = s.createDataFrame(s.sparkContext.parallelize(
+      offsets.toIndexedSeq, 1), StructType(Seq(
+        StructField("pid", IntegerType, nullable = false),
+        StructField("off_cnt", LongType, nullable = false),
+        StructField("off_sum", LongType, nullable = false))))
+    val lw = Window.partitionBy(col("pid")).orderBy(col("cents").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ranged
+      .withColumn("lcnt", sum(col("cnt")).over(lw))
+      .withColumn("lsum", sum(col("sumc")).over(lw))
+      .join(broadcast(offDf), Seq("pid"))
+      .select(col("cents"), col("cnt"), col("sumc"),
+        (col("lcnt") + col("off_cnt")).as("cum_cnt"),
+        (col("lsum") + col("off_sum")).as("cum_sum"))
+    // cohort sizes m = ceil(n·p/100); the boundary row is the first
+    // histogram value (cents desc) whose cumulative count reaches m —
+    // cum_cnt is strictly increasing, so min-of-struct finds it
+    val cuts = Seq(1L, 10L).map(p => Row(p, (nUsers * p + 99L) / 100L))
+    val cutsDf = s.createDataFrame(s.sparkContext.parallelize(
+      cuts.toIndexedSeq, 1), StructType(Seq(
+        StructField("top_pct", LongType, nullable = false),
+        StructField("m", LongType, nullable = false))))
+    val out = cum.join(broadcast(cutsDf), col("cum_cnt") >= col("m"))
+      .groupBy(col("top_pct"), col("m"))
+      .agg(min(struct(col("cum_cnt").as("cc"), col("cents").as("tv"),
+        col("cnt").as("tn"), col("cum_sum").as("cs"),
+        col("sumc").as("ts"))).as("b"))
+      .select(col("top_pct"), col("m").as("n_top_users"),
+        lit(nUsers).as("n_users"),
+        // everything strictly above the boundary value, plus the
+        // (m − users_above) boundary users at exactly `tv` cents each
+        (col("b.cs") - col("b.ts") +
+          (col("m") - (col("b.cc") - col("b.tn"))) * col("b.tv"))
+          .as("top_cents"))
       .select(col("top_pct"), col("n_top_users"), col("n_users"),
-        expr("top_cents * 1000000 div total_cents").as("share_ppm"))
+        expr(s"top_cents * 1000000 div ${totalCents}L").as("share_ppm"))
       .orderBy(col("top_pct"))
+    TrainingQueries.materialized(s, out, ranged)
   }
 
   /** B92: DAU / WAU / MAU + stickiness — exact 1/7/28-day rolling

@@ -168,7 +168,8 @@ object TrainingQueries {
   private def c7AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
-        "vec_id", "embedding", k = 5, planes = 0, dim = 64, roundScale = 4)
+        "vec_id", "embedding", k = 5, planes = 0, dim = 64, roundScale = 4,
+        probes = 2)
       .select(col("query_id"), col("rank").as("rnk"), col("corpus_id"),
         col("bucket"), col("cosine_sim"))
       .orderBy(col("query_id"), col("rnk"))
@@ -259,7 +260,8 @@ object TrainingQueries {
         deq.filter(col("vec_id") < 8), "vec_id", "embedding",
         k = 5, stride = st, roundScale = 4))))
       .unionAll(audit("lsh", pairs(Similarity.lshTopK(emb, q, "vec_id",
-        "embedding", k = 5, planes = pl, dim = 64, roundScale = 4))))
+        "embedding", k = 5, planes = pl, dim = 64, roundScale = 4,
+        probes = 2))))
       .orderBy(col("method"))
   }
 
@@ -345,7 +347,8 @@ object TrainingQueries {
         k = 5, stride = st, roundScale = 4)))
       .unionAll(audit("ivf_trained", Similarity.searchIndex(idx1, q, k = 5)))
       .unionAll(audit("lsh", Similarity.lshTopK(emb, q, "vec_id",
-        "embedding", k = 5, planes = pl, dim = 64, roundScale = 4)))
+        "embedding", k = 5, planes = pl, dim = 64, roundScale = 4,
+        probes = 2)))
       .orderBy(col("method"))
     // 4 rows: materialize, release every cache, hand back a local frame
     val rows = audits.collect().toSeq
@@ -432,8 +435,9 @@ object TrainingQueries {
 
   private def c12Multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.withMedia(T(s, dir, "documents"), "doc_id", col("text"))
-      .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
-        col("channels"), col("n_frames"), col("feature_md5"))
+      .select(col("doc_id"), col("media_kind"), col("byte_len"),
+        col("width"), col("height"), col("bit_depth"), col("channels"),
+        col("n_frames"), col("feature_md5"))
       .orderBy(col("doc_id"))
 
   // ------------------------------------------------------------------
@@ -627,16 +631,42 @@ object TrainingQueries {
       s"(CASE WHEN $j < np.p AND ($dot) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Multi-probe flip index: the active (j < np.p) plane with the
+    * smallest |margin|, ties to the lowest j — mirrors the (|dot|, j)
+    * struct sort in [[Similarity.lshTopK]]. Gated planes carry a
+    * sentinel margin above any real |dot|, so they never win while
+    * np.p ≥ 1. Must be evaluated in a CTE that joins `np`. */
+  private def flipSql(v: String): String = {
+    val entries = (0 until 30).map { j =>
+      val dot = (0 until 64)
+        .map(i => s"$v[${i + 1}]*(${Similarity.planeSign(j, i)})").mkString(" + ")
+      s"CASE WHEN $j < np.p THEN {'m': abs($dot), 'j': $j} ELSE {'m': 1e308, 'j': $j} END"
+    }.mkString("[", ", ", "]")
+    s"struct_extract(list_sort($entries)[1], 'j')"
+  }
+
+  /** The probes=2 query-side bucket list: home bucket plus the lowest-
+    * margin single-bit flip (see [[flipSql]]); `src` must carry
+    * (query_id, bucket, qv). */
+  private def probeCtesSql(src: String, qf: String, out: String): String =
+    s"""$qf AS (SELECT query_id, bucket, qv, ${flipSql("qv")} AS flip
+          FROM $src, np),
+        $out AS (SELECT query_id, qv, bucket AS pbucket FROM $qf
+          UNION ALL
+          SELECT query_id, qv, xor(bucket, 1::BIGINT << flip) AS pbucket
+          FROM $qf)"""
+
   private def c7OracleSql: String =
     s"""WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         ${npCteSql("ve")},
         b AS (SELECT vec_id, v, $bucketSql AS bucket FROM ve, np),
-        q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b WHERE vec_id < 8),
+        q0 AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b WHERE vec_id < 8),
+        ${probeCtesSql("q0", "qf", "q")},
         c AS (SELECT vec_id AS corpus_id, bucket, v AS cv FROM b),
         scored AS (
           SELECT query_id, corpus_id, c.bucket AS bucket,
             ${cosineSql("qv", "cv", 4)} AS cosine_sim
-          FROM c JOIN q ON c.bucket = q.bucket
+          FROM c JOIN q ON c.bucket = q.pbucket
           WHERE query_id <> corpus_id),
         ranked AS (
           SELECT query_id, corpus_id, bucket, cosine_sim,
@@ -798,11 +828,12 @@ object TrainingQueries {
             FROM ex_scored) WHERE rnk <= 5),
         ${npCteSql("ve")},
         b AS (SELECT vec_id, v, $bucketSql AS bucket FROM ve, np),
-        lq AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b WHERE vec_id < 8),
+        lq0 AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b WHERE vec_id < 8),
+        ${probeCtesSql("lq0", "lqf", "lq")},
         l_scored AS (
           SELECT query_id, c.vec_id AS corpus_id,
             ${cosineSql("qv", "c.v", 4)} AS cs
-          FROM b c JOIN lq ON c.bucket = lq.bucket
+          FROM b c JOIN lq ON c.bucket = lq.pbucket
           WHERE query_id <> c.vec_id),
         lsh AS (
           SELECT query_id, corpus_id FROM (
@@ -914,12 +945,13 @@ object TrainingQueries {
         exact AS (${topk("ex_scored")}),
         ${npCteSql("pv")},
         b AS (SELECT vec_id, v, $bucketSql AS bucket FROM pv, np),
-        lq AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b
-               WHERE vec_id >= 1000000 AND $qsampleSql),
+        lq0 AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b
+                WHERE vec_id >= 1000000 AND $qsampleSql),
+        ${probeCtesSql("lq0", "lqf", "lq")},
         l_scored AS (
           SELECT query_id, c.vec_id AS corpus_id,
             ${cosineSql("qv", "c.v", 4)} AS cs
-          FROM b c JOIN lq ON c.bucket = lq.bucket
+          FROM b c JOIN lq ON c.bucket = lq.pbucket
           WHERE query_id <> c.vec_id),
         lsh AS (${topk("l_scored")}),
         cents AS (SELECT vec_id AS cent_id, v AS centv FROM pv
@@ -1048,11 +1080,20 @@ object TrainingQueries {
           CAST(len(list_distinct(sh)) AS BIGINT) AS n_shingles
         FROM g ORDER BY doc_id"""
 
+  /** The mirror computes metadata from the SYNTHESIS formulas (payload
+    * length arithmetic) while Spark reads the same values back out of
+    * the real PNG/JPEG header bytes it wrapped the payload in — a
+    * parse bug on the Spark side breaks this row instead of cancelling
+    * out. byte_len includes the container header: 33 bytes of
+    * PNG signature+IHDR (even ids) or 21 of JPEG SOI+SOF0 (odd). */
   private def c12OracleSql: String =
     """SELECT doc_id,
-       strlen(text) AS byte_len,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS media_kind,
+       strlen(text) + CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 21 END
+         AS byte_len,
        strlen(text) % 640 + 1 AS width,
        strlen(text) * 7 % 480 + 1 AS height,
+       8 AS bit_depth,
        3 AS channels,
        strlen(text) % 16 + 1 AS n_frames,
        md5(text) AS feature_md5

@@ -366,18 +366,48 @@ object Similarity {
     * ~64, and per-query candidate work stays CONSTANT (the fixed-8
     * form's N/256 candidates per query grew linearly, the same
     * pinned-dial disease the fixed IVF stride had). One count job,
-    * same price seedCentroids already pays. */
+    * same price seedCentroids already pays.
+    *
+    * `probes` > 1 is MULTI-PROBE LSH (Lv et al. 2007, "Multi-probe
+    * LSH: efficient indexing for high-dimensional similarity
+    * search"): a vector's most likely miss is across the hyperplane
+    * it sits closest to, so each query ALSO probes the buckets
+    * reached by flipping its (probes−1) lowest-|margin| sign bits —
+    * recall of near-boundary neighbors rises at probes× candidate
+    * cost per QUERY while the corpus side (one bucket per vector,
+    * never re-hashed) is untouched, keeping the flat-per-decade
+    * scaling. Probe buckets are distinct single-bit flips and every
+    * corpus vector lives in exactly one bucket, so no candidate pair
+    * is scored twice. Margin ties break to the lowest plane index,
+    * exactly as the SQL mirror's (|dot|, j) struct sort. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 0, dim: Int = 64,
-              roundScale: Int = 4): DataFrame = {
+              roundScale: Int = 4, probes: Int = 1): DataFrame = {
     val p = if (planes > 0) planes else autoPlanes(corpus.count())
+    require(probes >= 1 && probes <= p,
+      s"probes must be in [1, planes=$p] — each probe flips one distinct plane")
     val c = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).cast("array<double>").as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), p, dim))
-    val q = queries.select(col(idCol).as("query_id"),
+    val q0 = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), p, dim))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val q =
+      if (probes <= 1) q0.withColumn("pbucket", col("bucket"))
+      else {
+        val margins = (0 until p).map { j =>
+          val plane = array((0 until dim).map(i => lit(planeSign(j, i))): _*)
+          struct(abs(Fns.dotD(col("qv"), plane)).as("m"), lit(j).as("j"))
+        }
+        val flips = (0 until probes - 1).map(i =>
+          expr(s"bucket ^ shiftleft(1L, __margins[$i].j)"))
+        q0.withColumn("__margins", array_sort(array(margins: _*)))
+          .withColumn("pbucket", explode(array(col("bucket") +: flips: _*)))
+          .drop("__margins")
+      }
+    val scored = c.join(
+        broadcast(q.select(col("query_id"), col("qv"), col("pbucket"))),
+        col("bucket") === col("pbucket"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"), col("bucket"),
         Fns.cosine(col("qv"), col("cv"), roundScale).as("cosine_sim"))

@@ -125,32 +125,39 @@ object StreamingAnalytics {
     * `maxDeltaNs`. Both sides watermarked so Spark can discard
     * buffered state once no future match is possible — the state
     * bound is (watermark + maxDelta) per side, independent of stream
-    * length. */
+    * length.
+    *
+    * The event clock is the SCALED nanos clock the session-window path
+    * above already uses: `timestamp_micros(ts)` reads the epoch-NANOS
+    * long as if it were µs, so 1 ns of real time is 1 µs of engine
+    * time and the ns-exact bound is a plain
+    * `r_time <= l_time + INTERVAL maxDeltaNs MICROSECOND` constraint.
+    * That shape matters beyond exactness: the r10 form kept timestamps
+    * in real µs and re-applied the exact ns bound as a raw-long filter
+    * on `ts` after the join — arithmetic StreamingJoinHelper cannot
+    * analyze, so Spark WARNed "Error trying to extract state
+    * constraint" and the join buffered more state than the watermark
+    * allows. With the constraint purely on the watermarked timestamp
+    * columns, both sides' state is watermark-pruned
+    * (StreamingDedupJoinSpec asserts state rows shrink across
+    * batches). `watermarkNs` is on the same scaled clock (a real-time
+    * duration in ns). */
   def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
                          maxDeltaNs: Long,
-                         watermark: String = "10 minutes"): DataFrame = {
+                         watermarkNs: Long = 600L * 1000000000L): DataFrame = {
     val l = left
-      .withColumn("l_time", Fns.nanosToTimestamp(col("ts")))
-      .withWatermark("l_time", watermark)
+      .withColumn("l_time", timestamp_micros(col("ts")))
+      .withWatermark("l_time", s"$watermarkNs microseconds")
       .select(col(key).as("l_key"), col("l_time"),
         col("event_id").as("l_id"), col("ts").as("l_ts"))
     val r = right
-      .withColumn("r_time", Fns.nanosToTimestamp(col("ts")))
-      .withWatermark("r_time", watermark)
+      .withColumn("r_time", timestamp_micros(col("ts")))
+      .withWatermark("r_time", s"$watermarkNs microseconds")
       .select(col(key).as("r_key"), col("r_time"),
         col("event_id").as("r_id"), col("ts").as("r_ts"))
-    // Spark timestamps are µs-resolution but the contract is exact ns:
-    // the JOIN RANGE condition (what bounds buffered state) is the µs
-    // window widened by one — ceil, so a sub-µs maxDelta doesn't
-    // collapse to a zero interval and µs truncation can't exclude a
-    // valid pair — and the EXACT ns bound re-applies on the raw ts
-    // columns after the join, trimming the ≤1 µs of over-admission
-    // (matches the batch twin's ns semantics)
     val deltaExpr = expr(
-      s"r_time >= l_time AND r_time <= l_time + INTERVAL ${maxDeltaNs / 1000 + 1} MICROSECOND")
+      s"r_time >= l_time AND r_time <= l_time + INTERVAL $maxDeltaNs MICROSECOND")
     l.join(r, col("l_key") === col("r_key") && deltaExpr)
-      .filter(col("r_ts") >= col("l_ts") &&
-        col("r_ts") - col("l_ts") <= maxDeltaNs)
       .select(col("l_key").as(key), col("l_id"), col("r_id"),
         ((col("r_ts") - col("l_ts")) / 1000000000L).cast("long").as("delta_s"))
   }

@@ -549,13 +549,28 @@ class PlanAuditSpec extends SparkSpec {
       s"top-20 should never full-sort the path table:\n$p")
   }
 
-  test("b91: per-user cents aggregate before the single rank window") {
+  test("b91: distributed quantile cut — no single-partition global window") {
     val p = plan("b91_concentration")
     assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
-    val corpusExchanges = p.split("\n")
-      .count(_.contains("Exchange hashpartitioning(user_id"))
-    assert(corpusExchanges == 1,
-      s"expected one user-keyed exchange before the global rank:\n$p")
+    // the per-user rollup feeds the ONE persisted histogram; every
+    // user-keyed exchange line must sit inside that InMemoryRelation's
+    // cached-plan print (it prints its executed and logical forms), so
+    // no branch recomputes the corpus-sized work
+    val imrIdx = p.indexOf("InMemoryRelation")
+    assert(imrIdx >= 0, s"histogram should be persisted:\n$p")
+    val exchangeIdxs =
+      "Exchange hashpartitioning\\(user_id".r.findAllMatchIn(p).map(_.start).toList
+    assert(exchangeIdxs.nonEmpty && exchangeIdxs.forall(_ > imrIdx),
+      s"a user-keyed exchange escaped the cached rollup:\n$p")
+    // the prefix sum must ride PARTITIONED windows (keyed by the range
+    // partition id) — a window with an empty partition spec is the
+    // "No Partition Defined" single-partition sort this query dropped
+    val badWindows = p.split("\n").filter(_.contains("Window "))
+      .filterNot(_.contains("[pid"))
+    assert(badWindows.isEmpty,
+      s"global (unpartitioned) window crept back in:\n${badWindows.mkString("\n")}\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"nothing in the cut should gather to one partition:\n$p")
   }
 
   test("b97: RFM buckets assign map-side off broadcast boundaries — never an ntile sort") {

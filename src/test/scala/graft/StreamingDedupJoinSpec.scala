@@ -65,4 +65,56 @@ class StreamingDedupJoinSpec extends SparkSpec {
       .collect().sorted.toSeq
     assert(got === Seq((10L, 20L, 60L), (11L, 22L, 100L)))
   }
+
+  test("interval join state is watermark-pruned across micro-batches") {
+    // The r10 join re-applied the exact ns bound as raw-long arithmetic
+    // AFTER the join — a shape StreamingJoinHelper can't turn into a
+    // state watermark (it WARNed "Error trying to extract state
+    // constraint" and buffered state forever). With the bound purely on
+    // the watermarked (scaled-clock) timestamps, Spark prunes both
+    // sides' buffers as the watermark passes them: a bulky first batch
+    // must be GONE from the state store by the last batch.
+    val base = 1700000000L
+    val dir = tmpDir("sjoin_prune")
+    def writeBatch(side: String, i: Int, rows: Seq[Event]): Unit = {
+      val tmp = s"$dir/stage_${side}_$i"
+      rows.toDF().coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/$side/batch_$i.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // deterministic per-batch file order for maxFilesPerTrigger=1
+      dst.setLastModified((1700000000L + i * 60L) * 1000L)
+    }
+    // batch 0 is bulky (5 pairs at t0, one user each so pairs stay
+    // 1:1); later batches 1 pair each, 1000 s apart — far past
+    // watermark(10 s) + maxDelta(30 s)
+    writeBatch("l", 0, (0 until 5).map(j => ev(10 + j, base + j, 50 + j, "purchase", 0.0)))
+    writeBatch("r", 0, (0 until 5).map(j => ev(20 + j, base + j + 2, 50 + j, "error", 0.0)))
+    for (i <- 1 to 3) {
+      writeBatch("l", i, Seq(ev(100 + i, base + i * 1000, 1, "purchase", 0.0)))
+      writeBatch("r", i, Seq(ev(200 + i, base + i * 1000 + 2, 1, "error", 0.0)))
+    }
+    val schema = Seq(ev(0, 0, 0, "x", 0.0)).toDF().schema
+    def src(side: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/$side")
+    val q = StreamingAnalytics.intervalJoinStream(src("l"), src("r"),
+        "user_id", maxDeltaNs = 30L * ns, watermarkNs = 10L * ns)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ck")
+      .format("memory").queryName("sjoin_prune")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // every in-window pair found, across all batches
+    assert(spark.table("sjoin_prune").count() === 8L)
+    val stateRows = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal)
+    assert(stateRows.nonEmpty)
+    assert(stateRows.max >= 10L,
+      s"bulk batch should enter the state store (saw $stateRows)")
+    assert(stateRows.last < stateRows.max,
+      s"state must shrink once the watermark passes the bulk batch (saw $stateRows)")
+  }
 }
