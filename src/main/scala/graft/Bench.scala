@@ -26,6 +26,28 @@ object Bench {
       // total cores, headroom for skew).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 16).toString)
+      // Spill-aware AQE target: advisoryPartitionSizeInBytes defaults
+      // to 64 MB, which assumes ~1 GB of execution memory per core. On
+      // a thread-dense box (32 cpus in one 8 GB JVM ≈ 75 MB execution
+      // memory per task) a 64 MB post-shuffle partition CANNOT sort in
+      // memory — the r10 sf100 probe adjudicated b2's 19.5x third
+      // decade as exactly this spill. Derive the target from what a
+      // task actually has: heap x 0.3 (the execution half of unified
+      // memory) / cpus / 4 (sort workspace vs uncompressed input),
+      // clamped to [8 MB, 64 MB] so a memory-rich cluster keeps the
+      // stock value. Here: ~20 MB — measured at sf100j (600 M-row
+      // lineitem): b2 47.9->42.3 s, b3 57.5->47.9 s, b101 57.8->51.4 s
+      // at identical plans; small scales coalesce to the same handful
+      // of partitions either way.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        math.max(8L << 20, math.min(64L << 20,
+          (Runtime.getRuntime.maxMemory * 0.3 / cpus.toInt / 4).toLong)).toString)
+      // probe-run overrides (semicolon-separated k=v), applied LAST so
+      // a scaling experiment can dial AQE/spill knobs without editing
+      // the committed defaults: SPARK_GRAFT_CONF="spark.x=1;spark.y=2"
+      .config(sys.env.get("SPARK_GRAFT_CONF").toSeq
+        .flatMap(_.split(";")).filter(_.contains("="))
+        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional comma-separated query filter for local iteration
