@@ -543,9 +543,19 @@ object AnalyticsQueries7 {
     * (4) per cut, the boundary row via one min-of-struct aggregate;
     * boundary users contribute `(m − users_above) · threshold_cents`
     * exactly. Result is row-identical to the rank form (same oracle). */
-  private def b91Concentration(s: SparkSession, dir: String): DataFrame = {
+  /** The distributed prefix-sum kernel b91/b107 share: per-user
+    * purchase cents → distinct-cents histogram → cumulative (count,
+    * cents) along the given order, with NO global window. `cum`
+    * carries (cents, cnt, sumc, cum_cnt, cum_sum); `cache` must be
+    * released by the caller (pass it to materialized()). */
+  private case class CentsCumHist(cum: DataFrame, nUsers: Long,
+                                  totalCents: Long, cache: DataFrame)
+
+  private def centsCumHist(s: SparkSession, dir: String,
+                           ascending: Boolean): CentsCumHist = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    val order = if (ascending) col("cents").asc else col("cents").desc
     val perUser = T(s, dir, "events")
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
@@ -553,18 +563,16 @@ object AnalyticsQueries7 {
     val hist = perUser.groupBy(col("cents"))
       .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sumc"))
     val parts = s.sparkContext.defaultParallelism
-    val ranged = hist.repartitionByRange(parts, col("cents").desc)
+    val ranged = hist.repartitionByRange(parts, order)
       .withColumn("pid", spark_partition_id())
       .persist()
     // per-partition totals: ≤ `parts` rows — bounded by the partition
     // count, never the data (range partitions stay contiguous under
-    // AQE coalescing, so pid order remains cents-desc order)
+    // AQE coalescing, so pid order remains the cents order)
     val partTotals = ranged.groupBy(col("pid"))
       .agg(sum(col("cnt")).as("tc"), sum(col("sumc")).as("ts"))
       .collect().map(r => (r.getAs[Int]("pid"),
         r.getAs[Long]("tc"), r.getAs[Long]("ts"))).sortBy(_._1)
-    val nUsers = partTotals.map(_._2).sum
-    val totalCents = partTotals.map(_._3).sum
     val offsets = partTotals.scanLeft((0, 0L, 0L)) {
       case ((_, c, sm), (pid, tc, ts)) => (pid, c + tc, sm + ts)
     }.init.zip(partTotals).map { case ((_, offC, offS), (pid, _, _)) =>
@@ -574,7 +582,7 @@ object AnalyticsQueries7 {
         StructField("pid", IntegerType, nullable = false),
         StructField("off_cnt", LongType, nullable = false),
         StructField("off_sum", LongType, nullable = false))))
-    val lw = Window.partitionBy(col("pid")).orderBy(col("cents").desc)
+    val lw = Window.partitionBy(col("pid")).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = ranged
       .withColumn("lcnt", sum(col("cnt")).over(lw))
@@ -583,6 +591,15 @@ object AnalyticsQueries7 {
       .select(col("cents"), col("cnt"), col("sumc"),
         (col("lcnt") + col("off_cnt")).as("cum_cnt"),
         (col("lsum") + col("off_sum")).as("cum_sum"))
+    CentsCumHist(cum, partTotals.map(_._2).sum, partTotals.map(_._3).sum,
+      ranged)
+  }
+
+  private def b91Concentration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val h = centsCumHist(s, dir, ascending = false)
+    val (cum, nUsers, totalCents) = (h.cum, h.nUsers, h.totalCents)
     // cohort sizes m = ceil(n·p/100); the boundary row is the first
     // histogram value (cents desc) whose cumulative count reaches m —
     // cum_cnt is strictly increasing, so min-of-struct finds it
@@ -606,7 +623,47 @@ object AnalyticsQueries7 {
       .select(col("top_pct"), col("n_top_users"), col("n_users"),
         expr(s"top_cents * 1000000 div ${totalCents}L").as("share_ppm"))
       .orderBy(col("top_pct"))
-    TrainingQueries.materialized(s, out, ranged)
+    TrainingQueries.materialized(s, out, h.cache)
+  }
+
+  /** B107: Gini coefficient of per-user purchase revenue — the
+    * full-curve completion of b91's two Lorenz points (CH dashboards
+    * pair the top-1%/10% shares with the single-number inequality
+    * index). Exact integer arithmetic end to end: with users ranked
+    * ASCENDING by cents, G = (2·Σ rank·x − (n+1)·ΣX) / (n·ΣX); ties
+    * make the rank sum permutation-invariant, so the histogram form
+    * Σ_v v·(cnt·below + cnt(cnt+1)/2) — computable from b91's
+    * distributed prefix-sum kernel with NO global rank window — is
+    * value-identical to the oracle's row_number() form. The Σ runs in
+    * decimal(38,0) (rank·cents products overflow int64 at ~1e9 users)
+    * and the final three-term division happens driver-side in BigInt
+    * on three already-aggregated scalars. */
+  private def b107Gini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val h = centsCumHist(s, dir, ascending = true)
+    val outSchema = StructType(Seq(
+      StructField("n_users", LongType, nullable = false),
+      StructField("total_cents", LongType, nullable = false),
+      StructField("gini_ppm", LongType, nullable = false)))
+    val rows: Seq[Row] =
+      if (h.nUsers == 0) Seq.empty
+      else {
+        // 2·Σ rank·x over a value's cnt tied users collapses to
+        // v·(2·cnt·users_below + cnt·(cnt+1)) — doubling up front
+        // keeps every term integral (no /2 anywhere)
+        val s2Dec = h.cum.select(sum(expr(
+            "CAST(cents AS DECIMAL(38,0)) * " +
+              "(2 * CAST(cnt AS DECIMAL(38,0)) * (cum_cnt - cnt) + " +
+              "CAST(cnt AS DECIMAL(38,0)) * (cnt + 1))")).as("s2"))
+          .collect()(0).getDecimal(0)
+        val s2 = BigInt(s2Dec.toBigInteger)
+        val n = BigInt(h.nUsers); val t = BigInt(h.totalCents)
+        val gini = (s2 - (n + 1) * t) * 1000000 / (n * t)
+        Seq(Row(h.nUsers, h.totalCents, gini.toLong))
+      }
+    h.cache.unpersist()
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), outSchema)
   }
 
   /** B92: DAU / WAU / MAU + stickiness — exact 1/7/28-day rolling
@@ -636,6 +693,7 @@ object AnalyticsQueries7 {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b92_stickiness" -> (b92Stickiness _),
     "b91_concentration" -> (b91Concentration _),
+    "b107_gini" -> (b107Gini _),
     "b90_top_paths" -> (b90TopPaths _),
     "b88_type_affinity" -> (b88TypeAffinity _),
     "b89_transition_matrix" -> (b89TransitionMatrix _),
@@ -672,6 +730,24 @@ object AnalyticsQueries7 {
          SELECT strftime(td, '%Y-%m-%d') AS day, dau, wau, mau,
            dau * 1000000 // mau AS stickiness_ppm
          FROM a ORDER BY day""",
+    "b107_gini" ->
+      """WITH pu AS (
+           SELECT user_id,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         r AS (
+           SELECT cents,
+             row_number() OVER (ORDER BY cents, user_id) AS rn
+           FROM pu),
+         a AS (
+           SELECT count(*) AS n, sum(cents) AS t,
+             sum(CAST(rn AS HUGEINT) * cents) AS s
+           FROM r HAVING count(*) > 0)
+         SELECT CAST(n AS BIGINT) AS n_users, CAST(t AS BIGINT) AS total_cents,
+           CAST((2 * s - (CAST(n AS HUGEINT) + 1) * t) * 1000000
+             // (CAST(n AS HUGEINT) * t) AS BIGINT) AS gini_ppm
+         FROM a""",
     "b91_concentration" ->
       """WITH pu AS (
            SELECT user_id,
