@@ -623,7 +623,14 @@ object TrainingQueries {
   /** Bucket-signature mirror with the corpus-derived plane count:
     * term j contributes only when j < np.p (see [[npCteSql]] — the
     * bucket CTE must cross-join `np`). The gate short-circuits, so
-    * ungated planes' 64-term dots are never evaluated. */
+    * ungated planes' 64-term dots are never evaluated.
+    *
+    * Every CTE built on this expression is declared AS MATERIALIZED:
+    * DuckDB inlines plain CTEs, and once multi-probe made the bucket
+    * table referenced three times (corpus side, query side, flip
+    * side) the re-expanded 30×64-term trees drove the c65b mirror
+    * past a 40 GB memory edge at sf1 — materialized, the same query
+    * runs in ~110 s well inside budget, values identical. */
   private def bucketSql: String =
     (0 until 30).map { j =>
       val dot = (0 until 64)
@@ -649,7 +656,7 @@ object TrainingQueries {
     * margin single-bit flip (see [[flipSql]]); `src` must carry
     * (query_id, bucket, qv). */
   private def probeCtesSql(src: String, qf: String, out: String): String =
-    s"""$qf AS (SELECT query_id, bucket, qv, ${flipSql("qv")} AS flip
+    s"""$qf AS MATERIALIZED (SELECT query_id, bucket, qv, ${flipSql("qv")} AS flip
           FROM $src, np),
         $out AS (SELECT query_id, qv, bucket AS pbucket FROM $qf
           UNION ALL
@@ -659,7 +666,7 @@ object TrainingQueries {
   private def c7OracleSql: String =
     s"""WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         ${npCteSql("ve")},
-        b AS (SELECT vec_id, v, $bucketSql AS bucket FROM ve, np),
+        b AS MATERIALIZED (SELECT vec_id, v, $bucketSql AS bucket FROM ve, np),
         q0 AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b WHERE vec_id < 8),
         ${probeCtesSql("q0", "qf", "q")},
         c AS (SELECT vec_id AS corpus_id, bucket, v AS cv FROM b),
@@ -827,7 +834,7 @@ object TrainingQueries {
                 ORDER BY cs DESC, corpus_id) AS rnk
             FROM ex_scored) WHERE rnk <= 5),
         ${npCteSql("ve")},
-        b AS (SELECT vec_id, v, $bucketSql AS bucket FROM ve, np),
+        b AS MATERIALIZED (SELECT vec_id, v, $bucketSql AS bucket FROM ve, np),
         lq0 AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b WHERE vec_id < 8),
         ${probeCtesSql("lq0", "lqf", "lq")},
         l_scored AS (
@@ -931,7 +938,7 @@ object TrainingQueries {
     val qsampleSql =
       "(vec_id - 1000000) % (40 * greatest(1, (SELECT count(*) FROM ve) // 2000)) = 0"
     s"""WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        pv AS (SELECT vec_id, v FROM ve
+        pv AS MATERIALIZED (SELECT vec_id, v FROM ve
                UNION ALL
                SELECT vec_id + 1000000 AS vec_id,
                  list_transform(v, x -> x + 0.02) AS v
@@ -944,7 +951,7 @@ object TrainingQueries {
           FROM pv CROSS JOIN q0 WHERE query_id <> vec_id),
         exact AS (${topk("ex_scored")}),
         ${npCteSql("pv")},
-        b AS (SELECT vec_id, v, $bucketSql AS bucket FROM pv, np),
+        b AS MATERIALIZED (SELECT vec_id, v, $bucketSql AS bucket FROM pv, np),
         lq0 AS (SELECT vec_id AS query_id, bucket, v AS qv FROM b
                 WHERE vec_id >= 1000000 AND $qsampleSql),
         ${probeCtesSql("lq0", "lqf", "lq")},
