@@ -573,6 +573,24 @@ class PlanAuditSpec extends SparkSpec {
       s"nothing in the cut should gather to one partition:\n$p")
   }
 
+  test("c104: every served batch reads the ONE cached assignment — no per-batch rebuild") {
+    val p = plan("c104_served_ann")
+    // three searches -> three scans of the same persisted corpus->cell
+    // assignment (that cache IS the served index)
+    assert(p.split("InMemoryTableScan").length - 1 >= 3,
+      s"served batches must probe the cached assignment:\n$p")
+    // the corpus-sized assignment work (groupBy corpus_id after the
+    // centroid cross join) may appear ONLY inside the InMemoryRelation's
+    // cached-plan print — outside it, a batch would be rebuilding the
+    // index per call, the exact shape c104 exists to retire
+    val imrIdx = p.indexOf("InMemoryRelation")
+    assert(imrIdx >= 0, s"index assignment should be persisted:\n$p")
+    val escaped = "Exchange hashpartitioning\\(corpus_id".r
+      .findAllMatchIn(p).map(_.start).filter(_ < imrIdx).toList
+    assert(escaped.isEmpty,
+      s"corpus-sized assignment exchange outside the served cache:\n$p")
+  }
+
   test("b97: RFM buckets assign map-side off broadcast boundaries — never an ntile sort") {
     val p = plan("b97_rfm")
     // the only Window allowed would be none at all: boundaries are a
