@@ -90,6 +90,13 @@ object EventPipeline {
     * file set or the new one, never a half-merged union
     * (StreamingCompactionSpec pins both). `onCompact` observes each
     * merge's Stats (tests and ops counters). */
+  /** `debugTee = Some(dir)` appends a compact JSON-lines trace of every
+    * STORED row — (type, received_at, stream_batch_id) — next to the
+    * real write, the reference's DEBUG_STORE_LOG ops affordance
+    * (main.ts:140-142, 181-199: fs.appendFile of per-row
+    * {type, received_at, flags} summaries at insert time). Spark-form:
+    * a distributed JSON append per micro-batch (never a driver-side
+    * collect), so the tee scales with the stream it shadows. */
   case class Config(
       inputDir: String,
       outputDir: String,
@@ -100,7 +107,16 @@ object EventPipeline {
       sinkPing: Option[() => Boolean] = None,
       compactEvery: Option[Int] = None,
       compactSortCol: String = "sent_at",
-      onCompact: Option[graft.operators.Compactor.Stats => Unit] = None)
+      onCompact: Option[graft.operators.Compactor.Stats => Unit] = None,
+      debugTee: Option[String] = None)
+
+  /** The DEBUG_STORE_LOG trace write (see [[Config.debugTee]]). */
+  private def traceBatch(enriched: DataFrame, tee: Option[String]): Unit =
+    tee.foreach { dir =>
+      enriched.select(col("event_type").as("type"), col("received_at"),
+          col("stream_batch_id"))
+        .write.mode("append").json(dir)
+    }
 
   /** The enrichment applied to each micro-batch (shared with tests and
     * with the batch path, so batch/streaming parity is testable). */
@@ -154,6 +170,7 @@ object EventPipeline {
           .write.mode("append")
           .partitionBy("event_type")
           .parquet(cfg.outputDir)
+        traceBatch(enriched, cfg.debugTee)
         // the in-stream maintenance merge (see Config.compactEvery):
         // serialized with the append above, so no append can land
         // between the compaction's snapshot and its swap
@@ -267,8 +284,10 @@ object EventPipeline {
           val reserved = EventFlattener.defaultReserved ++ keep ++ enrichmentCols
           val flat = EventFlattener.flatten(valid, jsonCol, keep = keep,
             opts = EventFlattener.Options(reserved = reserved))
-          body(valid, enrich(flat, cfg.transform)
-            .withColumn("stream_batch_id", lit(batchId)))
+          val enriched = enrich(flat, cfg.transform)
+            .withColumn("stream_batch_id", lit(batchId))
+          body(valid, enriched)
+          traceBatch(enriched, cfg.debugTee)
         }
       }
     } finally { valid.unpersist(); () }

@@ -48,4 +48,28 @@ class StreamingPipelineSpec extends SparkSpec {
     val clicks = EventPipeline.readTable(spark, cfg, "click")
     assert(clicks.select("event_id").distinct().count() == 25)
   }
+
+  test("debugTee appends one compact trace line per STORED row (DEBUG_STORE_LOG)") {
+    val base = tmpDir("stream_tee")
+    val cfg = EventPipeline.Config(s"$base/in", s"$base/out", s"$base/ck",
+      debugTee = Some(s"$base/tee"))
+    val rows = (eventRows(0 until 12, "click") ++ eventRows(12 until 15, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // a dropped (null-type) row must NOT be traced: the reference
+      // logs at store time, not at receive time
+      .unionAll(Seq((99L, 1700000000000000000L, 0L,
+        null.asInstanceOf[String], 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    rows.coalesce(1).write.mode("append").parquet(s"$base/in")
+    EventPipeline.start(spark, rows.schema, cfg).awaitTermination()
+
+    val tee = spark.read.json(s"$base/tee")
+    assert(tee.count() == 15L) // stored rows only, null-type excluded
+    assert(tee.columns.sorted.toSeq ==
+      Seq("received_at", "stream_batch_id", "type"))
+    assert(tee.filter(col("type") === "click").count() == 12L)
+    assert(tee.filter(col("received_at").isNull).count() == 0L)
+    // the tee must not perturb the real output
+    assert(spark.read.parquet(s"$base/out").count() == 15L)
+  }
 }
