@@ -158,6 +158,16 @@ object Fns {
       graft.plans.VectorSumLong(graft.plans.Cols.expression(c))
         .toAggregateExpression())
 
+  /** Element-wise EXACT decimal sum of ARRAY<DOUBLE>
+    * ([[graft.plans.VectorSumDecimal]]): each element converted like
+    * CAST(x AS DECIMAL(28,12)), summed in arbitrary precision — the
+    * Lloyd mean-step kernel that replaces a posexplode of N·dim rows
+    * through two shuffles with N rows through one. */
+  def vecSumDec(c: Column): Column =
+    graft.plans.Cols.column(
+      graft.plans.VectorSumDecimal(graft.plans.Cols.expression(c))
+        .toAggregateExpression())
+
   /** Exact decimal sum surfaced as DOUBLE (order-insensitive, so the
     * shuffle-order-dependent float sum never breaks the oracle). */
   def sumExact(c: Column, scale: Int = 2): Column =

@@ -142,17 +142,24 @@ object Similarity {
   /** The Lloyd mean step alone, over an ALREADY-ASSIGNED corpus —
     * what [[refineIndex]] reuses so a served index's refinement never
     * recomputes the O(N·K) assignment its seed index already paid.
-    * `assigned` must carry (`cell`, vecCol). */
-  private def refineFromAssigned(assigned: DataFrame, vecCol: String): DataFrame = {
-    val perDim = assigned.select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos"))
-      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
-        count(lit(1))).as("mean"))
-    perDim.groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+    * `assigned` must carry (`cell`, vecCol) with FIXED-dimension
+    * vectors.
+    *
+    * Shape: ONE groupBy(cell) carrying the
+    * [[graft.plans.VectorSumDecimal]] aggregate — O(dim) state per
+    * cell, map-side combined, N rows through the single exchange. The
+    * r10 form posexploded N·dim rows through TWO shuffles
+    * (groupBy(cell,pos) then a collect_list re-assembly); at 1 B × 64
+    * dims that is 64 B exploded rows vs N here. Values are
+    * bit-identical: the aggregate converts each element exactly as
+    * CAST(x AS DECIMAL(28,12)) and decimal addition is
+    * order-independent, so mean = sum.cast(double)/count matches the
+    * exploded form and the DuckDB mirror digit for digit. */
+  private def refineFromAssigned(assigned: DataFrame, vecCol: String): DataFrame =
+    assigned.groupBy(col("cell"))
+      .agg(Fns.vecSumDec(col(vecCol)).as("__s"), count(lit(1)).as("__n"))
       .select(col("cell").as("cent_id"),
-        transform(col("pm"), p => p.getField("mean")).as("centv"))
-  }
+        transform(col("__s"), s => s.cast("double") / col("__n")).as("centv"))
 
   /** A BUILT (served) ANN index: the centroids and the corpus→cell
     * assignment, both persisted, so Q searches pay the O(N·K)
