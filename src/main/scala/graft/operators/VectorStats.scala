@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * tie-exact on both engines: BigDecimal HALF_UP and DuckDB round()
   * both break ties away from zero).
   *
-  * Scale shape: posexplode inflates rows ×dim, then partial
-  * aggregation compresses each map task to |labels|·dim rows before
-  * the single shuffle — the classic sum-sketch profile; no collect,
+  * Scale shape (r11): the [[graft.plans.VectorSumLong]] aggregate sums
+  * the micro-quantized vectors element-wise with O(dim) map-side
+  * state, so N rows cross the one exchange and the ×dim explosion
+  * happens only AFTER aggregation on |labels| rows — the r10 form
+  * posexploded N·dim rows before its partial aggregation. No collect,
   * no per-key sort. */
 object VectorStats {
 
@@ -27,11 +29,14 @@ object VectorStats {
   def centroidSums(embeddings: DataFrame, labelCol: String,
                    vecCol: String): DataFrame =
     embeddings
-      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
-      .groupBy(col(labelCol), col("dim"))
+      .groupBy(col(labelCol))
       .agg(
-        sum(round(col("x").cast("double") * 1000000).cast("long")).as("sum_micro"),
-        count(lit(1)).as("n_vecs"))
+        graft.functions.Fns.vecSumLong(transform(col(vecCol),
+          x => round(x.cast("double") * 1000000).cast("long"))).as("__s"),
+        count(col(vecCol)).as("n_vecs"))
+      .select(col(labelCol), posexplode(col("__s")).as(Seq("dim", "sum_micro")),
+        col("n_vecs"))
+      .select(col(labelCol), col("dim"), col("sum_micro"), col("n_vecs"))
 
   /** Symmetric int8 quantization of an embedding column — 4× storage
     * cut for ANN candidate stages (clip to [-1,1], scale by 127,
