@@ -364,18 +364,19 @@ object TrainingQueries7 {
 
   /** Label centroids as ordered double arrays — c17's micro-unit
     * integer sums (order-independent, engine-exact) finalized to one
-    * deterministic division per dimension. Shared by c78/c79. */
+    * deterministic division per dimension. Shared by c78/c79.
+    * r11 kernel: the vec_sum_long aggregate sums the micro-quantized
+    * vectors with O(dim) map-side state — N rows through one exchange,
+    * no N·dim posexplode, no collect_list re-assembly. */
   private def labelCentroids(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "embeddings")
-      .select(col("label"),
-        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(sum(round(col("x") * 1000000).cast("long")).as("sm"),
-        count(lit(1)).as("n"))
-      .withColumn("c", col("sm").cast("double") / (col("n") * 1000000L))
       .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("label"), expr("transform(pc, p -> p.c)").as("cv"))
+      .agg(Fns.vecSumLong(transform(col("embedding").cast("array<double>"),
+          x => round(x * 1000000).cast("long"))).as("sm"),
+        count(col("embedding")).as("n"))
+      .select(col("label"),
+        transform(col("sm"), s => s.cast("double") / (col("n") * 1000000L))
+          .as("cv"))
 
   /** C78: label-affinity matrix — pairwise cosine between label
     * centroids (which classes are semantically confusable: high
