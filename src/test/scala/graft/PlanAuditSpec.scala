@@ -688,10 +688,14 @@ class PlanAuditSpec extends SparkSpec {
       s"bucket sizes lost map-side combine:\n$p")
   }
 
-  test("c78/c79: centroid work is one posexplode agg; label joins broadcast") {
+  test("c78/c79: centroid work is one vector-sum agg; label joins broadcast") {
     val a = plan("c78_label_affinity")
-    assert(a.contains("partial_sum"),
-      s"centroid sums lost map-side combine:\n$a")
+    // the r11 kernel: vec_sum_long partials combine map-side inside
+    // ObjectHashAggregate — N rows cross the exchange, never N·dim
+    assert(a.contains("partial_vec_sum_long"),
+      s"centroid sums lost the map-side-combined vector aggregate:\n$a")
+    assert(!a.contains("Generate posexplode"),
+      s"centroid path re-grew the N·dim explode:\n$a")
     assert(!a.contains("SortMergeJoin"),
       s"the |labels|^2 pair join regressed to sort-merge:\n$a")
     val c = plan("c79_label_cohesion")
