@@ -647,7 +647,10 @@ object AnalyticsQueries7 {
       StructField("total_cents", LongType, nullable = false),
       StructField("gini_ppm", LongType, nullable = false)))
     val rows: Seq[Row] =
-      if (h.nUsers == 0) Seq.empty
+      // t == 0 guard (every purchase quantizing to 0 cents): G's n·ΣX
+      // denominator would divide by zero — yield no row, same as n == 0;
+      // the oracle mirror gates on sum(cents) <> 0 identically.
+      if (h.nUsers == 0 || h.totalCents == 0) Seq.empty
       else {
         // 2·Σ rank·x over a value's cnt tied users collapses to
         // v·(2·cnt·users_below + cnt·(cnt+1)) — doubling up front
@@ -743,7 +746,7 @@ object AnalyticsQueries7 {
          a AS (
            SELECT count(*) AS n, sum(cents) AS t,
              sum(CAST(rn AS HUGEINT) * cents) AS s
-           FROM r HAVING count(*) > 0)
+           FROM r HAVING count(*) > 0 AND sum(cents) <> 0)
          SELECT CAST(n AS BIGINT) AS n_users, CAST(t AS BIGINT) AS total_cents,
            CAST((2 * s - (CAST(n AS HUGEINT) + 1) * t) * 1000000
              // (CAST(n AS HUGEINT) * t) AS BIGINT) AS gini_ppm

@@ -5,6 +5,29 @@ object Bench {
   private def gcMillis: Long =
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
+
+  /** Parse the committed idle baseline (BENCH_IDLE.json) into a
+    * query→seconds map, or empty if the file's `sf` isn't the run's
+    * sf dir (a baseline is only comparable at its own scale).
+    *
+    * A REAL JSON parse (Jackson, already on Spark's classpath), not a
+    * regex: the r11 regex form tolerated no whitespace after colons,
+    * so the moment the committed file was pretty-printed the parser
+    * silently returned an empty map and the solo-retime adjudication
+    * (the whole point of the baseline) never fired again — the r11
+    * verdict's headline defect. BenchIdleParseSpec feeds this function
+    * the committed file and asserts a full-sized map, so a future
+    * format drift fails the build instead of silently disarming the
+    * retimer. Public for that spec. */
+  def parseIdleBaseline(txt: String, sfDir: String): Map[String, Double] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      if (root.path("sf").asText("") != sfDir) Map.empty
+      else {
+        val q = root.path("queries")
+        q.properties().asScala.map(e => e.getKey -> e.getValue.asDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -143,19 +166,14 @@ object Bench {
     // re-timed SOLO, median of 3, and the medians are reported beside
     // the in-suite numbers, so the artifact answers "noise or
     // regression?" itself with a statistic instead of a single rerun.
+    // The baseline is only comparable at ITS OWN scale: a bench at a
+    // different sf dir (e.g. an sf1 sweep against the committed sf0.1
+    // idle run) would "re-time" nearly every query and run the whole
+    // suite twice for nothing — parseIdleBaseline gates on `sf`.
     val idle: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_IDLE.json")))
-        // the baseline is only comparable at ITS OWN scale: a bench at
-        // a different sf dir (e.g. an sf1 sweep against the committed
-        // sf0.1 idle run) would "re-time" nearly every query and run
-        // the whole suite twice for nothing
-        val sfOf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
-        if (!sfOf.contains(sfDir)) Map.empty
-        else """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+      try parseIdleBaseline(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_IDLE.json"))), sfDir)
+      catch { case _: Throwable => Map.empty }
     val risers = results.flatMap { case (name, sec) =>
         idle.get(name).collect {
           case b if sec > 2 * b && sec > 1.0 => (name, sec, sec / b)

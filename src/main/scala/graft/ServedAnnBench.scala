@@ -32,10 +32,19 @@ object ServedAnnBench {
     val emb = Tables(spark, sfDir, "embeddings")
     def batch(i: Int): DataFrame =
       emb.filter(col("vec_id") >= i * 8L && col("vec_id") < (i + 1) * 8L)
+    // Order-insensitive STRONG digest over the FULL row (rank, cell and
+    // cosine included): sum of xxhash64 over every column. A linear
+    // (count, sum(f(ids))) checksum ignores rank/cell/score and can
+    // collide, so diverged served results could slip past the require().
+    // Hashes are folded mod a prime before summing: ANSI mode (Spark 4's
+    // default) throws on long-sum overflow, and full-range 64-bit hashes
+    // overflow after a handful of rows.
     def checksum(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(col("query_id") * 31 + col("corpus_id")))
+      val r = df.agg(count(lit(1)),
+          sum(pmod(xxhash64(col("query_id"), col("corpus_id"), col("cell"),
+            col("rank"), col("cosine_sim")), lit(1000000007L))))
         .collect()(0)
-      (r.getLong(0), r.getLong(1))
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f

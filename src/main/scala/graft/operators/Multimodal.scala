@@ -75,40 +75,79 @@ object Multimodal {
   /** Column-form decode: detect the container from its signature and
     * read width/height/bit-depth/channels out of the actual header
     * bytes (PNG: IHDR is the mandatory FIRST chunk, so its offsets
-    * are fixed by spec; JPEG: the column form assumes SOF first — the
-    * synthesized stream's shape — while [[decodeBatched]] does the
-    * general marker walk). `feature_md5` fingerprints the PAYLOAD
-    * (the bytes after the header): that is the content a model
-    * forward pass would embed, and it keeps the digest independent
-    * of which container wrapped it. */
+    * are fixed by spec; JPEG: the SAME bounded marker walk as
+    * [[decodeStubBatched]] — sniff on SOI's FFD8FF, then skip
+    * segments by their 2-byte lengths until an SOF marker — so a
+    * real stream with APPn/DQT/DHT before the frame header decodes
+    * identically on both paths, not just the synthesized SOF-first
+    * layout). `feature_md5` fingerprints the PAYLOAD (the bytes
+    * after the header): that is the content a model forward pass
+    * would embed, and it keeps the digest independent of which
+    * container wrapped it. */
   def decodeStubCols(blob: Column): Seq[(String, Column)] = {
+    val blen = length(blob).cast("bigint")
     val isPng = blob.substr(lit(1), lit(8)) === lit(PngSig)
-    val isJpeg = blob.substr(lit(1), lit(4)) ===
-      lit(Array(0xff, 0xd8, 0xff, 0xc0).map(_.toByte))
-    def beInt(pos: Int, len: Int): Column =
-      conv(hex(blob.substr(lit(pos), lit(len))), 16, 10).cast("bigint")
+    val isJpegSig = blob.substr(lit(1), lit(3)) ===
+      lit(Array(0xff, 0xd8, 0xff).map(_.toByte))
+    def beIntAt(pos: Column, len: Int): Column =
+      conv(hex(blob.substr(pos, lit(len))), 16, 10).cast("bigint")
+    def beInt(pos: Int, len: Int): Column = beIntAt(lit(pos), len)
+    // Bounded JPEG marker walk, mirroring decodeStubBatched: from the
+    // byte after SOI (1-based offset 3), skip non-SOF segments by
+    // their length fields until an SOF marker (C0-CF minus C4/C8/CC);
+    // at most `JpegWalkSegs` segments — real frame headers sit behind
+    // a handful of APPn/DQT/DHT segments, and a bounded walk keeps
+    // the expression finite. The aggregate() fold keeps the running
+    // offset a BOUND lambda variable: a nested-`when` unrolling would
+    // duplicate the offset subtree per step and grow exponentially.
+    // Yields the SOF marker's 1-based FF offset, or 0 if none found.
+    val sof1: Column = aggregate(
+      sequence(lit(1), lit(JpegWalkSegs)),
+      struct(lit(3L).as("i"), lit(0L).as("sof")),
+      (acc, _) => {
+        val i = acc("i")
+        val stepOk = coalesce(
+          beIntAt(i, 1) === 0xffL && i + 3L <= blen, lit(false))
+        val mk = beIntAt(i + 1L, 1)
+        val isSof = coalesce(
+          mk >= 0xc0L && mk <= 0xcfL &&
+            mk =!= 0xc4L && mk =!= 0xc8L && mk =!= 0xccL, lit(false))
+        when(acc("sof") > 0L || !stepOk, acc)
+          .when(isSof, struct(i.as("i"), i.as("sof")))
+          .otherwise(struct(
+            (i + 2L + coalesce(beIntAt(i + 2L, 2), lit(0L))).as("i"),
+            lit(0L).as("sof")))
+      },
+      acc => acc("sof"))
+    val isJpeg = isJpegSig && sof1 > 0L && sof1 + 9L <= blen
     val kind = when(isPng, "png").when(isJpeg, "jpeg").otherwise("unknown")
-    val hdrLen = when(isPng, PngHeaderLen).when(isJpeg, JpegHeaderLen)
-      .otherwise(0).cast("bigint")
-    val payload = blob.substr(hdrLen + 1, length(blob).cast("bigint"))
-    val plen = length(blob).cast("bigint") - hdrLen
+    val hdrLen = when(isPng, lit(PngHeaderLen.toLong))
+      .when(isJpeg, sof1 + 1L + beIntAt(sof1 + 2L, 2))
+      .otherwise(0L).cast("bigint")
+    val payload = blob.substr(hdrLen + 1, blen)
+    val plen = blen - hdrLen
     Seq(
       "media_kind" -> kind,
-      "byte_len" -> length(blob).cast("bigint"),
-      "width" -> when(isPng, beInt(17, 4)).when(isJpeg, beInt(10, 2))
-        .otherwise(0L),
-      "height" -> when(isPng, beInt(21, 4)).when(isJpeg, beInt(8, 2))
-        .otherwise(0L),
-      "bit_depth" -> when(isPng, beInt(25, 1)).when(isJpeg, beInt(7, 1))
-        .otherwise(0L),
+      "byte_len" -> blen,
+      "width" -> when(isPng, beInt(17, 4))
+        .when(isJpeg, beIntAt(sof1 + 7L, 2)).otherwise(0L),
+      "height" -> when(isPng, beInt(21, 4))
+        .when(isJpeg, beIntAt(sof1 + 5L, 2)).otherwise(0L),
+      "bit_depth" -> when(isPng, beInt(25, 1))
+        .when(isJpeg, beIntAt(sof1 + 4L, 1)).otherwise(0L),
       // PNG color type → samples/pixel: 0 gray, 2 RGB, 4 gray+A, 6 RGBA
       "channels" -> when(isPng,
           when(beInt(26, 1) === 2, 3L).when(beInt(26, 1) === 6, 4L)
             .when(beInt(26, 1) === 4, 2L).otherwise(1L))
-        .when(isJpeg, beInt(12, 1)).otherwise(0L),
+        .when(isJpeg, beIntAt(sof1 + 9L, 1)).otherwise(0L),
       "n_frames" -> (plen % 16L + 1L),
       "feature_md5" -> md5(payload))
   }
+
+  /** Segment budget both JPEG walks share (the batched form is a
+    * while-loop, but capping it identically keeps the two paths
+    * interchangeable on adversarial streams too). */
+  private val JpegWalkSegs = 8
 
   /** Batched decode — the mapPartitions path a real codec needs
     * (decoder init once per partition, rows streamed through). The
@@ -145,14 +184,19 @@ object Multimodal {
                 u(bytes(25)) match { case 2 => 3L; case 6 => 4L; case 4 => 2L; case _ => 1L },
                 PngHeaderLen)
             else if (isJpeg) {
-              // marker walk: FF xx [2-byte length including itself]
+              // marker walk: FF xx [2-byte length including itself];
+              // capped at the same segment budget as the column walk
+              // so both paths stay interchangeable on any stream
               var i = 2
               var sof = -1
-              while (sof < 0 && i + 3 < bytes.length && u(bytes(i)) == 0xff) {
+              var segs = 0
+              while (sof < 0 && segs < JpegWalkSegs &&
+                     i + 3 < bytes.length && u(bytes(i)) == 0xff) {
                 val m = u(bytes(i + 1))
                 if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
                   sof = i
                 else i += 2 + be(bytes, i + 2, 2).toInt
+                segs += 1
               }
               if (sof >= 0 && sof + 9 < bytes.length)
                 ("jpeg", be(bytes, sof + 7, 2), be(bytes, sof + 5, 2),
@@ -164,6 +208,230 @@ object Multimodal {
           val hex = md.digest(payload).map("%02x".format(_)).mkString
           Row(id, kind, bytes.length.toLong, w, h, depth, ch,
             payload.length.toLong % 16L + 1L, hex)
+        }
+      }
+    }(enc)
+  }
+
+  // ---- real PNG: encode + PIXEL decode (r12 — the stub got smaller) ----
+  //
+  // The container ships no image libraries, but a complete 8-bit RGB
+  // PNG needs only the JDK: zlib (java.util.zip.Deflater/Inflater) for
+  // the IDAT stream and CRC32 for chunk checksums — all public-spec
+  // (RFC 1950/1951, PNG spec ISO/IEC 15948). The encoder below writes
+  // spec-valid PNGs (javax.imageio reads them back bit-exactly —
+  // MultimodalSpec cross-checks against ImageIO as an independent
+  // decoder), and the decoder does the real work: chunk walk with CRC
+  // verification, multi-IDAT concatenation, inflate, and per-scanline
+  // UNFILTERING of all five PNG filter types. Pixel values follow a
+  // deterministic formula ((k + w + 7h) mod 256 at sample index k) so
+  // the DuckDB oracle can pin the decoded pixel sums in closed form —
+  // a decode bug (wrong filter reversal, missed IDAT byte, inflate
+  // misuse) breaks the driver row. JPEG pixel decode stays declared
+  // out: entropy coding is a genuine codec.
+
+  /** PNG chunk: 4-byte length, type, data, CRC32(type+data). */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val c = new java.util.zip.CRC32(); c.update(t); c.update(data)
+    be32(data.length.toLong) ++ t ++ data ++ be32(c.getValue)
+  }
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Paeth predictor (PNG spec §9, filter type 4). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Deterministic sample value at flat index k of a (w,h) test image:
+    * the synthesis formula the oracle mirrors in closed form. */
+  private def pixAt(k: Long, w: Long, h: Long): Int =
+    ((k + w + 7L * h) % 256L).toInt
+
+  /** Synthesize a COMPLETE spec-valid 8-bit RGB PNG per row — the
+    * deterministic test-image writer for the pixel-decode path.
+    * Scanline y carries filter type y mod 5, so every PNG filter
+    * (None/Sub/Up/Average/Paeth) appears in each image taller than 4
+    * rows and the decoder's unfilter layer is genuinely exercised;
+    * the IDAT stream is split in two chunks so multi-IDAT
+    * concatenation is exercised too. Input needs long columns
+    * (idCol, wCol, hCol); output appends `png_blob`. mapPartitions:
+    * one Deflater per partition, never per row. */
+  def encodePngBatched(df: DataFrame, idCol: String, wCol: String,
+                       hCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields.toIndexedSeq :+
+      StructField("png_blob", BinaryType, nullable = true))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val (wi, hi) = (df.schema.fieldIndex(wCol), df.schema.fieldIndex(hCol))
+    df.mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater()
+      rows.map { r =>
+        val (w, h) = (r.getLong(wi), r.getLong(hi))
+        val stride = (w * 3L).toInt
+        // unfiltered image, then per-line filtering (bpp = 3)
+        val raw = new Array[Byte]((stride + 1) * h.toInt)
+        var y = 0
+        while (y < h) {
+          val ft = y % 5
+          raw(y * (stride + 1)) = ft.toByte
+          var x = 0
+          while (x < stride) {
+            val k = y.toLong * stride + x
+            val cur = pixAt(k, w, h)
+            val left = if (x >= 3) pixAt(k - 3, w, h) else 0
+            val up = if (y >= 1) pixAt(k - stride, w, h) else 0
+            val upLeft = if (y >= 1 && x >= 3) pixAt(k - stride - 3, w, h) else 0
+            val filtered = ft match {
+              case 0 => cur
+              case 1 => cur - left
+              case 2 => cur - up
+              case 3 => cur - (left + up) / 2
+              case 4 => cur - paeth(left, up, upLeft)
+            }
+            raw(y * (stride + 1) + 1 + x) = (filtered & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        deflater.reset()
+        deflater.setInput(raw)
+        deflater.finish()
+        val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+        val buf = new Array[Byte](8192)
+        while (!deflater.finished())
+          out.write(buf, 0, deflater.deflate(buf))
+        val z = out.toByteArray
+        val ihdr = be32(w) ++ be32(h) ++
+          Array[Byte](8, 2, 0, 0, 0) // 8-bit, color type 2 (RGB)
+        val half = z.length / 2
+        val png = PngSig ++ pngChunk("IHDR", ihdr) ++
+          pngChunk("IDAT", java.util.Arrays.copyOfRange(z, 0, half)) ++
+          pngChunk("IDAT", java.util.Arrays.copyOfRange(z, half, z.length)) ++
+          pngChunk("IEND", Array.empty[Byte])
+        Row.fromSeq(r.toSeq :+ (png: Any))
+      }
+    }(enc)
+  }
+
+  /** REAL PNG pixel decode: chunk walk (CRC-verified), multi-IDAT
+    * concatenation, zlib inflate, and unfiltering of all five PNG
+    * filter types — the JDK-only decoder for the 8-bit RGB PNGs
+    * [[encodePngBatched]] writes (and any other 8-bit RGB
+    * non-interlaced PNG). Emits per-image pixel statistics — sample
+    * count, sum, and sum of squares over the unfiltered bytes — which
+    * the oracle pins in closed form from the synthesis formula; a
+    * non-PNG, corrupt-CRC, or unsupported-format blob yields null
+    * stats rather than a throw (a 100 TB scrape always contains
+    * garbage rows). mapPartitions: one Inflater per partition. */
+  def decodePngPixelsBatched(df: DataFrame, idCol: String,
+                             blobCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = true),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("pixel_sum", LongType, nullable = true),
+      StructField("pixel_sq_sum", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long"), col(blobCol)).mapPartitions { rows =>
+      val inflater = new java.util.zip.Inflater()
+      def be(bs: Array[Byte], pos: Int, len: Int): Long =
+        (pos until pos + len).foldLeft(0L)((a, i) => (a << 8) | (bs(i) & 0xff))
+      rows.map { r =>
+        val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val decoded: Option[(Long, Long, Long, Long, Long)] =
+          if (bytes == null || bytes.length < PngHeaderLen ||
+              !PngSig.indices.forall(i => bytes(i) == PngSig(i))) None
+          else try {
+            // chunk walk: collect IHDR + every IDAT, CRC-checking each
+            var (w, h, depth, colorType) = (0L, 0L, 0L, 0L)
+            val idat = new java.io.ByteArrayOutputStream()
+            var i = PngSig.length
+            var end = false
+            var ok = true
+            while (ok && !end && i + 12 <= bytes.length) {
+              val len = be(bytes, i, 4).toInt
+              val typ = new String(bytes, i + 4, 4, "US-ASCII")
+              ok = len >= 0 && i + 12 + len <= bytes.length
+              if (ok) {
+                val c = new java.util.zip.CRC32()
+                c.update(bytes, i + 4, 4 + len)
+                ok = c.getValue == be(bytes, i + 8 + len, 4)
+              }
+              if (ok) typ match {
+                case "IHDR" =>
+                  w = be(bytes, i + 8, 4); h = be(bytes, i + 12, 4)
+                  depth = be(bytes, i + 16, 1); colorType = be(bytes, i + 17, 1)
+                  // supported: 8-bit RGB, no interlace; dimension cap so
+                  // a corrupt/hostile IHDR can't allocate unboundedly
+                  ok = depth == 8 && colorType == 2 &&
+                    be(bytes, i + 18, 3) == 0 && w > 0 && h > 0 &&
+                    (w * 3 + 1) * h <= (64L << 20)
+                case "IDAT" => idat.write(bytes, i + 8, len)
+                case "IEND" => end = true
+                case _ => () // ancillary chunks skipped
+              }
+              i += 12 + len
+            }
+            if (!ok || !end || idat.size() == 0) None
+            else {
+              val stride = (w * 3L).toInt
+              val raw = new Array[Byte]((stride + 1) * h.toInt)
+              inflater.reset()
+              inflater.setInput(idat.toByteArray)
+              var off = 0
+              var stalled = false // truncated stream: inflate can't advance
+              while (!stalled && off < raw.length && !inflater.finished()) {
+                val n = inflater.inflate(raw, off, raw.length - off)
+                if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+                  stalled = true
+                else off += n
+              }
+              if (stalled || off != raw.length) None
+              else {
+                // unfilter in place into `img` (unfiltered samples)
+                val img = new Array[Byte](stride * h.toInt)
+                var sum = 0L
+                var sq = 0L
+                var y = 0
+                var valid = true
+                while (valid && y < h) {
+                  val ft = raw(y * (stride + 1)) & 0xff
+                  valid = ft <= 4
+                  var x = 0
+                  while (valid && x < stride) {
+                    val f = raw(y * (stride + 1) + 1 + x) & 0xff
+                    val left = if (x >= 3) img(y * stride + x - 3) & 0xff else 0
+                    val up = if (y >= 1) img((y - 1) * stride + x) & 0xff else 0
+                    val upLeft =
+                      if (y >= 1 && x >= 3) img((y - 1) * stride + x - 3) & 0xff
+                      else 0
+                    val v = ft match {
+                      case 0 => f
+                      case 1 => f + left
+                      case 2 => f + up
+                      case 3 => f + (left + up) / 2
+                      case 4 => f + paeth(left, up, upLeft)
+                    }
+                    img(y * stride + x) = (v & 0xff).toByte
+                    sum += (v & 0xff)
+                    sq += (v & 0xff).toLong * (v & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                if (valid) Some((w, h, w * h * 3L, sum, sq)) else None
+              }
+            }
+          } catch { case _: java.util.zip.DataFormatException => None }
+        decoded match {
+          case Some((w, h, n, sum, sq)) => Row(id, w, h, n, sum, sq)
+          case None => Row(id, null, null, null, null, null)
         }
       }
     }(enc)

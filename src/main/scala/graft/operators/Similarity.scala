@@ -197,16 +197,26 @@ object Similarity {
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  stride: Long = 0, iters: Int = 0,
                  roundScale: Int = 4): AnnIndex = {
-    val cents = seedCentroids(corpus, idCol, vecCol, stride)
+    val cents = seedCentroids(corpus, idCol, vecCol, stride).persist(IdxLevel)
     val v = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).cast("array<double>").as("cv"))
     val assigned = assignCells(v, cents, "corpus_id", "cv", roundScale)
       .persist(IdxLevel)
+    // Materialize NOW: persist is lazy, and "build" must mean built —
+    // a served index whose first search pays the O(N·K) assignment is
+    // the per-call path with extra steps. This also populates the
+    // cents cache (the broadcast collects it), so release()/refinement
+    // eviction can never race an un-populated cache and silently push
+    // the assignment back into every search's lineage (the r11
+    // unpersist-before-materialize defect).
+    assigned.foreach(_ => ())
     val seed = AnnIndex(cents, assigned, idCol, vecCol, roundScale)
     if (iters <= 0) seed
     else {
+      // refineIndex materializes each step's frames, so the seed's are
+      // safe to release here — nothing recomputes them later.
       val refined = refineIndex(corpus, seed, iters)
-      seed.assigned.unpersist() // only the final assignment serves
+      seed.release() // only the final centroids + assignment serve
       refined
     }
   }
@@ -223,6 +233,14 @@ object Similarity {
       val cents = refineFromAssigned(prev.assigned, "cv").persist(IdxLevel)
       val assigned = assignCells(v, cents, "corpus_id", "cv",
         index.roundScale).persist(IdxLevel)
+      // Materialize this step's frames BEFORE evicting the previous
+      // step's: unpersisting a frame the new lineage still references
+      // while the new cache is un-populated (persist is lazy) would
+      // recompute the evicted assignment inside every later action —
+      // exactly the amortization this index exists to avoid. The one
+      // action below populates both caches (assigned's broadcast
+      // collects cents).
+      assigned.foreach(_ => ())
       if (i > 0) { prev.cents.unpersist(); prev.assigned.unpersist() }
       AnnIndex(cents, assigned, index.idCol, index.vecCol, index.roundScale)
     }

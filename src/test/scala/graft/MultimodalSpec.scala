@@ -68,6 +68,34 @@ class MultimodalSpec extends SparkSpec {
     assert(got.getAs[Long]("channels") == 1L)
   }
 
+  test("column path walks APPn/DQT segments too — parity with batched " +
+       "on non-synthesized JPEGs") {
+    // same stream shape as the batched-walk test: SOI, APP0, DQT, SOF0
+    val realJpeg = Array(0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0xAA, 0xBB,
+      0xff, 0xdb, 0x00, 0x03, 0xCC,
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x01, 0x02, 0x02, 0x03, 0x01)
+      .map(_.toByte) ++ "rest".getBytes("US-ASCII")
+    // plus a truncated SOI-only stream and a non-media blob: both
+    // paths must agree they are "unknown"
+    val blobs = Seq((1L, realJpeg),
+      (2L, Array(0xff, 0xd8, 0xff).map(_.toByte)),
+      (3L, "not an image".getBytes("US-ASCII")))
+      .toDF("media_id", "media_blob")
+    val cols = Multimodal.decodeStubCols(col("media_blob"))
+    val colPath = blobs.select(col("media_id") +:
+      cols.map { case (n, c) => c.as(n) }: _*)
+    val batched = Multimodal.decodeStubBatched(blobs, "media_id", "media_blob")
+      .select(colPath.columns.map(col): _*)
+    val a = colPath.orderBy("media_id").collect().toSeq
+    val b = batched.orderBy("media_id").collect().toSeq
+    assert(a == b, s"paths diverged:\ncolumn:  $a\nbatched: $b")
+    assert(a.head.getAs[String]("media_kind") == "jpeg")
+    assert(a.head.getAs[Long]("width") == 515L) // parsed PAST the APP0/DQT
+    assert(a(1).getAs[String]("media_kind") == "unknown")
+    assert(a(2).getAs[String]("media_kind") == "unknown")
+  }
+
   test("resize stub: aspect-preserving fit, small media untouched") {
     val meta = Multimodal.withMedia(media, "media_id", col("payload"))
     val out = Multimodal.resizeStub(meta, maxW = 4L, maxH = 2L)
@@ -105,6 +133,72 @@ class MultimodalSpec extends SparkSpec {
       "media_id", "media_blob")
     assert(colPath.orderBy("media_id").collect().toSeq ==
       batchPath.orderBy("media_id").collect().toSeq)
+  }
+
+  test("PNG pixel round-trip: encode → CRC walk + inflate + unfilter " +
+       "recovers the synthesis formula exactly") {
+    // heights ≥ 5 exercise all five filter types; include a 1x1 and a
+    // width-1 (no left neighbor on any pixel) edge
+    val dims = Seq((1L, 7L, 6L), (2L, 1L, 1L), (3L, 1L, 9L), (4L, 13L, 5L))
+      .toDF("media_id", "width", "height")
+    val out = Multimodal.decodePngPixelsBatched(
+      Multimodal.encodePngBatched(dims, "media_id", "width", "height"),
+      "media_id", "png_blob").orderBy("media_id").collect()
+    Seq((1L, 7L, 6L), (2L, 1L, 1L), (3L, 1L, 9L), (4L, 13L, 5L))
+      .zip(out).foreach { case ((id, w, h), r) =>
+        val n = w * h * 3
+        val expSum = (0L until n).map(k => (k + w + 7 * h) % 256).sum
+        val expSq = (0L until n).map { k =>
+          val v = (k + w + 7 * h) % 256; v * v }.sum
+        assert(r.getAs[Long]("media_id") == id)
+        assert(r.getAs[Long]("n_samples") == n)
+        assert(r.getAs[Long]("pixel_sum") == expSum, s"pixel_sum for id=$id")
+        assert(r.getAs[Long]("pixel_sq_sum") == expSq, s"pixel_sq_sum id=$id")
+      }
+  }
+
+  test("encoded PNGs are spec-valid: ImageIO (an independent decoder) " +
+       "reads identical pixels") {
+    val dims = Seq((1L, 7L, 6L), (2L, 13L, 5L)).toDF("media_id", "width", "height")
+    val blobs = Multimodal.encodePngBatched(dims, "media_id", "width", "height")
+      .orderBy("media_id").collect()
+    blobs.foreach { r =>
+      val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("png_blob")))
+      assert(img != null, "ImageIO could not parse the blob")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h.toInt; x <- 0 until w.toInt) {
+        val k = (y.toLong * w + x) * 3
+        val exp = ((k + w + 7 * h) % 256, (k + 1 + w + 7 * h) % 256,
+          (k + 2 + w + 7 * h) % 256)
+        val rgb = img.getRGB(x, y)
+        val got = (((rgb >> 16) & 0xff).toLong, ((rgb >> 8) & 0xff).toLong,
+          (rgb & 0xff).toLong)
+        assert(got == exp, s"pixel ($x,$y) of ${w}x$h")
+      }
+    }
+  }
+
+  test("pixel decode rejects garbage without throwing: null stats") {
+    val bad = Seq(
+      (1L, "not a png".getBytes("US-ASCII")),
+      (2L, null.asInstanceOf[Array[Byte]]),
+      // valid signature+IHDR but corrupted IDAT CRC
+      (3L, {
+        val ok = Multimodal.encodePngBatched(
+          Seq((9L, 4L, 4L)).toDF("media_id", "width", "height"),
+          "media_id", "width", "height").collect().head
+          .getAs[Array[Byte]]("png_blob").clone()
+        ok(ok.length - 10) = (ok(ok.length - 10) ^ 0x5a).toByte // corrupts the IEND chunk header
+        ok
+      })).toDF("media_id", "png_blob")
+    val out = Multimodal.decodePngPixelsBatched(bad, "media_id", "png_blob")
+      .orderBy("media_id").collect()
+    out.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("pixel_sum")),
+        s"garbage blob ${r.getAs[Long]("media_id")} produced stats")
+    }
   }
 
   test("featureStub: fixed-dim, bounded, deterministic, digest-sensitive") {

@@ -591,6 +591,34 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus-sized assignment exchange outside the served cache:\n$p")
   }
 
+  test("c65b int8 leg: served search probes the cached dequantized " +
+       "assignment — no per-call rebuild") {
+    import org.apache.spark.sql.functions._
+    // the int8 audit's exact shape (r12: its per-call ivfTopK rebuild —
+    // the suite's last one — was replaced by a second served index over
+    // the dequantized corpus)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val deq = emb.select(col("vec_id"),
+      transform(graft.operators.VectorStats.quantizeInt8(col("embedding")),
+        q => q.cast("double") / lit(127.0)).as("embedding"))
+    val idx = graft.operators.Similarity.buildIndex(
+      deq, "vec_id", "embedding", stride = 10)
+    try {
+      val p = graft.operators.Similarity
+        .searchIndex(idx, deq.filter(col("vec_id") < 8), k = 5)
+        .queryExecution.executedPlan.toString
+      val imrIdx = p.indexOf("InMemoryRelation")
+      assert(imrIdx >= 0, s"int8 corpus assignment should be persisted:\n$p")
+      // the corpus-sized assignment (groupBy corpus_id) may appear ONLY
+      // inside the InMemoryRelation's cached-plan print — outside it,
+      // the search would be re-running the index build per call
+      val escaped = "Exchange hashpartitioning\\(corpus_id".r
+        .findAllMatchIn(p).map(_.start).filter(_ < imrIdx).toList
+      assert(escaped.isEmpty,
+        s"dequantized assignment exchange outside the served cache:\n$p")
+    } finally idx.release()
+  }
+
   test("b97: RFM buckets assign map-side off broadcast boundaries — never an ntile sort") {
     val p = plan("b97_rfm")
     // the only Window allowed would be none at all: boundaries are a
