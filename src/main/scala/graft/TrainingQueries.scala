@@ -471,6 +471,54 @@ object TrainingQueries {
       .orderBy(col("media_id"))
   }
 
+  /** C106: STREAMING served-index maintenance, driver-checked — the
+    * retrieval-service lifecycle around c104's build-once/serve-many:
+    * build the IVF index over 3/4 of the corpus, stream the remaining
+    * quarter in as TWO micro-batches (maxFilesPerTrigger=1 over two
+    * single-file dirs — c81's deterministic split), each appended into
+    * the EXISTING cells by [[Similarity.appendToIndex]] (|batch|·K
+    * work; the build's O(N·K) is never re-paid), then run ONE
+    * [[Similarity.refineServed]] Lloyd step as the compaction
+    * analogue (a19's pattern applied to the ANN family). The oracle
+    * mirrors the ONE-SHOT form — assign the FULL corpus to the
+    * base-seeded centroids, probe; Lloyd-refine, probe — so a hash
+    * match IS the proof that search-after-append == rebuild (and that
+    * compaction-after-append == training on the full corpus), batch
+    * count and order invariant by construction. */
+  private def c106IndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 4 =!= 3)
+    val root = java.nio.file.Files.createTempDirectory("graft_c106").toString
+    emb.filter(col("vec_id") % 8 === 3).coalesce(1).write.parquet(s"$root/in/b1")
+    emb.filter(col("vec_id") % 8 === 7).coalesce(1).write.parquet(s"$root/in/b2")
+    // foreachBatch runs on the stream's execution thread: the handle
+    // goes through an AtomicReference so the post-termination read
+    // here is safely published
+    val idxRef = new java.util.concurrent.atomic.AtomicReference(
+      Similarity.buildIndex(base, "vec_id", "embedding", stride = 0))
+    s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+      .writeStream
+      .option("checkpointLocation", s"$root/ck")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        idxRef.set(Similarity.appendToIndex(idxRef.get, batch)); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val idx = idxRef.get
+    val refined = Similarity.refineServed(idx, iters = 1)
+    val q = emb.filter(col("vec_id") < 8)
+    val out = Similarity.searchIndex(idx, q, k = 5)
+        .withColumn("stage", lit("appended"))
+      .unionAll(Similarity.searchIndex(refined, q, k = 5)
+        .withColumn("stage", lit("refined")))
+      .select(col("stage"), col("query_id"), col("rank").as("rnk"),
+        col("corpus_id"), col("cell"), col("cosine_sim"))
+      .orderBy(col("stage"), col("query_id"), col("rnk"))
+    materialized(s, out, idx.assigned, idx.cents,
+      refined.assigned, refined.cents)
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -487,6 +535,7 @@ object TrainingQueries {
     "c65_ann_recall" -> (c65AnnRecall _),
     "c65b_ann_recall_planted" -> (c65bAnnRecallPlanted _),
     "c104_served_ann" -> (c104ServedAnn _),
+    "c106_index_append" -> (c106IndexAppend _),
     "c8_lang_id" -> (c8LangId _),
     "c9_quality" -> (c9Quality _),
     "c10_token_count" -> (c10TokenCount _),
@@ -816,6 +865,57 @@ object TrainingQueries {
           FROM scored)
         SELECT batch_lo, query_id, rnk, corpus_id, cell, cosine_sim
         FROM ranked WHERE rnk <= 5 ORDER BY batch_lo, query_id, rnk"""
+
+  /** c106 mirror: the ONE-SHOT form of streamed index maintenance —
+    * centroids seeded from the BASE corpus only (vec_id % 4 <> 3,
+    * stride from ITS count), the FULL corpus assigned to them
+    * (appends land in existing cells, exactly what appendToIndex
+    * does), probed as stage 'appended'; then one decimal-exact Lloyd
+    * step over that assignment and a re-probe as stage 'refined'
+    * (refineServed's compaction). A hash match proves the streamed
+    * two-batch append path equals this one-shot rebuild. */
+  private def c106OracleSql: String = {
+    def assign(src: String, cents: String): String =
+      s"""SELECT vec_id, v, cent_id AS cell FROM (
+            SELECT vec_id, v, cent_id,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY ${cosineSql("v", "centv", 4)} DESC, cent_id) AS rn
+            FROM $src CROSS JOIN $cents)
+          WHERE rn = 1"""
+    def probe(stage: String, a: String): String =
+      s"""SELECT '$stage' AS stage, query_id, corpus_id, cell, cosine_sim FROM (
+            SELECT q.query_id, c.vec_id AS corpus_id, c.cell AS cell,
+              ${cosineSql("q.qv", "c.v", 4)} AS cosine_sim
+            FROM $a c JOIN
+              (SELECT vec_id AS query_id, v AS qv, cell FROM $a
+               WHERE vec_id < 8) q
+              ON c.cell = q.cell
+            WHERE q.query_id <> c.vec_id)"""
+    s"""WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        vb AS (SELECT * FROM ve WHERE vec_id % 4 <> 3),
+        cents AS (SELECT vec_id AS cent_id, v AS centv FROM vb
+                  WHERE vec_id % ${strideSql("vb")} = 0),
+        a0 AS (${assign("ve", "cents")}),
+        dims AS (
+          SELECT cell, t.pos AS pos, v[t.pos] AS x
+          FROM a0, generate_series(1, 64) AS t(pos)),
+        means AS (
+          SELECT cell, pos,
+            CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean
+          FROM dims GROUP BY cell, pos),
+        cents1 AS (
+          SELECT cell AS cent_id, list(mean ORDER BY pos) AS centv
+          FROM means GROUP BY cell),
+        a1 AS (${assign("ve", "cents1")}),
+        scored AS (${probe("appended", "a0")} UNION ALL ${probe("refined", "a1")}),
+        ranked AS (
+          SELECT stage, query_id, corpus_id, cell, cosine_sim,
+            row_number() OVER (PARTITION BY stage, query_id
+              ORDER BY cosine_sim DESC, corpus_id) AS rnk
+          FROM scored)
+        SELECT stage, query_id, rnk, corpus_id, cell, cosine_sim
+        FROM ranked WHERE rnk <= 5 ORDER BY stage, query_id, rnk"""
+  }
 
   /** Shared mirror of the int8 store: quantize (c24's expression) then
     * dequantize to code/127.0 doubles. */
@@ -1190,6 +1290,7 @@ object TrainingQueries {
     "c65_ann_recall" -> c65OracleSql,
     "c65b_ann_recall_planted" -> c65bOracleSql,
     "c104_served_ann" -> c104OracleSql,
+    "c106_index_append" -> c106OracleSql,
     "c8_lang_id" -> c8OracleSql,
     "c9_quality" -> c9OracleSql,
     "c10_token_count" -> c10OracleSql,

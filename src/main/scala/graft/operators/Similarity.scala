@@ -246,6 +246,46 @@ object Similarity {
     }
   }
 
+  /** Append NEW vectors into a served index's EXISTING cells: assign
+    * only the appended rows (|batch|·K — the build's O(N·K) is never
+    * re-paid; the centroids are fixed) and union them into the served
+    * assignment. This is the streaming-maintenance half of the
+    * build-once/serve-many contract: a retrieval service ingests new
+    * corpus vectors between searches without rebuilding, then runs
+    * [[refineServed]] periodically as its compaction (a19's pattern
+    * applied to the ANN family — appends are cheap and slightly
+    * degrade cell quality; compaction restores it). Equality contract:
+    * after any sequence of appends, [[searchIndex]] returns exactly
+    * what a one-shot assignment of the full corpus to the SAME
+    * centroids would (append order and batching never matter — driver
+    * row c106 pins it against the one-shot oracle).
+    *
+    * At cluster scale the same move is an APPEND of new cell-keyed
+    * rows to the index's cell-partitioned parquet table; the union
+    * here is the single-app form. The input index's assignment is
+    * released (its cache would double-hold every pre-append row); its
+    * centroids are SHARED by the returned index — release() only the
+    * final index in an append chain. */
+  def appendToIndex(index: AnnIndex, added: DataFrame): AnnIndex = {
+    val v = added.select(col(index.idCol).as("corpus_id"),
+      col(index.vecCol).cast("array<double>").as("cv"))
+    val assigned = index.assigned
+      .unionAll(assignCells(v, index.cents, "corpus_id", "cv", index.roundScale))
+      .persist(IdxLevel)
+    assigned.foreach(_ => ()) // materialize before evicting the input's frame
+    index.assigned.unpersist()
+    AnnIndex(index.cents, assigned, index.idCol, index.vecCol, index.roundScale)
+  }
+
+  /** Compaction for a maintained index: `iters` Lloyd refinements
+    * derived from the index's OWN assigned frame (which carries every
+    * vector, appends included — no external corpus handle needed).
+    * The input index's frames are left untouched, same contract as
+    * [[refineIndex]]. */
+  def refineServed(index: AnnIndex, iters: Int = 1): AnnIndex =
+    refineIndex(index.assigned.select(col("corpus_id").as(index.idCol),
+      col("cv").as(index.vecCol)), index, iters)
+
   /** Search a served index: assign ONLY the queries to their cells
     * (|q|·K work), then probe the pre-assigned corpus — the O(N·K)
     * term is gone from the query path. Output schema and tie rules

@@ -64,6 +64,38 @@ class ServedAnnSpec extends SparkSpec {
     } finally { direct.release(); staged.release(); seed.release() }
   }
 
+  test("appendToIndex: batch count and order never matter; centroids stay fixed") {
+    val base = corpus.filter(col("vec_id") < 28)
+    val add1 = corpus.filter(col("vec_id") >= 28 && col("vec_id") < 34)
+    val add2 = corpus.filter(col("vec_id") >= 34)
+    val q = corpus.filter(col("vec_id") < 4)
+    def searched(appends: Seq[DataFrame]): Seq[String] = {
+      val idx0 = Similarity.buildIndex(base, "vec_id", "v", stride = 6)
+      val idx = appends.foldLeft(idx0)(Similarity.appendToIndex)
+      try rows(Similarity.searchIndex(idx, q, k = 3)) finally idx.release()
+    }
+    val twoBatch = searched(Seq(add1, add2))
+    assert(twoBatch === searched(Seq(add2, add1)), "append order changed results")
+    assert(twoBatch === searched(Seq(add1.unionAll(add2))),
+      "batch split changed results")
+    assert(twoBatch.nonEmpty)
+  }
+
+  test("refineServed == refineIndex over the full corpus (compaction " +
+       "after appends trains on appends too)") {
+    val base = corpus.filter(col("vec_id") < 30)
+    val idx0 = Similarity.buildIndex(base, "vec_id", "v", stride = 6)
+    val idx = Similarity.appendToIndex(idx0, corpus.filter(col("vec_id") >= 30))
+    val viaServed = Similarity.refineServed(idx, iters = 1)
+    val viaCorpus = Similarity.refineIndex(corpus, idx, iters = 1)
+    try {
+      val q = corpus.filter(col("vec_id") < 4)
+      val a = rows(Similarity.searchIndex(viaServed, q, k = 3))
+      assert(a === rows(Similarity.searchIndex(viaCorpus, q, k = 3)))
+      assert(a.nonEmpty)
+    } finally { viaServed.release(); viaCorpus.release(); idx.release() }
+  }
+
   test("index assignment is persisted while served and released after") {
     val idx = Similarity.buildIndex(corpus, "vec_id", "v")
     assert(idx.assigned.storageLevel.useMemory || idx.assigned.storageLevel.useDisk,
