@@ -21,6 +21,10 @@ object ExplainAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // audit the real computational plan, not the self-release wrapper's
+    // localized copy (TrainingQueries.materialized) — same switch
+    // PlanAuditSpec uses
+    spark.conf.set("spark.graft.materialize", "false")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     names.foreach { n =>
       println(s"\n================ $n ================")
