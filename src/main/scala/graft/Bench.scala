@@ -170,9 +170,14 @@ object Bench {
     // different sf dir (e.g. an sf1 sweep against the committed sf0.1
     // idle run) would "re-time" nearly every query and run the whole
     // suite twice for nothing — parseIdleBaseline gates on `sf`.
+    // SPARK_GRAFT_IDLE points a PROBE run at a scale-matched baseline
+    // (e.g. BENCH_sf1_r9c.json for an sf1 sweep) so oversized-scale
+    // runs get the same solo-retime adjudication as the canonical one;
+    // the sf gate still applies to whatever file is named.
+    val idleFile = sys.env.getOrElse("SPARK_GRAFT_IDLE", "BENCH_IDLE.json")
     val idle: Map[String, Double] =
       try parseIdleBaseline(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_IDLE.json"))), sfDir)
+        java.nio.file.Paths.get(idleFile))), sfDir)
       catch { case _: Throwable => Map.empty }
     val risers = results.flatMap { case (name, sec) =>
         idle.get(name).collect {
