@@ -149,6 +149,17 @@ object Fns {
       graft.plans.TopNByScore(graft.plans.Cols.expression(score),
         graft.plans.Cols.expression(key), n).toAggregateExpression())
 
+  /** Single best (score, key) per group with an array<double> payload,
+    * tie to the smallest key ([[graft.plans.ArgMaxByScore]]) — the IVF
+    * assignment kernel. Hash-aggregates where the max-of-struct form
+    * (array field → no mutable buffer → SortAggregate) SORTED the full
+    * N·K·dim candidate expansion map-side. Bit-identical results. */
+  def argMaxByScore(score: Column, key: Column, payload: Column): Column =
+    graft.plans.Cols.column(
+      graft.plans.ArgMaxByScore(graft.plans.Cols.expression(score),
+        graft.plans.Cols.expression(key),
+        graft.plans.Cols.expression(payload)).toAggregateExpression())
+
   /** Element-wise sum of ARRAY<BIGINT> — the distributed moment-matrix
     * accumulator ([[graft.plans.VectorSumLong]]): one vector per
     * partition crosses the shuffle instead of N·len exploded rows.

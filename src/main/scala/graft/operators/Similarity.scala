@@ -80,23 +80,33 @@ object Similarity {
     * only the query's cell, so scoring touches ~corpus/K candidates
     * per query. */
   /** Nearest-centroid assignment: broadcast the K centroids, then
-    * argmax cosine per vector as a max-of-struct aggregation. The
-    * struct orders by (cosine desc, cent_id asc) via a negated
-    * cent_id, so ties break to the smallest cent_id — identical to
-    * the rank-window semantics this replaces, but the partial
-    * aggregate combines each vector's K candidates before the
-    * shuffle: N rows cross the exchange, not N·K. `df` must already
-    * have `id` and a double-array `vec`. */
+    * argmax cosine per vector as the [[graft.plans.ArgMaxByScore]]
+    * typed aggregate — (cosine desc, cent_id asc), so ties break to
+    * the smallest cent_id, identical to the rank-window semantics
+    * this replaces. The partial aggregate combines each vector's K
+    * candidates before the shuffle: N rows cross the exchange, not
+    * N·K — AND (r12) nothing candidate-sized is sorted either: the
+    * retired `max(struct(..., v))` form carried the vector inside a
+    * struct, which has no mutable aggregation buffer, so Catalyst
+    * planned a SortAggregate whose map side SORTED the N·K·dim
+    * cross-join expansion (~46 GB spilled at N=200k, K=448, dim=64 —
+    * the superlinear term the r12 served-ANN probe caught). The typed
+    * aggregate hash-combines with O(1) state per vector. `df` must
+    * already have `id` and a double-array `vec`. */
   private def assignCells(df: DataFrame, cents: DataFrame, id: String,
                           vec: String, roundScale: Int): DataFrame =
     df.crossJoin(broadcast(cents))
+      // cosine computes in this CODEGEN'D projection (fused with the
+      // join); a typed aggregate evals its child expressions
+      // interpreted per row, which at N·K candidate rows would hand
+      // the hot arithmetic to the interpreter
+      .select(col(id), col(vec), col("cent_id"),
+        Fns.cosine(col(vec), col("centv"), roundScale).as("__cos"))
       .groupBy(col(id))
-      .agg(max(struct(
-        Fns.cosine(col(vec), col("centv"), roundScale).as("cos"),
-        (-col("cent_id")).as("neg_cent"),
-        col("cent_id").as("cid"),
-        col(vec).as("v"))).as("__best"))
-      .select(col(id), col("__best.v").as(vec), col("__best.cid").as("cell"))
+      .agg(Fns.argMaxByScore(col("__cos"), col("cent_id"), col(vec))
+        .as("__best"))
+      .select(col(id), col("__best.payload").as(vec),
+        col("__best.key").as("cell"))
 
   /** Scale-aware centroid stride: ⌊√N⌋ for an N-vector corpus, so the
     * centroid count K = N/stride ≈ √N. That is the balance point
@@ -326,18 +336,19 @@ object Similarity {
     * cross the exchange regardless of K or probes — the property the
     * r5 assignCells fix bought, preserved for multi-probe. */
   private def assignProbes(df: DataFrame, cents: DataFrame, id: String,
-                           vec: String, probes: Int, roundScale: Int): DataFrame = {
-    val cos = Fns.cosine(col(vec), col("centv"), roundScale)
+                           vec: String, probes: Int, roundScale: Int): DataFrame =
     df.crossJoin(broadcast(cents))
+      // codegen'd cosine shared by BOTH typed aggregates (see
+      // assignCells — typed aggregates interpret their children)
+      .select(col(id), col(vec), col("cent_id"),
+        Fns.cosine(col(vec), col("centv"), roundScale).as("__cos"))
       .groupBy(col(id))
       .agg(
-        max(struct(cos.as("cos"), (-col("cent_id")).as("neg_cent"),
-          col("cent_id").as("cid"), col(vec).as("v"))).as("__best"),
-        Fns.topNByScore(cos, col("cent_id"), probes).as("__pc"))
-      .select(col(id), col("__best.v").as(vec),
-        col("__best.cid").as("cell"),
+        Fns.argMaxByScore(col("__cos"), col("cent_id"), col(vec)).as("__best"),
+        Fns.topNByScore(col("__cos"), col("cent_id"), probes).as("__pc"))
+      .select(col(id), col("__best.payload").as(vec),
+        col("__best.key").as("cell"),
         expr("transform(__pc, p -> p.key)").as("probe_cells"))
-  }
 
   /** Within-cell kNN GRAPH: assign every vector to its IVF cell, then
     * take each vector's k nearest among the vectors HOMED in any of

@@ -180,6 +180,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decoder is general, not encoder-tuned: PNGs written by ImageIO " +
+       "(its own filter/IDAT choices) decode to the same pixel sums") {
+    val (w, h) = (23, 9)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val k = (y * w + x) * 3
+      def p(i: Int): Int = (k + i + w + 7 * h) % 256
+      img.setRGB(x, y, (p(0) << 16) | (p(1) << 8) | p(2))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val df = Seq((1L, bos.toByteArray)).toDF("media_id", "media_blob")
+    val got = Multimodal.decodePngPixelsBatched(df, "media_id", "media_blob")
+      .collect().head
+    val n = w * h * 3
+    val expSum = (0 until n).map(k => (k + w + 7 * h) % 256).sum.toLong
+    val expSq = (0 until n).map { k =>
+      val v = (k + w + 7 * h) % 256; v.toLong * v }.sum
+    assert(got.getAs[Long]("width") == w && got.getAs[Long]("height") == h)
+    assert(got.getAs[Long]("pixel_sum") == expSum)
+    assert(got.getAs[Long]("pixel_sq_sum") == expSq)
+  }
+
   test("pixel decode rejects garbage without throwing: null stats") {
     val bad = Seq(
       (1L, "not a png".getBytes("US-ASCII")),

@@ -329,7 +329,7 @@ class PlanAuditSpec extends SparkSpec {
     // the N·K candidate expansion must collapse map-side: a partial
     // max-of-struct BELOW the exchange, never a rank window (which
     // would shuffle all N·K expanded rows hash-partitioned by id)
-    assert(p.contains("partial_max(struct(cos"),
+    assert(p.contains("partial_arg_max_by_score(__cos"),
       s"centroid argmax lost its map-side partial aggregate:\n$p")
     assert(!p.contains("windowspecdefinition(vid"),
       s"centroid argmax regressed to a rank window over the N·K expansion:\n$p")
@@ -390,7 +390,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("c7b: IVF assignment shuffles N rows, not N·K — partial argmax agg, no rank window") {
     val p = plan("c7b_ann_ivf")
-    assert(p.split("partial_max\\(struct\\(cos").length - 1 == 2,
+    assert(p.split("partial_arg_max_by_score\\(__cos").length - 1 == 2,
       s"both corpus and query assignment need the map-side partial argmax:\n$p")
     assert(!p.contains("windowspecdefinition(corpus_id"),
       s"assignment regressed to a rank window over the N·K expansion:\n$p")
@@ -655,7 +655,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("c72: cell balance inherits the N-row assignment — partial argmax, no rank window") {
     val p = plan("c72_cell_balance")
-    assert(p.contains("partial_max(struct(cos"),
+    assert(p.contains("partial_arg_max_by_score(__cos"),
       s"assignment lost its map-side partial argmax:\n$p")
     assert(!p.contains("windowspecdefinition(__aid"),
       s"assignment regressed to a rank window over the N·K expansion:\n$p")
@@ -786,7 +786,7 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("c7c_ann_ivf_trained")
     // the r5 scale fix must survive the Lloyd step: N rows cross each
     // assignment exchange (map-side partial argmax), never N·K
-    assert(p.contains("partial_max(struct(cos"),
+    assert(p.contains("partial_arg_max_by_score(__cos"),
       s"assignment lost its map-side argmax:\n$p")
     assert(p.contains("InMemoryTableScan"),
       s"refined centroids recomputed per consumer instead of persisted:\n$p")
@@ -800,7 +800,7 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("c89_ann_int8")
     assert(p.contains("transform(transform(embedding"),
       s"quantize→dequantize left the projection (extra pass over the corpus):\n$p")
-    assert(p.contains("partial_max(struct(cos"),
+    assert(p.contains("partial_arg_max_by_score(__cos"),
       s"assignment lost its map-side argmax:\n$p")
     assert(p.contains("WindowGroupLimit"),
       s"top-k lost per-partition pruning:\n$p")
@@ -913,7 +913,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("c97: the kNN graph broadcasts only centroids — the corpus never crosses as a broadcast") {
     val p = plan("c97_knn_graph")
-    assert(p.contains("partial_max"),
+    assert(p.contains("partial_arg_max_by_score"),
       s"cell assignment lost its map-side argmax — N·K rows would " +
         s"cross the exchange:\n$p")
     assert(!p.contains("CartesianProduct"),
@@ -935,7 +935,7 @@ class PlanAuditSpec extends SparkSpec {
     val p = graft.operators.Similarity
       .knnGraph(emb, "vec_id", "embedding", k = 5, probes = 2)
       .queryExecution.executedPlan.toString
-    assert(p.contains("partial_max") && p.contains("partial_top_n_by_score"),
+    assert(p.contains("partial_arg_max_by_score") && p.contains("partial_top_n_by_score"),
       s"probe assignment lost a map-side partial — N·K rows would " +
         s"cross the exchange:\n$p")
     assert(!p.contains("CartesianProduct"),
