@@ -388,9 +388,14 @@ object Similarity {
       col("__kid").as("src"), col("__kv").as("sv"))
     val r = a.select(col("cell"), col("__kid").as("dst"), col("__kv").as("dv"))
     val top = l.join(r, Seq("cell")).filter(col("src") =!= col("dst"))
+      // codegen'd cosine BEFORE the typed aggregate (which would eval
+      // it interpreted, per candidate pair — the probes·Σ|cell|²
+      // fan-out is the hottest loop in the graph build)
+      .select(col("src"),
+        Fns.cosine(col("sv"), col("dv"), roundScale).as("__cos"),
+        col("dst"))
       .groupBy(col("src"))
-      .agg(Fns.topNByScore(
-        Fns.cosine(col("sv"), col("dv"), roundScale), col("dst"), k).as("__top"))
+      .agg(Fns.topNByScore(col("__cos"), col("dst"), k).as("__top"))
       .select(col("src"), posexplode(col("__top")).as(Seq("__pos", "__p")))
       .select(col("src"), col("__p.key").as("dst"),
         col("__p.score").as("cosine_sim"),
