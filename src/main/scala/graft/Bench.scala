@@ -49,6 +49,16 @@ object Bench {
       // total cores, headroom for skew).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 16).toString)
+      // AQE must be allowed to coalesce CACHED plans too, or the 16×
+      // initial partition count above gets frozen into every persisted
+      // frame (cached plans bypass AQE coalescing by default): at
+      // sf0.1 every stage reading such a cache launched 512 tasks over
+      // a few thousand rows — the r12 event-log probe measured the
+      // ANN/dedup/retrieval families spending most of their wall time
+      // on that task-launch overhead (c65b 13.2→4.7 s, b102 8.8→2.4,
+      // c21 6.8→2.9 with the flag). Scale-adaptive: at sf100 the same
+      // caches coalesce to the advisory size instead of 1 partition.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // Spill-aware AQE target: advisoryPartitionSizeInBytes defaults
       // to 64 MB, which assumes ~1 GB of execution memory per core. On
       // a thread-dense box (32 cpus in one 8 GB JVM ≈ 75 MB execution
@@ -109,12 +119,18 @@ object Bench {
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
         (Double, Option[String]) = {
+      // Label every job with its query (guide §1.5): a probe run with
+      // spark.eventLog.enabled can then attribute per-job wall time to
+      // queries, which is how the per-leg numbers in OPTIMIZATION_r12.md
+      // were measured. Thread-local; cleared after the action.
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.nextOption().getOrElse("")}".take(160)) }
       val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
       // queries are independent: drop this query's persisted
       // intermediates (LSH signature/band caches etc.) so they don't
       // accumulate, evict to disk, and tax later queries

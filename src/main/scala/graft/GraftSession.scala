@@ -89,6 +89,18 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Let AQE re-size CACHED plans too (default false): a persisted
+      // frame downstream of an exchange otherwise pins the exchange's
+      // INITIAL partition count into the cache — with
+      // initialPartitionNum sized for scale (16× cores), every stage
+      // that reads the cache then launches that many tasks no matter
+      // how small the data (measured at sf0.1: 512 tasks per stage on
+      // 2,000 cached rows; the r12 event-log probe attributed most of
+      // the ANN/dedup families' wall time to exactly this task-launch
+      // overhead). With the flag on, the cached plan's final exchange
+      // coalesces to the advisory size like every other exchange —
+      // scale-adaptive in both directions, no pinned dial.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // NOT local-cluster[...]: that one forks executor JVMs whose
     // memory the driver's heap says nothing about
