@@ -34,4 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // probe knob: point JVM temp (checkpoint/scratch dirs the streaming
+  // queries create via createTempDirectory) somewhere else, e.g. tmpfs,
+  // to measure how much of the streaming family is fsync latency.
+  // Unset = JVM default (/tmp), so canonical runs are unaffected.
+  sys.env.get("SPARK_GRAFT_TMPDIR").map(d => s"-Djava.io.tmpdir=$d").toSeq

@@ -59,6 +59,17 @@ object Bench {
       // c21 6.8→2.9 with the flag). Scale-adaptive: at sf100 the same
       // caches coalesce to the advisory size instead of 1 partition.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // CPU-dense small shuffles need parallelism the BYTE-based
+      // coalescing floor denies them: AQE's parallelismFirst targets
+      // minPartitionSize (1 MB default), so a 6 MB shuffle feeding an
+      // array_intersect verify or a within-cell cosine join coalesces
+      // to ~6 partitions and runs ~10 s of CPU 6-wide on a 32-core box
+      // (c4's verify stage: 6 tasks, 9.9 s exec-run, 2.3 s wall). A
+      // 256 KB floor lets those spread to ~target parallelism while
+      // LARGE shuffles stay governed by the advisory size (floor only
+      // binds when bytes/parallelism < 256 KB). Same-minute A/B:
+      // c4 3.9→2.1 s, c98 2.0→1.4, c102 2.9→2.5, rest flat.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       // Spill-aware AQE target: advisoryPartitionSizeInBytes defaults
       // to 64 MB, which assumes ~1 GB of execution memory per core. On
       // a thread-dense box (32 cpus in one 8 GB JVM ≈ 75 MB execution

@@ -101,6 +101,11 @@ object GraftSession {
       // coalesces to the advisory size like every other exchange —
       // scale-adaptive in both directions, no pinned dial.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // CPU-dense small shuffles (pairwise verifies, within-cell cosine
+      // joins) need parallelism the 1 MB byte-based coalescing floor
+      // denies them; 256 KB lets a ~6 MB shuffle spread to ~cores while
+      // large shuffles stay governed by the advisory size (see Bench)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // NOT local-cluster[...]: that one forks executor JVMs whose
     // memory the driver's heap says nothing about

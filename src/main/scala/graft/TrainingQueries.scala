@@ -238,15 +238,19 @@ object TrainingQueries {
       df.select(col("query_id"), col("corpus_id"))
     val exact = pairs(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
       k = 5, roundScale = 4)).persist()
-    def audit(method: String, ann: DataFrame): DataFrame = {
-      val hits = exact.join(ann, Seq("query_id", "corpus_id"), "left_semi")
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+    // one shared truth-count subtree + one join-aggregate per method
+    // (the c65b audit shape): both sides carry unique pairs, so the
+    // left-join match count equals the retired semi-join count
+    val nExactDf = exact.agg(count(lit(1)).as("n_exact"))
+    def audit(method: String, ann: DataFrame): DataFrame =
+      ann.join(exact.withColumn("__hit", lit(1L)),
+          Seq("query_id", "corpus_id"), "left")
+        .agg(count(col("__hit")).as("n_hit"))
+        .crossJoin(nExactDf)
         .select(lit(method).as("method"), col("n_exact"), col("n_hit"),
           when(col("n_exact") > 0,
             expr("(n_hit * 1000000L) div n_exact")).otherwise(0L)
             .as("recall_ppm"))
-    }
     val deq = int8Deq(emb)
     // derive stride/planes ONCE from one (metadata-only) count and
     // pass them explicitly — stride=0/planes=0 here would make each
@@ -309,14 +313,26 @@ object TrainingQueries {
     // result below is materialized in-query (4 audit rows), so the
     // caches never outlive the call (no clearCache() needed downstream)
     val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](emb, exact)
+    // shared by every audit row: one count job over the cached truth
+    // set instead of one per method (4 subtrees -> 1)
+    val nExactDf = exact.agg(count(lit(1)).as("n_exact"))
     def audit(method: String, annRaw: DataFrame): DataFrame = {
-      val ann = pairs(annRaw).persist() // |q|·k rows — tiny
-      persisted += ann
-      val hits = exact.join(ann, Seq("query_id", "corpus_id"), "left_semi")
-      val srcHits = ann.filter(col("corpus_id") === col("query_id") - 1000000L)
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
-        .crossJoin(srcHits.agg(count(lit(1)).as("n_src_hit")))
+      // ONE aggregate computes both hit counts: a left join against the
+      // cached truth set marks hits (both sides carry unique
+      // (query_id, corpus_id) pairs, so a match count == the retired
+      // semi-join count), and the src-hit predicate folds into the same
+      // pass — the r11 shape ran 3 scalar-aggregate subtrees per method
+      // (n_exact / semi-join n_hit / filtered n_src_hit) crossJoined,
+      // i.e. 12 jobs across the 4 methods, each re-reading the search
+      // result. The |q|·k search output is consumed exactly once now,
+      // so it no longer needs its own persist either.
+      val ann = pairs(annRaw)
+      ann.join(exact.withColumn("__hit", lit(1L)),
+          Seq("query_id", "corpus_id"), "left")
+        .agg(count(col("__hit")).as("n_hit"),
+          count(when(col("corpus_id") === col("query_id") - 1000000L,
+            lit(1))).as("n_src_hit"))
+        .crossJoin(nExactDf)
         .select(lit(method).as("method"), col("n_exact"), col("n_hit"),
           when(col("n_exact") > 0,
             expr("(n_hit * 1000000L) div n_exact")).otherwise(0L)
@@ -338,8 +354,24 @@ object TrainingQueries {
     // refines FROM the seed's persisted assignment (refineIndex), so
     // the O(N·K) seed assignment is paid once across both audits —
     // and each audit's search is the served (assignment-free) path.
-    val idx0 = Similarity.buildIndex(emb, "vec_id", "embedding", stride = st)
-    val idx1 = Similarity.refineIndex(emb, idx0, iters = 1)
+    //
+    // The three setup legs — float index build→refine, int8 index
+    // build, brute-force ground truth — are INDEPENDENT until the
+    // audits consume them, but each is a chain of blocking actions
+    // (materialize-before-evict), so run serially they leave the
+    // cluster idle in every action's tail. Overlap them from a small
+    // thread pool (guide §2.6): same jobs, same deterministic results
+    // (every leg reads only the already-materialized `emb`/`deq`),
+    // ~wall of the slowest leg instead of the sum. Measured r12:
+    // the serial setup span was ~60% of this query's wall.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fExact = Future { exact.foreach(_ => ()) } // ground truth
+    val fIdx01 = Future {
+      val i0 = Similarity.buildIndex(emb, "vec_id", "embedding", stride = st)
+      (i0, Similarity.refineIndex(emb, i0, iters = 1))
+    }
     // The int8 audit is served too: one index over the DEQUANTIZED
     // corpus (its own N·K — quantization moves vectors, so cells must
     // be assigned on the int8-rounded values to stay bit-identical to
@@ -347,7 +379,11 @@ object TrainingQueries {
     // shape re-ran ivfTopK's unpersisted assignment subtree inside the
     // audit's three aggregate branches — the suite's last per-call
     // index rebuild (r11 verdict, What's wrong #2).
-    val idxI8 = Similarity.buildIndex(deq, "vec_id", "embedding", stride = st)
+    val fI8 = Future {
+      Similarity.buildIndex(deq, "vec_id", "embedding", stride = st) }
+    val (idx0, idx1) = Await.result(fIdx01, Duration.Inf)
+    val idxI8 = Await.result(fI8, Duration.Inf)
+    Await.result(fExact, Duration.Inf)
     val audits = audit("ivf", Similarity.searchIndex(idx0, q, k = 5))
       .unionAll(audit("ivf_int8", Similarity.searchIndex(idxI8,
         deq.filter(col("vec_id") >= 1000000L &&

@@ -17,9 +17,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS): surface as epoch-nanos long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // same cached-plan AQE setting the bench/session builder use, so
-      // the oracle gate exercises the same plan shape it benches
+      // same cached-plan + coalescing-floor AQE settings the bench and
+      // session builder use, so the oracle gate exercises the same plan
+      // shape it benches
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
