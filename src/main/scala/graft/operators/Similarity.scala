@@ -378,13 +378,23 @@ object Similarity {
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
                stride: Long = 0, roundScale: Int = 4,
                probes: Int = 1): DataFrame = {
-    require(k >= 1 && k <= 8,
-      "knnGraph keeps O(k) aggregate state; raise TopNByScore's cap past 8")
     val v = corpus.select(col(idCol).as("__kid"),
       col(vecCol).cast("array<double>").as("__kv"))
     val a = assignProbes(v, seedCentroids(corpus, idCol, vecCol, stride),
       "__kid", "__kv", probes, roundScale)
-    val l = a.select(explode(col("probe_cells")).as("cell"),
+    knnGraphFromAssigned(a, k, probes, roundScale)
+  }
+
+  /** The graph build AFTER the assignment: the query side probes the
+    * first `probes` entries of `probe_cells` (the list is (cos desc,
+    * cent_id asc)-ordered, so the prefix of a longer probe list is
+    * exactly the shorter list — what [[knnGraphSweep]] relies on). */
+  private def knnGraphFromAssigned(a: DataFrame, k: Int, probes: Int,
+                                   roundScale: Int): DataFrame = {
+    require(k >= 1 && k <= 8,
+      "knnGraph keeps O(k) aggregate state; raise TopNByScore's cap past 8")
+    val l = a.select(
+      explode(slice(col("probe_cells"), 1, probes)).as("cell"),
       col("__kid").as("src"), col("__kv").as("sv"))
     val r = a.select(col("cell"), col("__kid").as("dst"), col("__kv").as("dv"))
     val top = l.join(r, Seq("cell")).filter(col("src") =!= col("dst"))
@@ -403,6 +413,29 @@ object Similarity {
     top.join(a.select(col("__kid").as("dst"), col("cell")), Seq("dst"))
       .select(col("src"), col("dst"), col("cell"), col("cosine_sim"),
         col("rank"))
+  }
+
+  /** kNN graphs for SEVERAL probe dials from ONE assignment pass —
+    * what a probe-dial audit (c102) needs. The assignment is the
+    * O(N·K) term and is identical across dials (a p-probe list's
+    * prefix IS the (p−1)-probe list: TopNByScore orders (score desc,
+    * key asc), the same rule the single-dial path uses), so computing
+    * it once and slicing per dial returns bit-identical edges to
+    * per-dial [[knnGraph]] calls at 1/|dials| of the assignment cost.
+    * Returns the per-dial edge frames plus the persisted assignment —
+    * the CALLER releases it once its result is materialized (the
+    * bm25TopDocs self-release contract). */
+  def knnGraphSweep(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, probesList: Seq[Int], stride: Long = 0,
+                    roundScale: Int = 4): (Map[Int, DataFrame], DataFrame) = {
+    require(probesList.nonEmpty)
+    val v = corpus.select(col(idCol).as("__kid"),
+      col(vecCol).cast("array<double>").as("__kv"))
+    val a = assignProbes(v, seedCentroids(corpus, idCol, vecCol, stride),
+        "__kid", "__kv", probesList.max, roundScale)
+      .persist(IdxLevel)
+    (probesList.map(p =>
+      p -> knnGraphFromAssigned(a, k, p, roundScale)).toMap, a)
   }
 
   /** IVF with optional Lloyd-refined centroids (iters=0 ≡ ivfTopK). */

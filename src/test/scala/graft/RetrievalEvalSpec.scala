@@ -108,6 +108,30 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(pairEdges(2) == 2, "probe-2 must see it from both sides")
   }
 
+  test("c102: knnGraphSweep per-dial edges == independent knnGraph calls") {
+    import graft.operators.Similarity
+    // same boundary-straddling fixture as the c98 test: the dials
+    // genuinely differ (probes=2 adds the (7,8) pair), so equality is
+    // non-vacuous for both the shared-prefix slice and the full list
+    def axis(a: Double, b: Double) = (Seq(a, b) ++ Seq.fill(6)(0.0)).map(_.toFloat)
+    val emb = Seq(
+      (0L, axis(1.0, 0.0)), (1L, axis(0.95, 0.1)), (2L, axis(0.9, 0.05)),
+      (3L, axis(0.0, 1.0)), (4L, axis(0.1, 0.95)), (5L, axis(0.05, 0.9)),
+      (7L, axis(0.72, 0.70)), (8L, axis(0.70, 0.72))
+    ).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"),
+        r.getAs[Long]("cell"), r.getAs[Double]("cosine_sim"),
+        r.getAs[Int]("rank"))).toSet
+    val (sweep, a) = Similarity.knnGraphSweep(emb, "vec_id", "embedding",
+      k = 3, probesList = Seq(1, 2), stride = 3)
+    try Seq(1, 2).foreach { p =>
+      val solo = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
+        stride = 3, probes = p)
+      assert(rows(sweep(p)) == rows(solo), s"probes=$p diverged")
+    } finally a.unpersist()
+  }
+
   test("top_n_by_score: bounded state equals the rank-window top-n under any partitioning") {
     import graft.functions.Fns
     val rows = (0 until 400).map(i =>
