@@ -106,6 +106,30 @@ object GraftSession {
       // denies them; 256 KB lets a ~6 MB shuffle spread to ~cores while
       // large shuffles stay governed by the advisory size (see Bench)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+      // Streaming-checkpoint metadata cost (r13, guide §2.6/§6 — the
+      // r12 verdict's "drop redundant checkpoint fsyncs"). Two Spark
+      // 4.1 defaults double-to-quadruple the small-file metadata ops
+      // every micro-batch commit pays, and a thread dump under b23's
+      // session stage showed 32 tasks serialized behind them (each
+      // state-store commit: wall 814 ms, CPU 43 ms):
+      //  - checkpoint.fileChecksum (new in 4.1, default ON) writes a
+      //    checksum SIDECAR via its own create+rename per checkpoint
+      //    file. This engine's exactly-once story is offset replay +
+      //    content digests + message_id dedup — the sidecar guards
+      //    long-lived checkpoints against bit rot, which callers that
+      //    keep checkpoints for months can re-enable via conf.
+      //  - the default FileContext checkpoint manager's rename calls
+      //    getFileLinkStatus, which without native Hadoop libs FORKS a
+      //    `readlink` shell per rename (~30 state-delta renames per
+      //    stateful trigger). The FileSystem-based manager does the
+      //    same atomic local/HDFS rename through java.io.File — no
+      //    forks; object stores without FileContext already use it.
+      // Measured: b23_stream_sessions 3.60 -> 2.47 s; family-wide
+      // every trigger sheds the same per-commit ladder.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // NOT local-cluster[...]: that one forks executor JVMs whose
     // memory the driver's heap says nothing about

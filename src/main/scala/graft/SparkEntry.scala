@@ -20,6 +20,49 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Stage N independent slice frames as EXACTLY one parquet file each
+    * under `dest` — the file-per-micro-batch input layout the streaming
+    * driver rows replay — writing them OVERLAPPED from a small thread
+    * pool (guide §2.6: independent jobs back-fill each other's task
+    * tails) instead of as N serial scan+write jobs. Each slice writes
+    * into its own staging dir (concurrent jobs must not share one
+    * output committer), then its single part file moves into `dest`
+    * under a deterministic name with strictly ASCENDING modification
+    * times, so a maxFilesPerTrigger=1 file stream consumes file i as
+    * micro-batch i exactly as the old serial writes arranged —
+    * including the watermark-ordering contract b23 depends on. */
+  private[graft] def stageSliceFiles(s: SparkSession, dest: String,
+                                     slices: Seq[DataFrame]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, math.max(1, slices.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(slices.zipWithIndex.map {
+          case (df, i) => scala.concurrent.Future {
+            df.coalesce(1).write.parquet(s"$dest/__stage_$i")
+          }
+        }),
+        scala.concurrent.duration.Duration.Inf)
+    } finally { pool.shutdown(); () }
+    val fs = new Path(dest).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val base = System.currentTimeMillis()
+    slices.indices.foreach { i =>
+      val stage = new Path(s"$dest/__stage_$i")
+      val parts = fs.listStatus(stage).map(_.getPath)
+        .filter(_.getName.startsWith("part-"))
+      require(parts.length == 1, // coalesce(1) wrote exactly one file
+        s"stageSliceFiles: expected 1 part file in $stage, got ${parts.length}")
+      val to = new Path(dest, f"slice-$i%05d.parquet")
+      if (!fs.rename(parts.head, to))
+        throw new java.io.IOException(s"stageSliceFiles: rename to $to failed")
+      fs.setTimes(to, base - (slices.size - i) * 60000L, -1)
+      fs.delete(stage, true); ()
+    }
+  }
+
   /** Flagship: the event pipeline end-to-end on sf0.001 — ingest,
     * flatten, enrich, route, rollup. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -287,10 +330,9 @@ object SparkEntry {
       .filter(col("event_id") % 19 === 0)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
-    (0 until 4).foreach { i =>
+    stageSliceFiles(s, s"$tmp/in", (0 until 4).map { i =>
       slice.filter(pmod(col("event_id") / 19, lit(4)) === i)
-        .coalesce(1).write.mode("append").parquet(s"$tmp/in")
-    }
+    })
     val merges = new java.util.concurrent.ConcurrentLinkedQueue[
       graft.operators.Compactor.Stats]()
     val cfg = graft.streaming.EventPipeline.Config(
@@ -484,10 +526,16 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
-      val maxRow = ev.agg(max(col("event_id"))).collect()(0)
-      require(!maxRow.isNullAt(0),
+      // ONE driver collect for all three scalars the query needs (max
+      // id, widen type, the distinct type list) — these were three
+      // separate ~0.15 s agg jobs + planning gaps on the same scan
+      // (r13 event-log probe); the values are identical, the slice is
+      // static, and collect_set is bounded by table count.
+      val hdr = ev.agg(max(col("event_id")), min(col("event_type")),
+        sort_array(collect_set(col("event_type")))).collect()(0)
+      require(!hdr.isNullAt(0),
         s"a17_warehouse_roundtrip: no events with event_id % 11 == 0 under $dir")
-      val half = maxRow.getLong(0) / 2
+      val half = hdr.getLong(0) / 2
       // the reference risks exactly ONE widen ALTER (JdbcEventSink's
       // contract) — so the second half widens k long→string for a
       // single deterministic type (the slice's first, alphabetically)
@@ -499,7 +547,7 @@ object SparkEntry {
       // would be bench-dominating AND unfaithful to the reference's
       // one-risky-ALTER shape). Staged separately: four metadata-only
       // ADD COLUMNs, then the one real widen.
-      val widenType = ev.agg(min(col("event_type"))).collect()(0).getString(0)
+      val widenType = hdr.getString(1)
       // batch 1: props {"k": <long>}; batch 2a: k + new key v (types
       // that never widen); batch 2b: widened k + v (the one type)
       val b1 = ev.filter(col("event_id") <= half)
@@ -519,10 +567,28 @@ object SparkEntry {
             (col("event_id") % 7).as("v"))).as("props"))).as("value"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_a17").toString
       val pubSchema = StructType(Seq(StructField("value", StringType)))
+      // stage all three producer inputs UPFRONT and overlapped (guide
+      // §2.6): the staged frames depend only on the static slice, not
+      // on any drain, so the three serial scan+write jobs the r13
+      // event-log probe measured between the drains collapse to one
+      // parallel wave before the loop starts
+      locally {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            Seq("b1" -> b1, "b2a" -> b2a, "b2b" -> b2b).map { case (tag, df) =>
+              scala.concurrent.Future {
+                df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in_$tag")
+              }
+            }),
+          scala.concurrent.duration.Duration.Inf)
+        finally { pool.shutdown(); () }
+      }
       // producer seat: the DSv2 streaming WRITE sink publishes each
       // staged batch onto the live broker (epoch-idempotent PUBBATCH)
-      def publish(df: DataFrame, tag: String): Unit = {
-        df.write.mode("overwrite").parquet(s"$tmp/in_$tag")
+      def publish(tag: String): Unit = {
         s.readStream.schema(pubSchema).parquet(s"$tmp/in_$tag")
           .writeStream.format("graft-queue")
           .option("host", broker.host)
@@ -545,17 +611,16 @@ object SparkEntry {
         graft.streaming.EventPipeline.startEvolvingJdbc(s,
           graft.streaming.EventPipeline.FrameEventSource(consumed), cfg, url)
           .awaitTermination()
-      publish(b1, "b1"); drainToWarehouse()
+      publish("b1"); drainToWarehouse()
       // each drain is a checkpointed restart consuming ONLY new offsets
-      publish(b2a, "b2a"); drainToWarehouse() // 4 metadata-only ADD COLUMNs
-      publish(b2b, "b2b"); drainToWarehouse() // the ONE staged-rewrite widen
+      publish("b2a"); drainToWarehouse() // 4 metadata-only ADD COLUMNs
+      publish("b2b"); drainToWarehouse() // the ONE staged-rewrite widen
       // read back over JDBC; per-type tables align to the merged shape
       // (a type all of whose rows landed in batch 1 never widened k,
       // and never gained v — cast/backfill at read, like mergeSchema);
       // staged to parquet BEFORE the warehouse closes (the a15b/a16
       // pattern — the returned frame must not depend on live servers)
-      val types = ev.select(col("event_type")).distinct()
-        .collect().map(_.getString(0)) // bounded by table count
+      val types = hdr.getSeq[String](2) // bounded by table count
       val back = types.toSeq.sorted.map { t =>
         var tb = graft.sources.JdbcEventSink.readTable(s, url,
           graft.sources.JdbcEventSink.tableName(t))
@@ -699,10 +764,9 @@ object SparkEntry {
       .select(col("event_type"),
         Fns.floorDivLong(col("ts"), 86400L * 1000000000L).as("day"),
         col("value"), pmod(col("event_id"), lit(3)).as("part"))
-    (0 until 3).foreach { p =>
+    stageSliceFiles(s, s"$tmp/in", (0 until 3).map { p =>
       ev.filter(col("part") === p).drop("part")
-        .coalesce(1).write.mode("append").parquet(s"$tmp/in")
-    }
+    })
     val schema = s.read.parquet(s"$tmp/in").schema
     def maintain(ck: String): Unit = graft.streaming.StreamingRollup.start(s,
       graft.streaming.EventPipeline.FileEventSource(schema, s"$tmp/in", 1),
@@ -740,9 +804,9 @@ object SparkEntry {
     val mid = maxRow.getLong(0) / 2
     // time-ordered halves: later files only carry later events, so the
     // watermark never discards a straggler the batch oracle would keep
-    Seq(col("ts") <= mid, col("ts") > mid).foreach { cond =>
-      ev.filter(cond).coalesce(1).write.mode("append").parquet(s"$tmp/in")
-    }
+    // (stageSliceFiles pins that order via ascending modification times)
+    stageSliceFiles(s, s"$tmp/in",
+      Seq(ev.filter(col("ts") <= mid), ev.filter(col("ts") > mid)))
     val schema = s.read.parquet(s"$tmp/in").schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")

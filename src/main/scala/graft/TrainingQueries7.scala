@@ -319,10 +319,9 @@ object TrainingQueries7 {
     val b1 = novel(1).unionAll(dups(0, 1000000L))
     val b2 = novel(2).unionAll(dups(3, 2000000L))
     val root = java.nio.file.Files.createTempDirectory("graft_c81").toString
-    b1.coalesce(1).write.parquet(s"$root/in/b1")
-    b2.coalesce(1).write.parquet(s"$root/in/b2")
+    SparkEntry.stageSliceFiles(s, s"$root/in", Seq(b1, b2))
     val stream = s.readStream.schema(ref.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
     graft.streaming.StreamingIngest.flagAgainstReference(stream, ref,
       "doc_id", "text", s"$root/out", s"$root/ck", threshold = 0.5)
       .awaitTermination()

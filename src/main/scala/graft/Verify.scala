@@ -22,6 +22,14 @@ object Verify {
       // shape it benches
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+      // streaming-checkpoint metadata trim (see GraftSession.builder):
+      // no checksum sidecar per checkpoint file, no readlink-forking
+      // FileContext renames — the oracle gate runs the same streaming
+      // machinery the bench times
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

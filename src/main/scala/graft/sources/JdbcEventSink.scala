@@ -170,14 +170,53 @@ object JdbcEventSink {
     * appends (with evolution) to its own table. The per-type loop is
     * the reference's own one-bulker-per-type shape — INSERT batches
     * are per-table by nature, so unlike the parquet fast path there
-    * is no single-job variant to ride; type count bounds the loop. */
+    * is no single-job variant to ride; type count bounds the loop.
+    *
+    * The per-type appends run OVERLAPPED from a small thread pool
+    * (guide §2.6 — independent jobs; each type owns its own table, so
+    * the schema reads, DDL and INSERT batches never touch another
+    * type's state, and the warehouse serves each connection on its own
+    * thread by design). The r13 event-log probe measured the serial
+    * loop as a17's dominant term: 5 types × (schema read + DDL + a
+    * ~0.1 s INSERT job + ~0.2 s of driver planning) ≈ 2 s per
+    * micro-batch of pure latency ladder. Overlap makes it the wall of
+    * the slowest type. `spark.graft.jdbc.maxParallelTables` bounds the
+    * in-flight appends (default 8 — the same bound as the per-append
+    * INSERT fan-out above, so the worst case is 64 concurrent INSERT
+    * channels; 1 restores the serial loop; lower it when the warehouse
+    * rations connections). Exceptions propagate exactly as before
+    * (fail the batch). */
   def routeAndAppend(spark: SparkSession, batch: DataFrame, url: String,
-                     typeCol: String = "event_type"): Map[String, StructType] = {
-    val types = batch.select(col(typeCol)).distinct()
-      .collect().map(_.getString(0)) // bounded by table count
-    types.map { t =>
-      t -> evolveAppend(spark,
-        batch.filter(col(typeCol) === t).drop(typeCol), url, tableName(t))
-    }.toMap
+                     typeCol: String = "event_type",
+                     knownTypes: Option[Seq[String]] = None): Map[String, StructType] = {
+    // callers that already collected the batch's distinct types (the
+    // streaming prelude's emptiness gate) pass them in — one driver
+    // round-trip per micro-batch instead of two
+    val types = knownTypes.map(_.toArray).getOrElse(
+      batch.select(col(typeCol)).distinct()
+        .collect().map(_.getString(0))) // bounded by table count
+    val maxPar = math.max(1, math.min(types.length,
+      spark.conf.get("spark.graft.jdbc.maxParallelTables", "8").toInt))
+    if (maxPar <= 1 || types.length <= 1)
+      types.map { t =>
+        t -> evolveAppend(spark,
+          batch.filter(col(typeCol) === t).drop(typeCol), url, tableName(t))
+      }.toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(maxPar)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val futs = types.toSeq.map { t =>
+          scala.concurrent.Future {
+            t -> evolveAppend(spark,
+              batch.filter(col(typeCol) === t).drop(typeCol), url, tableName(t))
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf).toMap
+      } finally { pool.shutdown(); () }
+    }
   }
 }

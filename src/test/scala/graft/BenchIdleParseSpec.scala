@@ -51,4 +51,29 @@ class BenchIdleParseSpec extends AnyFunSuite {
     assert(Bench.parseIdleBaseline("not json at all", canonicalSf).isEmpty)
     assert(Bench.parseIdleBaseline("""{"sf":"x"}""", canonicalSf).isEmpty)
   }
+
+  test("only a full-suite sf0.1 32-core run may write the canonical file") {
+    // r12: the driver's 8-core scaling leg clobbered BENCH_local_latest
+    // with an 8-core map — the gate now requires the canonical cpus too
+    assert(Bench.benchFileFor(false, canonicalSf, "32") ==
+      "BENCH_local_latest.json")
+    assert(Bench.benchFileFor(false, canonicalSf, "8") ==
+      "BENCH_probe_latest.json")
+    assert(Bench.benchFileFor(true, canonicalSf, "32") ==
+      "BENCH_probe_latest.json")
+    assert(Bench.benchFileFor(false, "/root/testdata/sf1", "32") ==
+      "BENCH_probe_latest.json")
+  }
+
+  test("oversplit suspects: faster-on-fewer-cores queries are flagged") {
+    val canonical = Map("b102" -> 6.8, "b23" -> 3.5, "c93" -> 1.8,
+      "tiny" -> 0.4, "flat" -> 2.0)
+    val probe = Seq("b102" -> 2.7, "b23" -> 1.9, "c93" -> 4.5,
+      "tiny" -> 0.1, "flat" -> 1.9, "new_q" -> 0.2)
+    // b102 (0.39) and b23 (0.54) flag, worst ratio first; c93 got slower
+    // (parallelising), "flat" is within band, "tiny" is under the 1 s
+    // floor, "new_q" has no canonical time
+    assert(Bench.oversplitSuspects(probe, canonical) == Seq("b102", "b23"))
+    assert(Bench.oversplitSuspects(probe, Map.empty).isEmpty)
+  }
 }
