@@ -81,10 +81,23 @@ object AnalyticsQueries3 {
   private def b32Collapsing(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
     val verW = byUser.orderBy(col("ts"), col("event_id"))
+    // Versioned state computed ONCE and cached: the three write-stream
+    // branches (+1 states, -1 cancels, -1 deletes) previously each
+    // re-ran the scan + user_id exchange + two window passes as their
+    // own plan subtree, and the union of the three co-partitioned
+    // branches pinned the downstream collapse windows at the full
+    // initial shuffle partition count (r13 event-log probe: a 512-task
+    // stage, ~145 ms/task of fixed overhead, ~74 s summed exec-run on
+    // a ~100k-row input — AQE cannot coalesce a co-partitioned union
+    // group). Filtering one cached frame makes the branches narrow
+    // cache reads and lets the cached plan's AQE-coalesced
+    // partitioning carry through the union into the collapse windows
+    // with no new exchange. Same rows, same collapse semantics.
     val st = T(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .withColumn("ver", row_number().over(verW))
       .withColumn("maxver", max(col("ver")).over(byUser))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val plus = st.withColumn("sign", lit(1))
     val cancels = st.filter(col("ver") < col("maxver"))
       .withColumn("sign", lit(-1))
@@ -92,11 +105,14 @@ object AnalyticsQueries3 {
         pmod(col("user_id"), lit(7)) === 0)
       .withColumn("sign", lit(-1))
     val writes = plus.unionByName(cancels).unionByName(deletes)
-    Collapsing.collapse(writes, Seq("user_id"), Seq(col("ver")), col("sign"))
-      .select(col("user_id"), col("event_id").as("cur_event_id"),
-        Fns.nanosToEpochSec(col("ts")).as("cur_ts_s"),
-        col("value").as("cur_value"))
-      .orderBy(col("user_id"))
+    // |surviving users| rows: self-releasing (the c65b pattern)
+    TrainingQueries.materialized(s,
+      Collapsing.collapse(writes, Seq("user_id"), Seq(col("ver")), col("sign"))
+        .select(col("user_id"), col("event_id").as("cur_event_id"),
+          Fns.nanosToEpochSec(col("ts")).as("cur_ts_s"),
+          col("value").as("cur_value"))
+        .orderBy(col("user_id")),
+      st)
   }
 
   /** B34: CH uniqState/uniqMerge — mergeable distinct-count sketch

@@ -525,15 +525,18 @@ object TrainingQueries {
     val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val base = emb.filter(col("vec_id") % 4 =!= 3)
     val root = java.nio.file.Files.createTempDirectory("graft_c106").toString
-    emb.filter(col("vec_id") % 8 === 3).coalesce(1).write.parquet(s"$root/in/b1")
-    emb.filter(col("vec_id") % 8 === 7).coalesce(1).write.parquet(s"$root/in/b2")
+    // the two micro-batch input files stage overlapped (guide §2.6);
+    // result invariant to batch order by construction (see above)
+    SparkEntry.stageSliceFiles(s, s"$root/in",
+      Seq(emb.filter(col("vec_id") % 8 === 3),
+        emb.filter(col("vec_id") % 8 === 7)))
     // foreachBatch runs on the stream's execution thread: the handle
     // goes through an AtomicReference so the post-termination read
     // here is safely published
     val idxRef = new java.util.concurrent.atomic.AtomicReference(
       Similarity.buildIndex(base, "vec_id", "embedding", stride = 0))
     s.readStream.schema(emb.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$root/in/*")
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
       .writeStream
       .option("checkpointLocation", s"$root/ck")
       .foreachBatch { (batch: DataFrame, _: Long) =>

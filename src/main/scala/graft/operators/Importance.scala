@@ -53,7 +53,18 @@ object Importance {
       explode(Fns.tokens(col(textCol))).as("word"))
     val weights = wordLogRatios(toks, col("word"), col("__t"))
       .select(col("word"), col("lw"))
-    toks.join(weights, "word")
+    // EXPLICIT broadcast of the weight table (guide §3.1, same bug as
+    // [[trigramPerplexity]]): both join sides carry explode-descended
+    // planner estimates, and the UN-hinted plan broadcast the wrong
+    // one — a BroadcastExchange over Generate(corpus tokens), i.e. the
+    // corpus-scale side, which at real scale is a guaranteed driver
+    // OOM. The weight side is the one the operator's scale contract
+    // bounds (|vocab| rows, Zipf-capped ≪ corpus); if a deployment's
+    // vocab ever outgrows broadcast, hash the features first (the
+    // DSIR paper's own fixed-dim hashing) rather than dropping the
+    // hint — the un-hinted planner would still pick a broadcast, just
+    // of the wrong side.
+    toks.join(broadcast(weights), "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_toks"),
         (sum(col("lw")) / count(lit(1)).cast("double")).as("score"))
@@ -88,7 +99,18 @@ object Importance {
       .select(col("tri"),
         log2((col("c") + 1).cast("double") / (col("n") + col("v")).cast("double"))
           .as("lp"))
-    tris.join(probs, "tri")
+    // EXPLICIT broadcast (guide §3.1): probs is structurally capped at
+    // charset³ rows (CCNet LM tables are MB-sized), but its planner
+    // ESTIMATE descends from the corpus explode, so without the hint
+    // the join planned shuffle-side and exchanged the full |corpus
+    // trigrams| stream keyed by trigram — a 14.7M-row string shuffle
+    // at sf1 that AQE then coalesced into ONE join task (6.2 s, the
+    // r12 "accepted trade" regression). AQE did replan to broadcast
+    // once the tc cache's real 47 KB stats landed, but only after the
+    // big exchange had already materialized. With the hint the scored
+    // stream never shuffles: score + per-doc partial agg ride the scan
+    // partitions.
+    tris.join(broadcast(probs), "tri")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_trigrams"),
         (-sum(col("lp")) / count(lit(1)).cast("double")).as("h"))

@@ -139,13 +139,23 @@ class PlanAuditSpec extends SparkSpec {
       s"blocklist should be row-local:\n$p")
   }
 
-  test("b32: collapse prunes the rank below the shuffle and adds no exchange of its own") {
+  test("b32: one cached state pass feeds all three branches; rank pruned") {
     val p = plan("b32_collapsing")
     assert(p.contains("WindowGroupLimit"), s"rank-1 not pruned:\n$p")
-    // every hash exchange belongs to the write-stream construction
-    // (one per signed branch); the collapse windows ride them
-    val hashEx = p.split("\n").count(_.contains("Exchange hashpartitioning"))
-    assert(hashEx <= 3, s"collapse introduced extra shuffles:\n$p")
+    // r13 shape: the versioned state is computed ONCE and cached — the
+    // three signed branches are InMemoryTableScans over it (the old
+    // union-of-three-subtrees re-ran scan+exchange+windows per branch
+    // and pinned the collapse windows at the initial partition count)
+    // all three branches must be cache reads (the cached plan's own
+    // FileScan prints once per InMemoryTableScan, so scans can't be
+    // text-counted — the distinct-exchange count below pins the rest)
+    assert(p.split("\n").count(_.contains("InMemoryTableScan")) >= 3,
+      s"signed branches no longer read the cached state:\n$p")
+    // DISTINCT exchanges (the cached plan's internal exchange prints
+    // once per scan): 1 cache fill + 1 post-union collapse exchange
+    val hashEx = "Exchange hashpartitioning[^\\[]*\\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(hashEx <= 2, s"collapse introduced extra shuffles:\n$p")
   }
 
   test("b35: tiering is one aggregate pass; the as-of side scans only ts") {

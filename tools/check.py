@@ -43,7 +43,11 @@ _gb = min(40, max(1, (os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE"))
 con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', f'{_gb}GB')}'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    # amplified probe datasets (tools/gen_sf.py) write one file per
+    # copy inside a <table>.parquet/ directory; DuckDB needs the glob
+    p = f"{sfdir}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 # optional name filter for re-running a single heavy compare

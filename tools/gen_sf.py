@@ -108,34 +108,54 @@ def perturb_embeddings(t, c):
 PERTURB = {"documents": perturb_documents, "embeddings": perturb_embeddings}
 
 
+def _copy_writer(dst, table, c, schema):
+    """One parquet FILE per copy, inside a `<table>.parquet/` directory.
+
+    A single amplified file starves scan parallelism: the sf1
+    documents table compresses to ~6 MB, so Spark's split sizing
+    (min(maxPartitionBytes, max(openCost, bytes/cores))) hands the
+    whole file to ~2 tasks even though the trigram explode over it
+    fans out to ~15 M rows — the c46/c80 sf1 regression the r12 round
+    documented as an artifact problem. One file per copy gives the
+    scan `factor` natural splits, exactly what a real multi-batch
+    ingest would have produced. Spark reads the directory
+    transparently; tools/check.py globs it for DuckDB."""
+    d = f"{dst}/{table}.parquet"
+    import os
+    os.makedirs(d, exist_ok=True)
+    return pq.ParquetWriter(f"{d}/part-{c:05d}.parquet", schema)
+
+
 def amplify(src, dst, table, factor, perturb):
     t = pq.read_table(f"{src}/{table}.parquet")
     idc = ID_COLS[table]
     stride = pc.max(t[idc]).as_py() + 1
-    writer = pq.ParquetWriter(f"{dst}/{table}.parquet", t.schema)
     for c in range(factor):
         body = t if (c == 0 or not perturb or table not in PERTURB) \
             else PERTURB[table](t, c)
         ids = pc.add(body[idc], pa.scalar(c * stride, type=t.schema.field(idc).type))
+        writer = _copy_writer(dst, table, c, t.schema)
         writer.write_table(
             body.set_column(body.schema.get_field_index(idc), idc, ids))
-    writer.close()
+        writer.close()
     tag = " (perturbed)" if perturb and table in PERTURB and factor > 1 else ""
-    print(f"  {table}: {t.num_rows} -> {t.num_rows * factor} rows{tag}")
+    print(f"  {table}: {t.num_rows} -> {t.num_rows * factor} rows"
+          f" in {factor} files{tag}")
 
 
 def amplify_tpch(src, dst, table, factor, strides):
     t = pq.read_table(f"{src}/{table}.parquet")
-    writer = pq.ParquetWriter(f"{dst}/{table}.parquet", t.schema)
     for c in range(factor):
         body = t
         for col, domain in TPCH_KEYS[table]:
             typ = t.schema.field(col).type
             ids = pc.add(body[col], pa.scalar(c * strides[domain], type=typ))
             body = body.set_column(body.schema.get_field_index(col), col, ids)
+        writer = _copy_writer(dst, table, c, t.schema)
         writer.write_table(body)
-    writer.close()
-    print(f"  {table}: {t.num_rows} -> {t.num_rows * factor} rows (tpch keys offset)")
+        writer.close()
+    print(f"  {table}: {t.num_rows} -> {t.num_rows * factor} rows "
+          f"in {factor} files (tpch keys offset)")
 
 
 def main():
