@@ -272,12 +272,20 @@ object AnalyticsQueries5 {
     val perDay = ev.groupBy(col("user_id"), day.as("d"))
       .agg(count(lit(1)).as("c"))
     val spine = ev.agg(min(day).as("d0"), max(day).as("d1"))
+    // persist: the daily-vector pipeline (scan + spine + crossJoin +
+    // left join + per-user collect) feeds BOTH brute-force sides —
+    // un-cached, the broadcast query side re-ran the whole chain for
+    // its 10 rows (r13 serial-tail audit)
     val vecs = Series.dailyVectors(perDay, "user_id", "d", "c", spine)
-    Similarity.bruteForceTopK(vecs, vecs.filter(col("user_id") < 10),
-        "user_id", "vec", k = 5, roundScale = 4)
-      .select(col("query_id"), col("rank").as("rnk"), col("corpus_id"),
-        col("cosine_sim"))
-      .orderBy(col("query_id"), col("rnk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 50 rows: self-releasing (the c65b pattern)
+    TrainingQueries.materialized(s,
+      Similarity.bruteForceTopK(vecs, vecs.filter(col("user_id") < 10),
+          "user_id", "vec", k = 5, roundScale = 4)
+        .select(col("query_id"), col("rank").as("rnk"), col("corpus_id"),
+          col("cosine_sim"))
+        .orderBy(col("query_id"), col("rnk")),
+      vecs)
   }
 
   /** B55: CH simpleLinearRegression(x, y) — slope/intercept of value

@@ -22,7 +22,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Read-plan memo: `spark.read.parquet` re-lists the path and
+    * re-reads a footer for the schema on EVERY call — pure driver-side
+    * metadata work (~10-40 ms) that the 239-query suite paid 1-4× per
+    * query on the same ten static tables. Memoizing the analyzed READ
+    * PLAN per (session, dir, table) is what a catalog table gives for
+    * free (Spark caches file indexes for catalog reads the same way);
+    * no DATA is cached — every action still scans parquet. Keyed by
+    * session so a restarted session never reuses plans bound to a
+    * stopped one. The test tables are immutable by contract (queries
+    * write only under their own temp dirs, never through Tables). */
+  private val planMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_TABLE_MEMO").contains("0")) fresh(spark, dir, name)
+    else planMemo.computeIfAbsent((spark, dir, name), _ => fresh(spark, dir, name))
+
+  private def fresh(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeTs(df) else df
