@@ -586,15 +586,50 @@ object SparkEntry {
           scala.concurrent.duration.Duration.Inf)
         finally { pool.shutdown(); () }
       }
-      // producer seat: the DSv2 streaming WRITE sink publishes each
-      // staged batch onto the live broker (epoch-idempotent PUBBATCH)
+      // producer seat: ONE always-on DSv2 write-sink stream (the
+      // epoch-idempotent PUBBATCH producer) watches a drop dir and
+      // publishes each staged batch as its file is moved in — the r12
+      // verdict's "combine per-query multi-stream setups": the three
+      // per-stage AvailableNow publish queries each paid a full
+      // streaming-query lifecycle (~0.45 s of start/stop machinery
+      // around a 0.05 s publish job, r13 event-log probe). Stage
+      // completion is confirmed against the BROKER's own end offsets
+      // (the row counts come from the staged files' parquet footers —
+      // driver-side metadata, no job), so each drain still starts only
+      // after its stage is fully on the log, exactly as before.
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/pub_in"))
+      val pubQ = s.readStream.schema(pubSchema).parquet(s"$tmp/pub_in")
+        .writeStream.format("graft-queue")
+        .option("host", broker.host)
+        .option("port", broker.port.toString)
+        .option("checkpointLocation", s"$tmp/pub_ck")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      var publishedRows = 0L
       def publish(tag: String): Unit = {
-        s.readStream.schema(pubSchema).parquet(s"$tmp/in_$tag")
-          .writeStream.format("graft-queue")
-          .option("host", broker.host)
-          .option("port", broker.port.toString)
-          .option("checkpointLocation", s"$tmp/pub_ck_$tag")
-          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+        val from = new org.apache.hadoop.fs.Path(s"$tmp/in_$tag")
+        fs.listStatus(from).filter(_.getPath.getName.startsWith("part-"))
+          .foreach { f =>
+            publishedRows += org.apache.parquet.hadoop.ParquetFileReader
+              .readFooter(s.sparkContext.hadoopConfiguration, f.getPath)
+              .getBlocks.asScala.map(_.getRowCount).sum
+            if (!fs.rename(f.getPath,
+                new org.apache.hadoop.fs.Path(s"$tmp/pub_in",
+                  s"$tag-${f.getPath.getName}")))
+              throw new java.io.IOException(s"a17: stage move failed for $tag")
+          }
+        val c = new graft.sources.QueueBroker.Client(broker.host, broker.port)
+        try {
+          val parts = c.numPartitions
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (c.endOffsets(parts).sum < publishedRows) {
+            if (System.nanoTime() > deadline)
+              throw new IllegalStateException(
+                s"a17: publish of $tag not on the broker log after 120 s")
+            Thread.sleep(5)
+          }
+        } finally c.close()
       }
       val eventSchema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
@@ -615,6 +650,7 @@ object SparkEntry {
       // each drain is a checkpointed restart consuming ONLY new offsets
       publish("b2a"); drainToWarehouse() // 4 metadata-only ADD COLUMNs
       publish("b2b"); drainToWarehouse() // the ONE staged-rewrite widen
+      pubQ.stop() // the producer's seat closes with the show
       // read back over JDBC; per-type tables align to the merged shape
       // (a type all of whose rows landed in batch 1 never widened k,
       // and never gained v — cast/backfill at read, like mergeSchema);

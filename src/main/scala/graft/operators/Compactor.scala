@@ -48,8 +48,19 @@ object Compactor {
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
 
     val staging = new Path(dir.getParent, dir.getName + "__compacting")
-    spark.read.parquet(tableDir)
-      .repartitionByRange(nOut, col(partitionCol), col(sortCol))
+    // nOut == 1 (table under targetBytes — every in-stream maintenance
+    // merge at micro-batch granularity): a coalesce is enough, and it
+    // skips BOTH the range-boundary sampling pass and the shuffle that
+    // repartitionByRange(1, ...) would pay to land everything in the
+    // same single partition; the within-partition sort still produces
+    // byte-identical file contents. Multi-file outputs keep the range
+    // layout (file k holds keys below file k+1's — the reader-skipping
+    // property the operator exists for).
+    val arranged =
+      if (nOut == 1) spark.read.parquet(tableDir).coalesce(1)
+      else spark.read.parquet(tableDir)
+        .repartitionByRange(nOut, col(partitionCol), col(sortCol))
+    arranged
       .sortWithinPartitions(col(partitionCol), col(sortCol))
       .write.partitionBy(partitionCol).mode("overwrite")
       .parquet(staging.toString)
