@@ -362,14 +362,6 @@ object AnalyticsQueries8 {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the basket table ONCE before the consumers fan out:
-    // the two broadcast margins, the order count and the pair generator
-    // all read `op`, and with a lazy persist they launch as CONCURRENT
-    // first-touch jobs that race to fill the same cache blocks (the r12
-    // driver measured this query 2.5x slower at 32 cores than at 8 —
-    // oversplit contention on the racing branches). One count makes
-    // every branch a cache read.
-    op.count()
     val nOrders = op.select(countDistinct(col("o")).as("n_orders"))
     val marg = op.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
     val pairs = op.groupBy(col("o"))
