@@ -37,7 +37,14 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (sys.env.get("SPARK_GRAFT_TABLE_MEMO").contains("0")) fresh(spark, dir, name)
-    else planMemo.computeIfAbsent((spark, dir, name), _ => fresh(spark, dir, name))
+    else {
+      // bound the memo: a library consumer cycling many short-lived
+      // sessions must not retain every stopped session through its
+      // cached plans (plans hold their session). 256 ≈ 25 sessions ×
+      // 10 tables; a rare full reset just re-reads footers once.
+      if (planMemo.size > 256) planMemo.clear()
+      planMemo.computeIfAbsent((spark, dir, name), _ => fresh(spark, dir, name))
+    }
 
   private def fresh(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
