@@ -19,6 +19,14 @@ object ClusterSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // same streaming-checkpoint mechanics as GraftSession/Bench/Verify
+      // (r13): the smoke must exercise the checkpoint manager the
+      // engine actually ships — state-store commits run in the
+      // EXECUTOR JVMs here, which local[*] cannot show
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
       .getOrCreate()
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "c4_ngram_jaccard", "c21_corpus_pipeline", "c35_cluster_split",
