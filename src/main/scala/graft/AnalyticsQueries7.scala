@@ -446,11 +446,11 @@ object AnalyticsQueries7 {
     val marg = ud.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_with"))
     val pairs = baskets
-      .select(explode(expr(
-        """flatten(transform(tt, (a, i) ->
-             transform(slice(tt, i + 2, size(tt) - i - 1),
-               b -> struct(a AS ta, b AS tb))))""")).as("p"))
-      .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
+      // codegen'd single-pass pair enumeration (r13): same pairs, same
+      // order as the composed flatten/transform/slice HOF form, without
+      // its interpreted lambda frames (PropertySpec pins equality)
+      .select(explode(Fns.upperTrianglePairs(col("tt"))).as("p"))
+      .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
       .agg(count(lit(1)).as("n_both"))
     // ≤|types|² rows: self-releasing (the c65b pattern) — neither
     // cache outlives this query

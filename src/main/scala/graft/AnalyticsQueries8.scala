@@ -366,11 +366,11 @@ object AnalyticsQueries8 {
     val marg = op.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
     val pairs = op.groupBy(col("o"))
       .agg(sort_array(collect_set(col("p"))).as("parts"))
-      .select(explode(expr(
-        "flatten(transform(parts, (x, i) -> " +
-          "transform(slice(parts, i + 2, size(parts)), " +
-          "y -> struct(x as pa, y as pb))))")).as("pp"))
-      .select(col("pp.pa").as("pa"), col("pp.pb").as("pb"))
+      // codegen'd single-pass pair enumeration (r13): same pairs, same
+      // order as the composed flatten/transform/slice HOF form, without
+      // its interpreted lambda frames (PropertySpec pins equality)
+      .select(explode(Fns.upperTrianglePairs(col("parts"))).as("pp"))
+      .select(col("pp.a").as("pa"), col("pp.b").as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
     // 100 rows: self-releasing (the c65b pattern)

@@ -48,11 +48,11 @@ object TrainingQueries6 {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_grams"))
     val inter = sets
-      .select(explode(expr(
-        """flatten(transform(ss, (a, i) ->
-             transform(slice(ss, i + 2, size(ss) - i - 1),
-               b -> struct(a AS sa, b AS sb))))""")).as("p"))
-      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
+      // codegen'd single-pass pair enumeration (r13): same pairs, same
+      // order as the composed flatten/transform/slice HOF form, without
+      // its interpreted lambda frames (PropertySpec pins equality)
+      .select(explode(Fns.upperTrianglePairs(col("ss"))).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
       .agg(count(lit(1)).as("n_common"))
     val a = counts.select(col("source").as("source_a"),
       col("n_grams").as("grams_a"))
@@ -251,11 +251,9 @@ object TrainingQueries6 {
       .groupBy(col("h"))
       .agg(sort_array(collect_set(col("lang"))).as("ls"))
       .filter(size(col("ls")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ls, (a, i) ->
-             transform(slice(ls, i + 2, size(ls) - i - 1),
-               b -> struct(a AS la, b AS lb))))""")).as("p"))
-      .groupBy(col("p.la").as("lang_a"), col("p.lb").as("lang_b"))
+      // codegen'd single-pass pair enumeration (r13, see c51 above)
+      .select(explode(Fns.upperTrianglePairs(col("ls"))).as("p"))
+      .groupBy(col("p.a").as("lang_a"), col("p.b").as("lang_b"))
       .agg(count(lit(1)).as("n_shared_texts"))
       .orderBy(col("lang_a"), col("lang_b"))
   }

@@ -117,6 +117,18 @@ object Fns {
     graft.plans.Cols.column(
       graft.plans.UpperTriangleProducts(graft.plans.Cols.expression(c)))
 
+  /** Strict upper-triangle ordered pairs struct(a, b) of an array
+    * (diagonal excluded), row-major — codegen'd
+    * ([[graft.plans.UpperTrianglePairs]]); the in-basket pair
+    * generator b102/b88/c51/c58 explode. Order and values are
+    * bit-identical to the composed
+    * `flatten(transform(xs,(a,i) -> transform(slice(xs,i+2,…),
+    * b -> struct(a,b))))` form (PropertySpec pins it), minus the
+    * interpreted lambda frames and per-element slice/flatten copies. */
+  def upperTrianglePairs(c: Column): Column =
+    graft.plans.Cols.column(
+      graft.plans.UpperTrianglePairs(graft.plans.Cols.expression(c)))
+
   /** CH `uniqTheta`: mergeable theta sketch of a BIGINT/STRING column
     * (BINARY state; [[graft.plans.ThetaSketchAgg]]). Unlike HLL the
     * theta state supports set DIFFERENCE and INTERSECTION estimates. */

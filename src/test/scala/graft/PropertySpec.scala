@@ -1,7 +1,9 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
+import graft.functions.Fns
 import org.scalacheck.rng.Seed
 import graft.operators.EventFlattener
 import graft.plans.WordNGramsUtil
@@ -486,6 +488,46 @@ class PropertySpec extends SparkSpec {
       assert(got.getOrElse(id, Set.empty) == expected,
         s"basket $id: generator pairs diverge from the naive spec")
     }
+  }
+
+  test("upper_triangle_pairs == the composed HOF pair generator, values AND order") {
+    // the r13 codegen'd enumeration (graft.plans.UpperTrianglePairs)
+    // replaced the flatten/transform/slice form at b102/b88/c51/c58 —
+    // the two must agree element-for-element (including emission
+    // order, so even an order-sensitive consumer is bit-identical),
+    // for long AND string elements, including empty and 1-element
+    // arrays
+    import spark.implicits._
+    val longBaskets = (0 until 60).map { i =>
+      val g = Gen.listOf(Gen.choose(1L, 40L))
+      (i.toLong, g.apply(Gen.Parameters.default, Seed(7L + i))
+        .getOrElse(Nil).distinct.sorted)
+    }
+    val hof = "flatten(transform(xs, (a, i) -> " +
+      "transform(slice(xs, i + 2, size(xs)), b -> struct(a, b))))"
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Row])] =
+      df.orderBy("id").collect().toSeq
+        .map(r => r.getLong(0) -> r.getSeq[Row](1))
+    val ldf = longBaskets.toDF("id", "xs")
+    assert(
+      pairsOf(ldf.select(col("id"), Fns.upperTrianglePairs(col("xs")).as("p"))) ==
+      pairsOf(ldf.select(col("id"), expr(hof).as("p"))),
+      "long-element pairs diverge from the HOF form")
+    val strBaskets = longBaskets.map { case (id, xs) =>
+      (id, xs.map(v => s"s$v"))
+    }
+    val sdf = strBaskets.toDF("id", "xs")
+    assert(
+      pairsOf(sdf.select(col("id"), Fns.upperTrianglePairs(col("xs")).as("p"))) ==
+      pairsOf(sdf.select(col("id"), expr(hof).as("p"))),
+      "string-element pairs diverge from the HOF form")
+    // degenerate sizes explicitly: 0, 1 and 2 elements
+    val edge = Seq((0L, Seq.empty[Long]), (1L, Seq(5L)), (2L, Seq(3L, 9L)))
+      .toDF("id", "xs")
+    assert(
+      pairsOf(edge.select(col("id"), Fns.upperTrianglePairs(col("xs")).as("p"))) ==
+      pairsOf(edge.select(col("id"), expr(hof).as("p"))),
+      "degenerate-size pairs diverge from the HOF form")
   }
 
   test("rank-sum AUC: == pairwise definition, monotone-invariant, ~complement-symmetric") {
