@@ -129,6 +129,15 @@ object Fns {
     graft.plans.Cols.column(
       graft.plans.UpperTrianglePairs(graft.plans.Cols.expression(c)))
 
+  /** Winnowing fingerprint selection (hash every k-gram to its
+    * 8-hex-char md5 window, keep each w-window's minimum) in one
+    * codegen'd pass — ([[graft.plans.WinnowingFps]]); value-identical
+    * to the composed transform/slice/array_min form c87's operator
+    * previously ran through interpreted HOFs (DedupSpec pins it). */
+  def winnowingFps(c: Column, w: Int): Column =
+    graft.plans.Cols.column(
+      graft.plans.WinnowingFps(graft.plans.Cols.expression(c), w))
+
   /** CH `uniqTheta`: mergeable theta sketch of a BIGINT/STRING column
     * (BINARY state; [[graft.plans.ThetaSketchAgg]]). Unlike HLL the
     * theta state supports set DIFFERENCE and INTERSECTION estimates. */

@@ -298,17 +298,17 @@ object Dedup {
   def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
                             k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be positive")
+    // hash + sliding-window min in ONE codegen'd pass (r13,
+    // graft.plans.WinnowingFps): the composed transform/slice/
+    // array_min form ran interpreted — per gram a lambda frame for
+    // the md5, per window another frame plus a slice copy; values
+    // and order are identical (DedupSpec pins the equality)
     docs
       .select(col(idCol).as("doc_id"),
         Fns.wordNGrams(Fns.tokens(col(textCol)), k).as("gs"))
+      .filter(size(col("gs")) > 0)
       .select(col("doc_id"),
-        expr("transform(gs, g -> substring(md5(g), 1, 8))").as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), explode(array_distinct(
-        when(size(col("hs")) < w, col("hs"))
-          .otherwise(expr(
-            s"transform(sequence(1, size(hs) - ${w - 1}), " +
-              s"i -> array_min(slice(hs, i, $w)))")))).as("fp"))
+        explode(array_distinct(Fns.winnowingFps(col("gs"), w))).as("fp"))
   }
 
   /** SimHash fingerprint (64-bit: one ±1 vote per bit of the md5's

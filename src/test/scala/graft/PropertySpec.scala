@@ -530,6 +530,33 @@ class PropertySpec extends SparkSpec {
       "degenerate-size pairs diverge from the HOF form")
   }
 
+  test("winnowing_fps == the composed md5/transform/slice/array_min form") {
+    // the r13 codegen'd kernel (graft.plans.WinnowingFps) must emit
+    // exactly the hashes-and-window-minima array the HOF form emitted,
+    // for every w, including the degenerate n < w window and n == 0
+    import spark.implicits._
+    val rows = (0 until 50).map { i =>
+      val g = Gen.listOf(Gen.alphaLowerStr.map(_.take(6)))
+      (i.toLong, g.apply(Gen.Parameters.default, Seed(99L + i))
+        .getOrElse(Nil))
+    } ++ Seq((1000L, Nil), (1001L, List("one")), (1002L, List("a", "b")))
+    val df = rows.toDF("id", "gs")
+    for (w <- Seq(1, 2, 4, 7)) {
+      val hof = df.select(col("id"),
+          expr("transform(gs, g -> substring(md5(g), 1, 8))").as("hs"))
+        .select(col("id"),
+          when(size(col("hs")) < w, col("hs"))
+            .otherwise(expr(
+              s"transform(sequence(1, size(hs) - ${w - 1}), " +
+                s"i -> array_min(slice(hs, i, $w)))")).as("fps"))
+        .orderBy("id").collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+      val got = df.select(col("id"), Fns.winnowingFps(col("gs"), w).as("fps"))
+        .orderBy("id").collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+      assert(got.toSeq == hof.toSeq,
+        s"w=$w: winnowing_fps diverges from the HOF form")
+    }
+  }
+
   test("rank-sum AUC: == pairwise definition, monotone-invariant, ~complement-symmetric") {
     import spark.implicits._
     import graft.operators.Stats
